@@ -1,0 +1,23 @@
+"""HoloScene-TPU: a TPU-native (JAX/XLA/Pallas) framework for simulation-ready
+interactive 3D scene reconstruction from posed RGB video.
+
+Re-designed from scratch for TPU hardware with the capabilities of the
+HoloScene reference pipeline (object-compositional neural-SDF reconstruction,
+generative per-object refinement, physics-validated scene graphs, texture
+baking, Gaussian-on-Mesh appearance, GLB/USD export).
+
+Layer map:
+  ops/       pure-JAX + Pallas math kernels (hash grid, volume rendering,
+             error-bound sampling, rasterization, splatting)
+  models/    neural fields and renderers (functional: init/apply over pytrees)
+  losses/    loss stacks (MonoSDF + HoloScene object-compositional terms)
+  datasets/  on-disk dataset loaders (reference-compatible formats)
+  parallel/  device mesh + sharding policies (dp over rays / points / splats)
+  training/  stage runners (1: SDF recon, 2: generative refine, 3: texture,
+             4: gaussian-on-mesh)
+  physics/   stability validation providers (host-side)
+  export/    GLB / USD / gaussian-USD exporters (host-side)
+  utils/     mesh processing, marching cubes, eval metrics
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,439 @@
+"""Neural fields: object-compositional SDF network and rendering (color) MLP.
+
+Functional design: each network is (init fn -> param pytree, apply fn). This
+keeps parameters explicit for pjit sharding and optax param-group labeling
+(the reference separates grid vs MLP learning rates,
+training/holoscene_train.py:156-169).
+
+Reference semantics:
+  * ObjectImplicitNetworkGrid — model/network.py:19-532. Hash-grid features +
+    sin/cos embedding -> softplus MLP (weight-norm) -> K object SDFs
+    (+ feature vector unless color_grid_feature). Scene SDF = min over K.
+    Geometric init flips the background SDF sign vs objects
+    (model/network.py:135-144).
+  * Optional second hash grid for color features mapped through a 2-layer
+    ReLU MLP (model/network.py:82-103, :177-179, :208-209).
+  * RenderingNetwork — model/network.py:535-614: IDR-style MLP on
+    (pts, view, normal, feature) with per-quantity positional encoding,
+    ReLU hidden, sigmoid RGB.
+  * ColorImplicitNetworkSingle — model/network.py:687-746: hash grid +
+    4-layer ReLU MLP -> sigmoid RGB (Stage-3 texture field).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from holoscene_tpu.ops.embedder import positional_encoding, embedder_out_dim
+from holoscene_tpu.ops.hashgrid import (
+    HashGridMeta,
+    hash_encode,
+    init_hash_embeddings,
+)
+
+Params = dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# weight-normalized linear layers
+# ---------------------------------------------------------------------------
+
+
+def _weight_norm_apply(layer: Params, x: jnp.ndarray) -> jnp.ndarray:
+    """w = g * v / ||v||_row (torch weight_norm over dim 0)."""
+    v, g, b = layer["v"], layer["g"], layer["b"]
+    norm = jnp.linalg.norm(v, axis=1, keepdims=True)
+    w = v * (g[:, None] / (norm + 1e-12))
+    return x @ w.T + b
+
+
+def _plain_linear_apply(layer: Params, x: jnp.ndarray) -> jnp.ndarray:
+    return x @ layer["w"].T + layer["b"]
+
+
+def _make_wn_layer(w: np.ndarray, b: np.ndarray) -> Params:
+    norm = np.linalg.norm(w, axis=1)
+    return {
+        "v": jnp.asarray(w, dtype=jnp.float32),
+        "g": jnp.asarray(norm, dtype=jnp.float32),
+        "b": jnp.asarray(b, dtype=jnp.float32),
+    }
+
+
+def softplus100(x: jnp.ndarray) -> jnp.ndarray:
+    """Softplus with beta=100 (reference model/network.py:163)."""
+    return jax.nn.softplus(100.0 * x) / 100.0
+
+
+# ---------------------------------------------------------------------------
+# ObjectImplicitNetworkGrid
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class ImplicitNetworkConfig:
+    feature_vector_size: int = 256
+    d_in: int = 3
+    d_out: int = 32
+    dims: tuple[int, ...] = (256, 256)
+    geometric_init: bool = True
+    bias: float = 0.9
+    skip_in: tuple[int, ...] = ()
+    weight_norm: bool = True
+    multires: int = 6
+    divide_factor: float = 1.0
+    use_grid_feature: bool = True
+    sigmoid: float = 10.0
+    color_grid_feature: bool = True
+    base_size: int = 16
+    end_size: int = 2048
+    logmap: int = 19
+    num_levels: int = 16
+    level_dim: int = 2
+
+    @property
+    def grid_meta(self) -> HashGridMeta:
+        return HashGridMeta(
+            input_dim=3,
+            num_levels=self.num_levels,
+            level_dim=self.level_dim,
+            base_resolution=self.base_size,
+            log2_hashmap_size=self.logmap,
+            desired_resolution=self.end_size,
+        )
+
+    @property
+    def layer_dims(self) -> tuple[int, ...]:
+        grid_dim = self.num_levels * self.level_dim
+        if self.color_grid_feature:
+            out = self.d_out
+        else:
+            out = self.d_out + self.feature_vector_size
+        d0 = self.d_in + grid_dim
+        if self.multires > 0:
+            d0 += embedder_out_dim(self.multires, self.d_in) - self.d_in
+        return (d0,) + tuple(self.dims) + (out,)
+
+    @classmethod
+    def from_conf(cls, conf, feature_vector_size: int) -> "ImplicitNetworkConfig":
+        return cls(
+            feature_vector_size=feature_vector_size,
+            d_in=conf.get_int("d_in", 3),
+            d_out=conf.get_int("d_out", 32),
+            dims=tuple(conf.get_list("dims", [256, 256])),
+            geometric_init=conf.get_bool("geometric_init", True),
+            bias=conf.get_float("bias", 0.9),
+            skip_in=tuple(conf.get_list("skip_in", [])),
+            weight_norm=conf.get_bool("weight_norm", True),
+            multires=conf.get_int("multires", 6),
+            divide_factor=conf.get_float("divide_factor", 1.0),
+            use_grid_feature=conf.get_bool("use_grid_feature", True),
+            sigmoid=conf.get_float("sigmoid", 10.0),
+            color_grid_feature=conf.get_bool("color_grid_feature", True),
+            base_size=conf.get_int("base_size", 16),
+            end_size=conf.get_int("end_size", 2048),
+            logmap=conf.get_int("logmap", 19),
+            num_levels=conf.get_int("num_levels", 16),
+            level_dim=conf.get_int("level_dim", 2),
+        )
+
+
+def init_implicit_network(key: jax.Array, cfg: ImplicitNetworkConfig) -> Params:
+    keys = jax.random.split(key, 8)
+    rng = np.random.default_rng(np.asarray(jax.random.key_data(keys[0])).ravel()[:1])
+
+    dims = cfg.layer_dims
+    n_layers = len(dims) - 1
+    layers = []
+    for layer_i in range(n_layers):
+        in_dim, out_dim = dims[layer_i], dims[layer_i + 1]
+        if layer_i + 1 in cfg.skip_in:
+            out_dim = dims[layer_i + 1] - dims[0]
+        w = rng.normal(0.0, np.sqrt(2) / np.sqrt(out_dim), (out_dim, in_dim))
+        b = np.zeros(out_dim)
+        if cfg.geometric_init:
+            if layer_i == n_layers - 1:
+                # compositional geometric init (model/network.py:135-144):
+                # row 0 is background (inside +, outside -), rows 1.. objects
+                w = rng.normal(0.0, 1e-4, (out_dim, in_dim))
+                w[0, :] += -np.sqrt(np.pi) / np.sqrt(in_dim)
+                w[1:, :] += np.sqrt(np.pi) / np.sqrt(in_dim)
+                b = np.zeros(out_dim)
+                b[0] = cfg.bias
+                b[1:] = -0.5 * cfg.bias
+            elif cfg.multires > 0 and layer_i == 0:
+                # zero out embedding+grid channels, keep raw xyz active
+                w = np.zeros((out_dim, in_dim))
+                w[:, :3] = rng.normal(0.0, np.sqrt(2) / np.sqrt(out_dim), (out_dim, 3))
+        layers.append(_make_wn_layer(w, b))
+
+    params: Params = {
+        "grid": init_hash_embeddings(keys[1], cfg.grid_meta),
+        "mlp": {f"lin{i}": layer for i, layer in enumerate(layers)},
+    }
+    if cfg.color_grid_feature:
+        params["color_grid"] = init_hash_embeddings(keys[2], cfg.grid_meta)
+        grid_dim = cfg.num_levels * cfg.level_dim
+        k3, k4 = jax.random.split(keys[3])
+        params["color_map_mlp"] = {
+            "lin0": _kaiming_linear(k3, grid_dim, 256),
+            "lin1": _kaiming_linear(k4, 256, cfg.feature_vector_size),
+        }
+    return params
+
+
+def _kaiming_linear(key: jax.Array, in_dim: int, out_dim: int) -> Params:
+    """torch.nn.Linear default init (kaiming-uniform + uniform bias)."""
+    k1, k2 = jax.random.split(key)
+    bound_w = math.sqrt(1.0 / in_dim) * math.sqrt(3.0)
+    w = jax.random.uniform(k1, (out_dim, in_dim), minval=-bound_w, maxval=bound_w)
+    bound_b = math.sqrt(1.0 / in_dim)
+    b = jax.random.uniform(k2, (out_dim,), minval=-bound_b, maxval=bound_b)
+    return {"w": w, "b": b}
+
+
+def implicit_forward(
+    params: Params, cfg: ImplicitNetworkConfig, x: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """x [N,3] -> (sdf_raw [N,K], feature_vectors [N,F]).
+
+    Mirrors ObjectImplicitNetworkGrid.forward (model/network.py:169-210).
+    """
+    xn = x / cfg.divide_factor
+    grid_dim = cfg.num_levels * cfg.level_dim
+    if cfg.use_grid_feature:
+        # HashEncoder maps [-1,1] -> [0,1] internally (hashgrid.py:158)
+        feature = hash_encode((xn + 1.0) * 0.5, params["grid"], cfg.grid_meta)
+    else:
+        feature = jnp.zeros(x.shape[:-1] + (grid_dim,), dtype=x.dtype)
+
+    if cfg.multires > 0:
+        embed = positional_encoding(x, cfg.multires)
+        h = jnp.concatenate([embed, feature], axis=-1)
+    else:
+        h = jnp.concatenate([x, feature], axis=-1)
+
+    inp = h
+    n_layers = len(cfg.layer_dims) - 1
+    for layer_i in range(n_layers):
+        if layer_i in cfg.skip_in:
+            h = jnp.concatenate([h, inp], axis=-1) / np.sqrt(2)
+        h = _weight_norm_apply(params["mlp"][f"lin{layer_i}"], h)
+        if layer_i < n_layers - 1:
+            h = softplus100(h)
+
+    if cfg.color_grid_feature:
+        cf = hash_encode((xn + 1.0) * 0.5, params["color_grid"], cfg.grid_meta)
+        cf = _plain_linear_apply(params["color_map_mlp"]["lin0"], cf)
+        cf = jax.nn.relu(cf)
+        cf = _plain_linear_apply(params["color_map_mlp"]["lin1"], cf)
+        sdf_raw = h
+        feature_vectors = cf
+    else:
+        sdf_raw = h[:, : cfg.d_out]
+        feature_vectors = h[:, cfg.d_out :]
+    return sdf_raw, feature_vectors
+
+
+def implicit_sdf_raw(params, cfg, x):
+    return implicit_forward(params, cfg, x)[0]
+
+
+def implicit_scene_sdf(params, cfg, x):
+    """Scene SDF = min over object SDFs (model/network.py:287 MaxPool trick)."""
+    return implicit_sdf_raw(params, cfg, x).min(axis=-1)
+
+
+def implicit_object_sdf(params, cfg, x, idx: int):
+    return implicit_sdf_raw(params, cfg, x)[:, idx]
+
+
+def implicit_multi_object_sdf(params, cfg, x, idxs: tuple[int, ...]):
+    return implicit_sdf_raw(params, cfg, x)[:, list(idxs)].min(axis=-1)
+
+
+def semantic_from_sdf(sdf_raw: jnp.ndarray, k: float) -> jnp.ndarray:
+    """ObjectSDF semantic field: k * sigmoid(-k * sdf) (model/network.py:282)."""
+    return k * jax.nn.sigmoid(-k * sdf_raw)
+
+
+def implicit_get_outputs(params, cfg, x):
+    """Forward + scene-SDF gradient w.r.t. points.
+
+    Returns (sdf [N], feature_vectors [N,F], gradients [N,3], semantic [N,K],
+    sdf_raw [N,K]). Matches get_outputs (model/network.py:273-301); the
+    gradient of min-SDF w.r.t. x is one reverse-mode pass through the full
+    network including hash grids (JAX supplies the second-order path the
+    reference needed custom CUDA for).
+    """
+    sdf_raw, feature_vectors = implicit_forward(params, cfg, x)
+    semantic = semantic_from_sdf(sdf_raw, cfg.sigmoid)
+    sdf = sdf_raw.min(axis=-1)
+
+    grad_fn = jax.grad(lambda pt: implicit_scene_sdf(params, cfg, pt[None, :])[0])
+    gradients = jax.vmap(grad_fn)(x)
+    return sdf, feature_vectors, gradients, semantic, sdf_raw
+
+
+def implicit_all_gradients(params, cfg, x):
+    """Jacobian of all K object SDFs + scene SDF w.r.t. points: [N, K+1, 3].
+
+    Replaces the reference's K+1 sequential autograd.grad VJP passes
+    (model/network.py:212-254) with 3 forward-mode JVP passes — the input
+    is 3-dimensional, so jacfwd needs exactly 3 evaluations regardless of K.
+    """
+
+    def f(pt):
+        raw = implicit_sdf_raw(params, cfg, pt[None, :])[0]
+        return jnp.concatenate([raw, raw.min(keepdims=True)])
+
+    return jax.vmap(jax.jacfwd(f))(x)
+
+
+# ---------------------------------------------------------------------------
+# RenderingNetwork (IDR-style color MLP)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderingNetworkConfig:
+    feature_vector_size: int = 256
+    mode: str = "idr"
+    d_in: int = 9
+    d_out: int = 3
+    dims: tuple[int, ...] = (256, 256)
+    weight_norm: bool = True
+    multires_view: int = 4
+    multires_point: int = 4
+    multires_normal: int = 4
+
+    @property
+    def layer_dims(self) -> tuple[int, ...]:
+        d0 = self.d_in + self.feature_vector_size
+        if self.multires_view > 0:
+            d0 += embedder_out_dim(self.multires_view, 3) - 3
+        if self.multires_point > 0 and self.mode == "idr":
+            d0 += embedder_out_dim(self.multires_view, 3) - 3
+        if self.multires_normal > 0 and self.mode == "idr":
+            d0 += embedder_out_dim(self.multires_view, 3) - 3
+        return (d0,) + tuple(self.dims) + (self.d_out,)
+
+    @classmethod
+    def from_conf(cls, conf, feature_vector_size: int) -> "RenderingNetworkConfig":
+        return cls(
+            feature_vector_size=feature_vector_size,
+            mode=conf.get_string("mode", "idr"),
+            d_in=conf.get_int("d_in", 9),
+            d_out=conf.get_int("d_out", 3),
+            dims=tuple(conf.get_list("dims", [256, 256])),
+            weight_norm=conf.get_bool("weight_norm", True),
+            multires_view=conf.get_int("multires_view", 4),
+            multires_point=conf.get_int("multires_point", 4),
+            multires_normal=conf.get_int("multires_normal", 4),
+        )
+
+
+def init_rendering_network(key: jax.Array, cfg: RenderingNetworkConfig) -> Params:
+    dims = cfg.layer_dims
+    rng = np.random.default_rng(np.asarray(jax.random.key_data(key)).ravel()[:1])
+    mlp = {}
+    for layer_i in range(len(dims) - 1):
+        in_dim, out_dim = dims[layer_i], dims[layer_i + 1]
+        bound = math.sqrt(1.0 / in_dim)
+        w = rng.uniform(-bound * math.sqrt(3), bound * math.sqrt(3), (out_dim, in_dim))
+        b = rng.uniform(-bound, bound, out_dim)
+        mlp[f"lin{layer_i}"] = _make_wn_layer(w, b)
+    return {"mlp": mlp}
+
+
+def rendering_forward(
+    params: Params,
+    cfg: RenderingNetworkConfig,
+    points: jnp.ndarray,
+    normals: jnp.ndarray,
+    view_dirs: jnp.ndarray,
+    feature_vectors: jnp.ndarray,
+) -> jnp.ndarray:
+    """[N,*] inputs -> [N,3] sigmoid RGB (model/network.py:585-614).
+
+    Note the reference embeds points/normals with the *view* embedder
+    (multires_view), not their own — we preserve that.
+    """
+    if cfg.multires_view > 0:
+        view_dirs = positional_encoding(view_dirs, cfg.multires_view)
+    if cfg.multires_point > 0 and cfg.mode == "idr":
+        points = positional_encoding(points, cfg.multires_view)
+    if cfg.multires_normal > 0 and cfg.mode == "idr":
+        normals = positional_encoding(normals, cfg.multires_view)
+
+    if cfg.mode == "idr":
+        h = jnp.concatenate([points, view_dirs, normals, feature_vectors], axis=-1)
+    elif cfg.mode == "nerf":
+        h = jnp.concatenate([view_dirs, feature_vectors], axis=-1)
+    else:
+        raise NotImplementedError(cfg.mode)
+
+    n_layers = len(cfg.layer_dims) - 1
+    for layer_i in range(n_layers):
+        h = _weight_norm_apply(params["mlp"][f"lin{layer_i}"], h)
+        if layer_i < n_layers - 1:
+            h = jax.nn.relu(h)
+    return jax.nn.sigmoid(h[:, :3])
+
+
+# ---------------------------------------------------------------------------
+# ColorImplicitNetworkSingle (Stage-3 texture field)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class ColorFieldConfig:
+    base_size: int = 16
+    end_size: int = 2048
+    logmap: int = 19
+    num_levels: int = 16
+    level_dim: int = 2
+    divide_factor: float = 1.5
+    hidden: int = 256
+
+    @property
+    def grid_meta(self) -> HashGridMeta:
+        return HashGridMeta(
+            input_dim=3,
+            num_levels=self.num_levels,
+            level_dim=self.level_dim,
+            base_resolution=self.base_size,
+            log2_hashmap_size=self.logmap,
+            desired_resolution=self.end_size,
+        )
+
+
+def init_color_field(key: jax.Array, cfg: ColorFieldConfig) -> Params:
+    keys = jax.random.split(key, 5)
+    grid_dim = cfg.num_levels * cfg.level_dim
+    return {
+        "grid": init_hash_embeddings(keys[0], cfg.grid_meta),
+        "mlp": {
+            "lin0": _kaiming_linear(keys[1], grid_dim, cfg.hidden),
+            "lin1": _kaiming_linear(keys[2], cfg.hidden, cfg.hidden),
+            "lin2": _kaiming_linear(keys[3], cfg.hidden, cfg.hidden),
+            "lin3": _kaiming_linear(keys[4], cfg.hidden, 3),
+        },
+    }
+
+
+def color_field_forward(params: Params, cfg: ColorFieldConfig, x: jnp.ndarray):
+    """x [N,3] -> rgb [N,3] (model/network.py:727-732)."""
+    xn = x / cfg.divide_factor
+    h = hash_encode((xn + 1.0) * 0.5, params["grid"], cfg.grid_meta)
+    for i in range(4):
+        h = _plain_linear_apply(params["mlp"][f"lin{i}"], h)
+        if i < 3:
+            h = jax.nn.relu(h)
+    return jax.nn.sigmoid(h)

@@ -1,0 +1,269 @@
+"""HoloScene renderer: object-compositional neural-SDF volume rendering.
+
+Assembles the implicit network, rendering network, Laplace density, and
+error-bound sampler into the Stage-1/2 forward pass.
+
+Reference semantics: model/network.py:748-971 (`HoloSceneNetwork.forward`),
+:1803-1824 (volume_rendering / occlusion_opacity). Differences (documented,
+intentional, TPU-first):
+
+  * The forward is a pure function of (params, rng, ray batch) — cameras are
+    pre-resolved to rays by the caller so the same code path serves
+    perspective (Stage 1) and orthographic (Stage 2) rendering.
+  * Eikonal/smoothness gradients for all K objects come from 3 forward-mode
+    JVP passes (jacfwd over the 3-D input) instead of K+1 reverse passes
+    (model/network.py:226-233).
+  * The eikonal/neighbour split is done per-point (the reference's
+    half-split at network.py:865-866 mixes objects and points; we pair each
+    point with its own neighbour for every object, the intended unisurf
+    smoothness).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from holoscene_tpu.models.fields import (
+    ImplicitNetworkConfig,
+    RenderingNetworkConfig,
+    implicit_forward,
+    implicit_get_outputs,
+    implicit_all_gradients,
+    implicit_sdf_raw,
+    init_implicit_network,
+    init_rendering_network,
+    rendering_forward,
+    semantic_from_sdf,
+)
+from holoscene_tpu.ops.density import laplace_beta, laplace_density
+from holoscene_tpu.ops.sampler import SamplerConfig, error_bound_sample
+from holoscene_tpu.ops.volrend import (
+    composite,
+    composite_depth,
+    occlusion_opacity,
+    volume_render_weights,
+)
+
+Params = dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class HoloSceneConfig:
+    implicit: ImplicitNetworkConfig
+    rendering: RenderingNetworkConfig
+    sampler: SamplerConfig
+    scene_bounding_sphere: float = 1.0
+    white_bkgd: bool = False
+    bg_color: tuple[float, float, float] = (1.0, 1.0, 1.0)
+    use_bg_reg: bool = True
+    render_bg_iter: int = 10
+    beta_init: float = 0.1
+    beta_min: float = 1e-4
+
+    @property
+    def num_semantic(self) -> int:
+        return self.implicit.d_out
+
+    @classmethod
+    def from_conf(cls, conf) -> "HoloSceneConfig":
+        """Build from the `model` section of a reference .conf file."""
+        fvs = conf.get_int("feature_vector_size", 256)
+        sbs = conf.get_float("scene_bounding_sphere", 1.0)
+        return cls(
+            implicit=ImplicitNetworkConfig.from_conf(
+                conf.get_config("implicit_network"), fvs
+            ),
+            rendering=RenderingNetworkConfig.from_conf(
+                conf.get_config("rendering_network"), fvs
+            ),
+            sampler=SamplerConfig.from_conf(conf.get_config("ray_sampler"), sbs),
+            scene_bounding_sphere=sbs,
+            white_bkgd=conf.get_bool("white_bkgd", False),
+            bg_color=tuple(conf.get_list("bg_color", [1.0, 1.0, 1.0])),
+            use_bg_reg=conf.get_bool("use_bg_reg", False),
+            render_bg_iter=conf.get_int("render_bg_iter", 10),
+            beta_init=conf.get_float("density.params_init.beta", 0.1),
+            beta_min=conf.get_float("density.beta_min", 1e-4),
+        )
+
+
+def init_holoscene(key: jax.Array, cfg: HoloSceneConfig) -> Params:
+    k1, k2 = jax.random.split(key)
+    return {
+        "implicit": init_implicit_network(k1, cfg.implicit),
+        "rendering": init_rendering_network(k2, cfg.rendering),
+        "density": {"beta": jnp.asarray(cfg.beta_init, dtype=jnp.float32)},
+    }
+
+
+def get_beta(params: Params, cfg: HoloSceneConfig) -> jnp.ndarray:
+    return laplace_beta(params["density"]["beta"], cfg.beta_min)
+
+
+def scene_sdf_nograd(params: Params, cfg: HoloSceneConfig, obj_idxs=None):
+    """Stop-gradient scene-SDF closure for the sampler (the reference samples
+    under torch.no_grad, ray_sampler.py:150-156). obj_idxs selects a subset
+    min-SDF for object-centric Stage-2 rendering."""
+    frozen = jax.lax.stop_gradient(params["implicit"])
+
+    def fn(pts: jnp.ndarray) -> jnp.ndarray:
+        raw = implicit_sdf_raw(frozen, cfg.implicit, pts)
+        if obj_idxs is not None:
+            raw = raw[:, list(obj_idxs)]
+        return raw.min(axis=-1)
+
+    return fn
+
+
+def render_rays(
+    params: Params,
+    cfg: HoloSceneConfig,
+    key: jax.Array,
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    depth_scale: jnp.ndarray,
+    w2c_rot: jnp.ndarray,
+    training: bool = True,
+    compute_eikonal: bool = True,
+) -> dict[str, jnp.ndarray]:
+    """Render a batch of rays (model/network.py:778-913).
+
+    rays_o [R,3], rays_d [R,3] unit; depth_scale [R,1] (camera-z of the unit
+    ray, converts distance to z-depth); w2c_rot [3,3] rotates world normals
+    into the camera frame.
+    """
+    R = rays_o.shape[0]
+    k_sampler, k_eik, k_nei = jax.random.split(key, 3)
+
+    z_vals, z_eik = error_bound_sample(
+        k_sampler, rays_o, rays_d, scene_sdf_nograd(params, cfg),
+        jax.lax.stop_gradient(get_beta(params, cfg)), cfg.sampler,
+        training=training,
+    )
+    S = z_vals.shape[-1]
+
+    points = rays_o[:, None, :] + z_vals[..., None] * rays_d[:, None, :]
+    points_flat = points.reshape(-1, 3)
+    dirs_flat = jnp.broadcast_to(rays_d[:, None, :], points.shape).reshape(-1, 3)
+
+    sdf, feature_vectors, gradients, semantic, sdf_raw = implicit_get_outputs(
+        params["implicit"], cfg.implicit, points_flat
+    )
+    rgb_flat = rendering_forward(
+        params["rendering"], cfg.rendering, points_flat, gradients, dirs_flat,
+        feature_vectors,
+    )
+
+    beta = get_beta(params, cfg)
+    density = laplace_density(sdf.reshape(R, S), beta)
+    weights, transmittance, dists = volume_render_weights(z_vals, density)
+
+    obj_density = laplace_density(sdf_raw.reshape(R, S, -1), beta)
+    object_opacity = occlusion_opacity(transmittance, dists, obj_density)
+
+    rgb = rgb_flat.reshape(R, S, 3)
+    semantic_r = semantic.reshape(R, S, cfg.num_semantic)
+    rgb_values = composite(weights, rgb)
+    semantic_values = composite(weights, semantic_r)
+    depth_values = depth_scale * composite_depth(weights, z_vals)
+
+    if cfg.white_bkgd:
+        acc = weights.sum(axis=-1, keepdims=True)
+        rgb_values = rgb_values + (1.0 - acc) * jnp.asarray(cfg.bg_color)
+
+    normals = gradients / jnp.sqrt(
+        jnp.sum(gradients * gradients, axis=-1, keepdims=True) + 1e-12
+    )
+    normal_map = composite(weights, normals.reshape(R, S, 3))
+    normal_map = normal_map @ w2c_rot.T
+
+    out = {
+        "rgb_values": rgb_values,
+        "semantic_values": semantic_values,
+        "object_opacity": object_opacity,
+        "depth_values": depth_values,
+        "normal_map": normal_map,
+        "z_vals": z_vals,
+        "sdf": sdf.reshape(R, S),
+        "weights": weights,
+    }
+
+    if training and compute_eikonal:
+        # eikonal + smoothness samples (network.py:843-866)
+        eik_uniform = jax.random.uniform(
+            k_eik, (R, 3),
+            minval=-cfg.scene_bounding_sphere, maxval=cfg.scene_bounding_sphere,
+        )
+        eik_near = rays_o + z_eik * rays_d
+        eik_pts = jnp.concatenate([eik_uniform, eik_near], axis=0)
+        nei_pts = eik_pts + (jax.random.uniform(k_nei, eik_pts.shape) - 0.5) * 0.01
+
+        grad_theta = implicit_all_gradients(params["implicit"], cfg.implicit, eik_pts)
+        grad_theta_nei = implicit_all_gradients(
+            params["implicit"], cfg.implicit, nei_pts
+        )
+        out["grad_theta"] = grad_theta        # [M, K+1, 3]
+        out["grad_theta_nei"] = grad_theta_nei
+
+        sample_raw, _ = implicit_forward(params["implicit"], cfg.implicit, eik_pts)
+        out["sample_sdf"] = sample_raw                     # [M, K]
+        out["sample_minsdf"] = sample_raw.min(axis=-1)     # [M]
+
+    return out
+
+
+def render_bg_patch(
+    params: Params,
+    cfg: HoloSceneConfig,
+    key: jax.Array,
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    depth_scale: jnp.ndarray,
+    w2c_rot: jnp.ndarray,
+    training: bool = True,
+) -> dict[str, jnp.ndarray]:
+    """Background(object-0)-only patch render for the smoothness regularizer
+    (model/network.py:916-968). Returns bg depth/normal and an occlusion mask
+    derived from the scene semantics."""
+    R = rays_o.shape[0]
+    z_vals, _ = error_bound_sample(
+        key, rays_o, rays_d, scene_sdf_nograd(params, cfg, obj_idxs=(0,)),
+        jax.lax.stop_gradient(get_beta(params, cfg)), cfg.sampler,
+        training=training,
+    )
+    S = z_vals.shape[-1]
+    points_flat = (
+        rays_o[:, None, :] + z_vals[..., None] * rays_d[:, None, :]
+    ).reshape(-1, 3)
+
+    sdf_all, _, gradients, semantic, sdf_raw = implicit_get_outputs(
+        params["implicit"], cfg.implicit, points_flat
+    )
+    beta = get_beta(params, cfg)
+
+    bg_sdf = sdf_raw[:, 0].reshape(R, S)
+    bg_weights, _, _ = volume_render_weights(z_vals, laplace_density(bg_sdf, beta))
+    scene_weights, _, _ = volume_render_weights(
+        z_vals, laplace_density(sdf_all.reshape(R, S), beta)
+    )
+
+    semantic_r = semantic.reshape(R, S, cfg.num_semantic)
+    bg_semantic = composite(scene_weights, semantic_r)
+    bg_mask = jnp.argmax(bg_semantic, axis=-1, keepdims=True)
+
+    bg_depth = depth_scale * composite_depth(bg_weights, z_vals)
+
+    normals = gradients / jnp.sqrt(
+        jnp.sum(gradients * gradients, axis=-1, keepdims=True) + 1e-12
+    )
+    bg_normal = composite(bg_weights, normals.reshape(R, S, 3)) @ w2c_rot.T
+
+    return {
+        "bg_depth_values": bg_depth,
+        "bg_normal_map": bg_normal,
+        "bg_mask": bg_mask,
+    }

@@ -1,0 +1,189 @@
+"""Multi-resolution hash-grid encoding (Instant-NGP style), TPU-native.
+
+Semantics match the reference CUDA encoder bit-for-bit at the algorithm level
+(reference: hashencoder/src/hashencoder.cu:104-256 `kernel_grid`,
+hashencoder/hashgrid.py:107-165 `HashEncoder`):
+
+  * per level l: scale = 2^(l*log2(s)) * H - 1, resolution = ceil(scale) + 1
+  * table rows per level = min(2^logmap, resolution^D); levels whose dense
+    grid fits use dense row-major indexing (stride = resolution), others use
+    the xor-prime hash (primes 1, 2654435761, 805459861)
+  * trilinear interpolation with smoothstep-warped weights
+    (hashencoder.cu:88-97 smoothstep/smoothstep_derivative)
+  * inputs outside [0, 1] produce zero features (hashencoder.cu:126-149)
+  * HashEncoder maps inputs from [-size, size] -> [0, 1] before encoding
+    (hashgrid.py:154-158)
+
+Where the reference needs three hand-written CUDA kernels (forward, backward,
+and a *second-order* backward so eikonal losses can differentiate through
+d(output)/d(input) — hashencoder.cu:376-596), this implementation is a pure
+function of (inputs, embeddings): JAX supplies arbitrary-order derivatives
+automatically and XLA fuses the interpolation arithmetic. Gathers are batched
+across all levels/corners into one HBM gather per call.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_PRIMES = np.array([1, 2654435761, 805459861], dtype=np.uint32)
+
+
+@dataclasses.dataclass(frozen=True)
+class HashGridMeta:
+    """Static per-level metadata (hashable; safe as a jit static arg)."""
+
+    input_dim: int = 3
+    num_levels: int = 16
+    level_dim: int = 2
+    base_resolution: int = 16
+    log2_hashmap_size: int = 19
+    per_level_scale: float = 2.0
+    desired_resolution: int | None = None
+
+    def __post_init__(self):
+        if self.desired_resolution is not None:
+            s = math.exp2(
+                math.log2(self.desired_resolution / self.base_resolution)
+                / (self.num_levels - 1)
+            )
+            object.__setattr__(self, "per_level_scale", s)
+
+    @property
+    def output_dim(self) -> int:
+        return self.num_levels * self.level_dim
+
+    def level_tables(self):
+        """Returns (resolutions [L], sizes [L], offsets [L]) as numpy arrays."""
+        max_params = 2 ** self.log2_hashmap_size
+        res, sizes, offsets = [], [], []
+        offset = 0
+        for lvl in range(self.num_levels):
+            r = int(np.ceil(self.base_resolution * self.per_level_scale ** lvl))
+            n = min(max_params, r ** self.input_dim)
+            res.append(r)
+            sizes.append(n)
+            offsets.append(offset)
+            offset += n
+        return (
+            np.array(res, dtype=np.uint32),
+            np.array(sizes, dtype=np.uint32),
+            np.array(offsets, dtype=np.uint32),
+        )
+
+    @property
+    def table_rows(self) -> int:
+        _, sizes, _ = self.level_tables()
+        return int(sizes.sum())
+
+
+def init_hash_embeddings(key: jax.Array, meta: HashGridMeta, std: float = 1e-4):
+    """Uniform(-std, std) init (reference hashgrid.py:147-149)."""
+    return jax.random.uniform(
+        key, (meta.table_rows, meta.level_dim), minval=-std, maxval=std,
+        dtype=jnp.float32,
+    )
+
+
+def _smoothstep(t):
+    return t * t * (3.0 - 2.0 * t)
+
+
+def _corner_indices(meta: HashGridMeta):
+    """[2^D, D] corner offset bits, matching the CUDA corner enumeration."""
+    d = meta.input_dim
+    idx = np.arange(2 ** d, dtype=np.uint32)
+    return np.stack([(idx >> k) & 1 for k in range(d)], axis=-1).astype(np.uint32)
+
+
+@partial(jax.jit, static_argnames=("meta",))
+def hash_encode(inputs: jnp.ndarray, embeddings: jnp.ndarray, meta: HashGridMeta):
+    """Encode points.
+
+    inputs:     [N, D] in [0, 1] (out-of-range rows produce zero features)
+    embeddings: [table_rows, C]
+    Returns [N, L*C] features ordered level-major per point (level0 ch0,
+    level0 ch1, level1 ch0, ... — matches reference output permute
+    hashgrid.py:44).
+    """
+    n, d = inputs.shape
+    assert d == meta.input_dim
+    L, C = meta.num_levels, meta.level_dim
+
+    res_np, sizes_np, offsets_np = meta.level_tables()
+    scales = (
+        np.exp2(np.arange(L) * np.log2(meta.per_level_scale))
+        * meta.base_resolution
+        - 1.0
+    ).astype(np.float32)  # hashencoder.cu:152
+
+    # dense-indexable iff resolution^D rows fit in the level's table
+    dense_np = (res_np.astype(np.int64) ** d) <= sizes_np.astype(np.int64)
+
+    scales_j = jnp.asarray(scales)  # [L]
+    res_j = jnp.asarray(res_np.astype(np.uint32))
+    sizes_j = jnp.asarray(sizes_np.astype(np.uint32))
+    offsets_j = jnp.asarray(offsets_np.astype(np.uint32))
+    dense_j = jnp.asarray(dense_np)
+    primes_j = jnp.asarray(_PRIMES[:d])
+
+    oob = jnp.any((inputs < 0.0) | (inputs > 1.0), axis=-1)  # [N]
+
+    pos = inputs[None, :, :] * scales_j[:, None, None]  # [L, N, D]
+    pos_grid = jnp.floor(pos)
+    frac = pos - pos_grid
+    pos_grid = pos_grid.astype(jnp.uint32)
+    w = _smoothstep(frac)  # [L, N, D]
+
+    corners = jnp.asarray(_corner_indices(meta))  # [2^D, D]
+    # corner grid coords: [L, N, 2^D, D]
+    cg = pos_grid[:, :, None, :] + corners[None, None, :, :]
+
+    # dense row-major index with stride = resolution (hashencoder.cu:56-66)
+    r = res_j[:, None, None].astype(jnp.uint32)
+    if d == 3:
+        dense_idx = cg[..., 0] + r * (cg[..., 1] + r * cg[..., 2])
+    elif d == 2:
+        dense_idx = cg[..., 0] + r * cg[..., 1]
+    else:
+        stride = jnp.ones_like(cg[..., 0])
+        dense_idx = jnp.zeros_like(cg[..., 0])
+        for k in range(d):
+            dense_idx = dense_idx + cg[..., k] * stride
+            stride = stride * r
+
+    # xor-prime hash (hashencoder.cu:36-51)
+    hash_idx = jnp.zeros_like(dense_idx)
+    for k in range(d):
+        hash_idx = hash_idx ^ (cg[..., k] * primes_j[k])
+
+    idx = jnp.where(dense_j[:, None, None], dense_idx, hash_idx)
+    idx = idx % sizes_j[:, None, None] + offsets_j[:, None, None]  # [L, N, 2^D]
+
+    gathered = jnp.take(embeddings, idx.astype(jnp.int32), axis=0)  # [L,N,2^D,C]
+
+    # interpolation weights: prod over dims of w or (1-w) per corner bit
+    cw = jnp.where(
+        corners[None, None, :, :] == 1, w[:, :, None, :], 1.0 - w[:, :, None, :]
+    ).prod(axis=-1)  # [L, N, 2^D]
+
+    feats = jnp.einsum("lnkc,lnk->lnc", gathered, cw)  # [L, N, C]
+    feats = jnp.where(oob[None, :, None], 0.0, feats)
+    return jnp.transpose(feats, (1, 0, 2)).reshape(n, L * C)
+
+
+def hash_encode_world(
+    x: jnp.ndarray,
+    embeddings: jnp.ndarray,
+    meta: HashGridMeta,
+    size: float = 1.0,
+):
+    """Reference HashEncoder.forward: map [-size, size] -> [0, 1] then encode
+    (hashgrid.py:154-158)."""
+    return hash_encode((x + size) / (2.0 * size), embeddings, meta)

@@ -1,0 +1,124 @@
+import jax
+import jax.flatten_util
+import jax.numpy as jnp
+import numpy as np
+
+from holoscene_tpu.models.fields import (
+    ImplicitNetworkConfig,
+    RenderingNetworkConfig,
+    implicit_all_gradients,
+    implicit_forward,
+    implicit_get_outputs,
+    implicit_scene_sdf,
+    init_implicit_network,
+    init_rendering_network,
+    rendering_forward,
+)
+
+CFG = ImplicitNetworkConfig(
+    feature_vector_size=32,
+    d_out=4,
+    dims=(32, 32),
+    multires=2,
+    num_levels=4,
+    level_dim=2,
+    base_size=4,
+    end_size=32,
+    logmap=10,
+    color_grid_feature=True,
+)
+
+RCFG = RenderingNetworkConfig(
+    feature_vector_size=32, dims=(32, 32), multires_view=2,
+    multires_point=2, multires_normal=2,
+)
+
+
+def test_implicit_forward_shapes():
+    params = init_implicit_network(jax.random.PRNGKey(0), CFG)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (16, 3), minval=-0.5, maxval=0.5)
+    sdf_raw, feats = implicit_forward(params, CFG, x)
+    assert sdf_raw.shape == (16, 4)
+    assert feats.shape == (16, 32)
+    assert bool(jnp.all(jnp.isfinite(sdf_raw)))
+
+
+def test_geometric_init_signs():
+    """Background (object 0) SDF: positive inside the scene (bias +0.9);
+    objects: negative near origin... actually objects init to spheres of
+    radius ~0.45 -> the origin is *inside* objects => sdf < 0 there, and far
+    outside => sdf > 0 (model/network.py:135-144)."""
+    params = init_implicit_network(jax.random.PRNGKey(0), CFG)
+    origin = jnp.zeros((1, 3))
+    sdf_raw, _ = implicit_forward(params, CFG, origin)
+    # background: inside + (positive at origin)
+    assert float(sdf_raw[0, 0]) > 0
+    # objects: negative at origin (inside the init sphere)
+    assert bool(jnp.all(sdf_raw[0, 1:] < 0))
+
+    edge = jnp.array([[0.9, 0.0, 0.0]])
+    sdf_edge, _ = implicit_forward(params, CFG, edge)
+    # objects: positive outside their ~0.45-radius init sphere
+    assert bool(jnp.all(sdf_edge[0, 1:] > 0))
+
+
+def test_scene_sdf_is_min():
+    params = init_implicit_network(jax.random.PRNGKey(0), CFG)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (8, 3), minval=-0.5, maxval=0.5)
+    raw, _ = implicit_forward(params, CFG, x)
+    scene = implicit_scene_sdf(params, CFG, x)
+    np.testing.assert_allclose(np.asarray(scene), np.asarray(raw.min(axis=-1)), rtol=1e-6)
+
+
+def test_get_outputs_gradients_match_fd():
+    params = init_implicit_network(jax.random.PRNGKey(0), CFG)
+    x = jnp.array([[0.1, 0.2, 0.3], [0.11, 0.21, 0.31]])
+    sdf, feats, grads, semantic, sdf_raw = implicit_get_outputs(params, CFG, x)
+    assert grads.shape == (2, 3)
+    eps = 1e-3
+    for d in range(3):
+        dx = jnp.zeros(3).at[d].set(eps)
+        s_hi = implicit_scene_sdf(params, CFG, x + dx)
+        s_lo = implicit_scene_sdf(params, CFG, x - dx)
+        fd = (s_hi - s_lo) / (2 * eps)
+        np.testing.assert_allclose(np.asarray(grads[:, d]), np.asarray(fd), atol=2e-2)
+
+
+def test_all_gradients_jacfwd_matches_per_object_grad():
+    params = init_implicit_network(jax.random.PRNGKey(0), CFG)
+    x = jnp.array([[0.05, -0.1, 0.2]])
+    jac = implicit_all_gradients(params, CFG, x)  # [1, K+1, 3]
+    assert jac.shape == (1, 5, 3)
+    for k in range(4):
+        g = jax.grad(
+            lambda pt: implicit_forward(params, CFG, pt[None, :])[0][0, k]
+        )(x[0])
+        np.testing.assert_allclose(np.asarray(jac[0, k]), np.asarray(g), rtol=1e-4, atol=1e-6)
+
+
+def test_rendering_network():
+    params = init_rendering_network(jax.random.PRNGKey(0), RCFG)
+    n = 16
+    pts = jax.random.normal(jax.random.PRNGKey(1), (n, 3))
+    normals = jax.random.normal(jax.random.PRNGKey(2), (n, 3))
+    views = jax.random.normal(jax.random.PRNGKey(3), (n, 3))
+    feats = jax.random.normal(jax.random.PRNGKey(4), (n, 32))
+    rgb = rendering_forward(params, RCFG, pts, normals, views, feats)
+    assert rgb.shape == (n, 3)
+    assert float(rgb.min()) >= 0.0 and float(rgb.max()) <= 1.0
+
+
+def test_eikonal_second_order_through_full_network():
+    """Training differentiates the eikonal term (built from d sdf/dx) w.r.t.
+    all params including hash embeddings."""
+    params = init_implicit_network(jax.random.PRNGKey(0), CFG)
+    x = jax.random.uniform(jax.random.PRNGKey(5), (4, 3), minval=-0.5, maxval=0.5)
+
+    def eik_loss(p):
+        jac = implicit_all_gradients(p, CFG, x)
+        return jnp.mean((jnp.linalg.norm(jac, axis=-1) - 1.0) ** 2)
+
+    grads = jax.grad(eik_loss)(params)
+    flat, _ = jax.flatten_util.ravel_pytree(grads)
+    assert bool(jnp.all(jnp.isfinite(flat)))
+    assert float(jnp.abs(np.asarray(flat)).sum()) > 0
