@@ -1,0 +1,129 @@
+"""Benchmark: Stage-1 training-step throughput (rays/sec) on one TPU chip.
+
+Runs the full jitted Stage-1 training step — jittered ray generation,
+error-bounded VolSDF sampling (5 upsample rounds), hash-grid SDF forward with
+scene-SDF gradients, IDR color MLP, volume rendering + occlusion opacities,
+the complete loss stack, and the Adam update — at the reference's headline
+Replica workload shapes (BASELINE.md: 1024 rays/iter, d_out=32, 16-level
+2^19 hash tables x2, sampler 64/128/32 with 5 upsample iterations).
+
+Prints ONE JSON line:
+  {"metric": "stage1_rays_per_sec", "value": N, "unit": "rays/s",
+   "vs_baseline": N / (2 x estimated A100 reference rays/s)}
+
+The reference publishes no throughput numbers (BASELINE.md); the baseline
+constant below is an estimate of the reference's A100 Stage-1 rate
+(~6 it/s x 1024 rays for monosdf-class hash-grid pipelines). The driver
+target is >= 2x A100, so vs_baseline >= 1.0 means the target is met.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from holoscene_tpu.losses.holoscene_loss import LossConfig
+from holoscene_tpu.models.fields import (
+    ImplicitNetworkConfig,
+    RenderingNetworkConfig,
+)
+from holoscene_tpu.models.holoscene import HoloSceneConfig, init_holoscene
+from holoscene_tpu.ops.sampler import SamplerConfig
+from holoscene_tpu.training.stage1 import make_optimizer, make_train_step
+
+A100_REFERENCE_RAYS_PER_SEC = 6000.0  # estimated reference Stage-1 rate
+TARGET_MULTIPLIER = 2.0
+NUM_RAYS = 1024
+WARMUP_STEPS = 3
+TIMED_STEPS = 20
+
+
+def flagship_config() -> HoloSceneConfig:
+    return HoloSceneConfig(
+        implicit=ImplicitNetworkConfig(
+            feature_vector_size=256, d_out=32, dims=(256, 256), multires=6,
+            num_levels=16, level_dim=2, base_size=16, end_size=2048, logmap=19,
+            color_grid_feature=True, divide_factor=1.0, sigmoid=10.0,
+        ),
+        rendering=RenderingNetworkConfig(
+            feature_vector_size=256, dims=(256, 256), multires_view=4,
+            multires_point=4, multires_normal=4,
+        ),
+        sampler=SamplerConfig(
+            N_samples=64, N_samples_eval=128, N_samples_extra=32,
+            eps=0.1, beta_iters=10, max_total_iters=5,
+        ),
+        use_bg_reg=False,  # hot-loop iteration (bg patch runs every 10th)
+    )
+
+
+def make_batch(key, n_rays: int, img_res: int = 512):
+    ks = jax.random.split(key, 4)
+    f = 0.5 * img_res / np.tan(np.radians(35.0))
+    intr = jnp.array(
+        [[f, 0.0, img_res / 2], [0.0, f, img_res / 2], [0.0, 0.0, 1.0]],
+        dtype=jnp.float32,
+    )
+    pose = jnp.eye(4).at[:3, 3].set(jnp.array([0.4, 0.1, -0.4]))
+    uv = jax.random.uniform(ks[0], (n_rays, 2), minval=0.0, maxval=img_res)
+    return {
+        "uv": uv,
+        "pose": pose,
+        "intrinsics": intr,
+        "rgb": jax.random.uniform(ks[1], (n_rays, 3)),
+        "depth": jax.random.uniform(ks[2], (n_rays, 1), minval=0.5, maxval=2.0),
+        "normal": jax.nn.standardize(jax.random.normal(ks[3], (n_rays, 3))),
+        "segs": jnp.zeros((n_rays,), dtype=jnp.int32),
+        "mask": jnp.ones((n_rays, 1)),
+    }
+
+
+def main():
+    cfg = flagship_config()
+    lcfg = LossConfig(depth_weight=0.5, semantic_weight=5.0, reg_vio_weight=0.01)
+    key = jax.random.PRNGKey(0)
+    key, k_init, k_batch = jax.random.split(key, 3)
+
+    params = init_holoscene(k_init, cfg)
+    optimizer = make_optimizer(5e-4, 20.0, 200000)
+    opt_state = optimizer.init(params)
+    step = make_train_step(cfg, lcfg, optimizer)
+    batch = make_batch(k_batch, NUM_RAYS)
+
+    for i in range(WARMUP_STEPS):
+        key, k = jax.random.split(key)
+        params, opt_state, metrics = step(
+            params, opt_state, k, batch, i, call_reg=True, with_bg=False
+        )
+    jax.block_until_ready(metrics)
+
+    t0 = time.perf_counter()
+    for i in range(TIMED_STEPS):
+        key, k = jax.random.split(key)
+        params, opt_state, metrics = step(
+            params, opt_state, k, batch, i, call_reg=True, with_bg=False
+        )
+    jax.block_until_ready(metrics)
+    dt = time.perf_counter() - t0
+
+    rays_per_sec = NUM_RAYS * TIMED_STEPS / dt
+    print(
+        json.dumps(
+            {
+                "metric": "stage1_rays_per_sec",
+                "value": round(rays_per_sec, 1),
+                "unit": "rays/s",
+                "vs_baseline": round(
+                    rays_per_sec / (TARGET_MULTIPLIER * A100_REFERENCE_RAYS_PER_SEC), 4
+                ),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -199,11 +199,15 @@ def _kaiming_linear(key: jax.Array, in_dim: int, out_dim: int) -> Params:
 
 
 def implicit_forward(
-    params: Params, cfg: ImplicitNetworkConfig, x: jnp.ndarray
-) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """x [N,3] -> (sdf_raw [N,K], feature_vectors [N,F]).
+    params: Params, cfg: ImplicitNetworkConfig, x: jnp.ndarray,
+    with_features: bool = True,
+) -> tuple[jnp.ndarray, jnp.ndarray | None]:
+    """x [N,3] -> (sdf_raw [N,K], feature_vectors [N,F] or None).
 
     Mirrors ObjectImplicitNetworkGrid.forward (model/network.py:169-210).
+    `with_features=False` skips the color hash grid + mapping MLP — the
+    sampler and SDF-only probes don't need them (the reference wastes this
+    work in get_sdf_vals; skipping it halves the sampler's gather traffic).
     """
     xn = x / cfg.divide_factor
     grid_dim = cfg.num_levels * cfg.level_dim
@@ -229,20 +233,22 @@ def implicit_forward(
             h = softplus100(h)
 
     if cfg.color_grid_feature:
+        sdf_raw = h
+        if not with_features:
+            return sdf_raw, None
         cf = hash_encode((xn + 1.0) * 0.5, params["color_grid"], cfg.grid_meta)
         cf = _plain_linear_apply(params["color_map_mlp"]["lin0"], cf)
         cf = jax.nn.relu(cf)
         cf = _plain_linear_apply(params["color_map_mlp"]["lin1"], cf)
-        sdf_raw = h
         feature_vectors = cf
     else:
         sdf_raw = h[:, : cfg.d_out]
-        feature_vectors = h[:, cfg.d_out :]
+        feature_vectors = h[:, cfg.d_out :] if with_features else None
     return sdf_raw, feature_vectors
 
 
 def implicit_sdf_raw(params, cfg, x):
-    return implicit_forward(params, cfg, x)[0]
+    return implicit_forward(params, cfg, x, with_features=False)[0]
 
 
 def implicit_scene_sdf(params, cfg, x):
@@ -276,8 +282,13 @@ def implicit_get_outputs(params, cfg, x):
     semantic = semantic_from_sdf(sdf_raw, cfg.sigmoid)
     sdf = sdf_raw.min(axis=-1)
 
-    grad_fn = jax.grad(lambda pt: implicit_scene_sdf(params, cfg, pt[None, :])[0])
-    gradients = jax.vmap(grad_fn)(x)
+    # per-point scene-SDF gradient: points are independent, so the gradient
+    # of the SUM w.r.t. the batched input IS the per-point gradient — one
+    # reverse pass over the batched graph instead of a vmapped per-point
+    # grad (far smaller HLO, same values).
+    gradients = jax.grad(
+        lambda pts: implicit_scene_sdf(params, cfg, pts).sum()
+    )(x)
     return sdf, feature_vectors, gradients, semantic, sdf_raw
 
 
@@ -289,11 +300,19 @@ def implicit_all_gradients(params, cfg, x):
     is 3-dimensional, so jacfwd needs exactly 3 evaluations regardless of K.
     """
 
-    def f(pt):
-        raw = implicit_sdf_raw(params, cfg, pt[None, :])[0]
-        return jnp.concatenate([raw, raw.min(keepdims=True)])
+    def f(pts):
+        raw = implicit_sdf_raw(params, cfg, pts)
+        return jnp.concatenate([raw, raw.min(axis=-1, keepdims=True)], axis=-1)
 
-    return jax.vmap(jax.jacfwd(f))(x)
+    # one JVP per input dimension over the BATCHED function (points are
+    # independent, so the batched JVP with a broadcast basis tangent yields
+    # exactly the per-point directional derivatives)
+    cols = []
+    for dim in range(3):
+        tangent = jnp.zeros_like(x).at[:, dim].set(1.0)
+        _, jv = jax.jvp(f, (x,), (tangent,))
+        cols.append(jv)  # [N, K+1]
+    return jnp.stack(cols, axis=-1)  # [N, K+1, 3]
 
 
 # ---------------------------------------------------------------------------

@@ -187,14 +187,17 @@ def error_bound_sample(
         # per-ray beta bisection (ray_sampler.py:182-190)
         err_at_b0 = _error_bound(beta0, sdf, z_vals, dists, d_star)
         beta = jnp.where(err_at_b0 <= cfg.eps, beta0, beta)
-        beta_min = jnp.full((R,), beta0)
-        beta_max = beta
-        for _ in range(cfg.beta_iters):
+        def bisect(_, carry):
+            beta_min, beta_max = carry
             beta_mid = 0.5 * (beta_min + beta_max)
             err = _error_bound(beta_mid[:, None], sdf, z_vals, dists, d_star)
             beta_max = jnp.where(err <= cfg.eps, beta_mid, beta_max)
             beta_min = jnp.where(err > cfg.eps, beta_mid, beta_min)
-        beta = beta_max
+            return beta_min, beta_max
+
+        _, beta = jax.lax.fori_loop(
+            0, cfg.beta_iters, bisect, (jnp.full((R,), beta0), beta)
+        )
 
         density = laplace_density(sdf, beta[:, None])
         dists_pad = jnp.concatenate(

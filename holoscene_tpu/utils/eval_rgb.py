@@ -1,0 +1,107 @@
+"""Image quality metrics: PSNR, SSIM, LPIPS (optional provider).
+
+Reference semantics: utils/eval_rgb.py:7-46 — skimage PSNR/SSIM + lpips-alex
+on [0,1] HWC images. PSNR/SSIM are implemented here directly (numpy,
+skimage-compatible: gaussian-free uniform 7x7 window matches
+skimage.structural_similarity defaults with data_range=1). LPIPS needs
+pretrained AlexNet weights; `lpips_fn()` returns a callable when the
+`lpips` package + weights are importable, else None (callers report NaN).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def psnr(img1: np.ndarray, img2: np.ndarray, data_range: float = 1.0) -> float:
+    img1 = np.asarray(img1, dtype=np.float64)
+    img2 = np.asarray(img2, dtype=np.float64)
+    mse = np.mean((img1 - img2) ** 2)
+    if mse == 0:
+        return float("inf")
+    return float(10.0 * np.log10(data_range ** 2 / mse))
+
+
+def _uniform_filter(x: np.ndarray, size: int) -> np.ndarray:
+    """Separable uniform filter over the first two axes ('valid'-interior,
+    edge-replicated like scipy.ndimage uniform_filter default reflect)."""
+    from scipy.ndimage import uniform_filter
+
+    return uniform_filter(x, size=(size, size) + (0,) * (x.ndim - 2))
+
+
+def ssim(
+    img1: np.ndarray,
+    img2: np.ndarray,
+    data_range: float = 1.0,
+    win_size: int = 7,
+    k1: float = 0.01,
+    k2: float = 0.03,
+) -> float:
+    """Mean SSIM matching skimage.structural_similarity defaults
+    (uniform window, channel-average)."""
+    img1 = np.asarray(img1, dtype=np.float64)
+    img2 = np.asarray(img2, dtype=np.float64)
+    if img1.ndim == 2:
+        img1 = img1[..., None]
+        img2 = img2[..., None]
+
+    np_ = win_size ** 2
+    cov_norm = np_ / (np_ - 1)
+    ux = _uniform_filter(img1, win_size)
+    uy = _uniform_filter(img2, win_size)
+    uxx = _uniform_filter(img1 * img1, win_size)
+    uyy = _uniform_filter(img2 * img2, win_size)
+    uxy = _uniform_filter(img1 * img2, win_size)
+    vx = cov_norm * (uxx - ux * ux)
+    vy = cov_norm * (uyy - uy * uy)
+    vxy = cov_norm * (uxy - ux * uy)
+
+    c1 = (k1 * data_range) ** 2
+    c2 = (k2 * data_range) ** 2
+    a1 = 2 * ux * uy + c1
+    a2 = 2 * vxy + c2
+    b1 = ux ** 2 + uy ** 2 + c1
+    b2 = vx + vy + c2
+    s = (a1 * a2) / (b1 * b2)
+
+    pad = (win_size - 1) // 2
+    return float(s[pad:-pad, pad:-pad].mean())
+
+
+_LPIPS_CACHE: dict = {}
+
+
+def lpips_fn():
+    """Returns lpips(img1_hwc01, img2_hwc01) -> float, or None if the lpips
+    package / pretrained weights are unavailable in this environment."""
+    if "fn" in _LPIPS_CACHE:
+        return _LPIPS_CACHE["fn"]
+    try:
+        import torch
+        import lpips as lpips_pkg
+
+        net = lpips_pkg.LPIPS(net="alex")
+
+        def fn(a, b):
+            ta = torch.from_numpy(
+                np.asarray(a, dtype=np.float32).transpose(2, 0, 1)[None] * 2 - 1
+            )
+            tb = torch.from_numpy(
+                np.asarray(b, dtype=np.float32).transpose(2, 0, 1)[None] * 2 - 1
+            )
+            with torch.no_grad():
+                return float(net(ta, tb).item())
+
+        _LPIPS_CACHE["fn"] = fn
+    except Exception:
+        _LPIPS_CACHE["fn"] = None
+    return _LPIPS_CACHE["fn"]
+
+
+def eval_rgb(pred: np.ndarray, gt: np.ndarray) -> dict:
+    """Full metric dict for one image pair (reference eval_rgb.py:39-46)."""
+    out = {"psnr": psnr(pred, gt), "ssim": ssim(pred, gt)}
+    lp = lpips_fn()
+    out["lpips"] = lp(pred, gt) if lp is not None else float("nan")
+    return out

@@ -1,0 +1,28 @@
+import time
+import numpy as np
+import jax, jax.numpy as jnp
+from holoscene_tpu.ops.hashgrid import HashGridMeta, hash_encode, init_hash_embeddings
+
+META = HashGridMeta(num_levels=16, level_dim=2, base_resolution=16,
+                    log2_hashmap_size=19, desired_resolution=2048)
+key = jax.random.PRNGKey(0)
+emb = init_hash_embeddings(key, META)
+N = 131072
+xs = [jax.random.uniform(jax.random.PRNGKey(i), (N, 3)) for i in range(8)]
+
+f = jax.jit(lambda e, xx: hash_encode(xx, e, META))
+out = f(emb, xs[0]); jax.block_until_ready(out)
+
+# varying inputs
+t0 = time.perf_counter()
+for i in range(8):
+    out = f(emb, xs[i])
+jax.block_until_ready(out)
+print(f"varying inputs: {(time.perf_counter()-t0)/8*1000:.2f} ms/call")
+
+# identical inputs
+t0 = time.perf_counter()
+for i in range(8):
+    out = f(emb, xs[0])
+jax.block_until_ready(out)
+print(f"identical inputs: {(time.perf_counter()-t0)/8*1000:.2f} ms/call")

@@ -1,0 +1,130 @@
+import numpy as np
+import pytest
+
+from holoscene_tpu.ops.rasterizer import (
+    BIG_DEPTH,
+    rasterize_mesh,
+    rasterize_mesh_list,
+    subdivide_mesh,
+)
+from holoscene_tpu.utils.mc import marching_tetrahedra
+
+
+def _camera(img=64, f=80.0, cam_z=-2.0):
+    intr = np.array([[f, 0, img / 2], [0, f, img / 2], [0, 0, 1.0]])
+    pose = np.eye(4)
+    pose[2, 3] = cam_z
+    return pose, intr, (img, img)
+
+
+def _sphere(r=0.5, res=40):
+    axis = np.linspace(-1, 1, res)
+    x, y, z = np.meshgrid(axis, axis, axis, indexing="ij")
+    sdf = np.sqrt(x * x + y * y + z * z) - r
+    sp = 2.0 / (res - 1)
+    return marching_tetrahedra(sdf, origin=(-1, -1, -1), spacing=(sp,) * 3)
+
+
+def test_sphere_raster_depth_and_mask():
+    verts, faces = _sphere()
+    pose, intr, res = _camera()
+    out = rasterize_mesh(verts, faces, pose, intr, res)
+    mask = np.asarray(out["mask"])
+    depth = np.asarray(out["depth"])
+
+    # center pixel hits the sphere front at depth 1.5
+    assert mask[32, 32]
+    assert depth[32, 32] == pytest.approx(1.5, abs=0.03)
+    # corners miss
+    assert not mask[0, 0] and not mask[-1, -1]
+    assert depth[0, 0] >= BIG_DEPTH * 0.99
+
+    # projected silhouette radius: r_px = f * (r / sqrt(d^2 - r^2)) for a
+    # sphere (grazing ray), d=2, r=0.5 -> ~20.6 px
+    ys, xs = np.nonzero(mask)
+    rad = np.sqrt((ys - 31.5) ** 2 + (xs - 31.5) ** 2).max()
+    assert rad == pytest.approx(80 * 0.5 / np.sqrt(4 - 0.25), abs=2.0)
+
+
+def test_world_pos_on_surface():
+    verts, faces = _sphere()
+    pose, intr, res = _camera()
+    out = rasterize_mesh(verts, faces, pose, intr, res)
+    mask = np.asarray(out["mask"])
+    wp = np.asarray(out["world_pos"])[mask]
+    radii = np.linalg.norm(wp, axis=-1)
+    np.testing.assert_allclose(radii.mean(), 0.5, atol=0.02)
+    assert np.abs(radii - 0.5).max() < 0.06
+
+
+def test_instance_ids_with_occlusion():
+    v1, f1 = _sphere(r=0.4)
+    v2, f2 = _sphere(r=0.3)
+    v2 = v2 + np.array([0.0, 0.0, 1.2])  # second sphere BEHIND the first
+    pose, intr, res = _camera()
+    out = rasterize_mesh_list([(v1, f1), (v2, f2)], pose, intr, res)
+    inst = np.asarray(out["instance_id"])
+    assert inst[32, 32] == 0  # front sphere wins the center
+    assert (inst == 0).sum() > 0
+    # the back sphere is fully occluded at center but may peek nowhere
+    # (smaller radius, directly behind) -> no pixel should show id 1
+    assert (inst == 1).sum() == 0
+
+
+def test_instance_ids_side_by_side():
+    v1, f1 = _sphere(r=0.3)
+    v2, f2 = _sphere(r=0.3)
+    v1 = v1 + np.array([-0.45, 0.0, 0.0])
+    v2 = v2 + np.array([0.45, 0.0, 0.0])
+    pose, intr, res = _camera()
+    out = rasterize_mesh_list([(v1, f1), (v2, f2)], pose, intr, res)
+    inst = np.asarray(out["instance_id"])
+    assert (inst == 0).sum() > 50 and (inst == 1).sum() > 50
+    # left half of image shows instance 0, right half instance 1
+    assert inst[32, 16] == 0 and inst[32, 48] == 1
+
+
+def test_bary_interpolation_exact():
+    # single triangle facing the camera; interpolate an attribute linearly
+    verts = np.array([[-0.5, -0.5, 0.0], [0.5, -0.5, 0.0], [0.0, 0.5, 0.0]])
+    faces = np.array([[0, 1, 2]])
+    pose, intr, res = _camera()
+    out = rasterize_mesh(verts, faces, pose, intr, res, grid_size=12)
+    mask = np.asarray(out["mask"])
+    assert mask.sum() > 50
+    bary = np.asarray(out["bary"])[mask]
+    np.testing.assert_allclose(bary.sum(-1), 1.0, atol=1e-5)
+    wp = np.asarray(out["world_pos"])[mask]
+    # all world positions on the z=0 plane inside the triangle
+    np.testing.assert_allclose(wp[:, 2], 0.0, atol=1e-5)
+    assert wp[:, 0].min() >= -0.51 and wp[:, 0].max() <= 0.51
+
+
+def test_subdivide_bounds_edges():
+    verts = np.array([[0, 0, 0], [4.0, 0, 0], [0, 4.0, 0]])
+    faces = np.array([[0, 1, 2]])
+    v2, f2 = subdivide_mesh(verts, faces, max_edge=0.5)
+    e = np.concatenate([f2[:, [0, 1]], f2[:, [1, 2]], f2[:, [2, 0]]])
+    lens = np.linalg.norm(v2[e[:, 0]] - v2[e[:, 1]], axis=1)
+    assert lens.max() <= 0.5 + 1e-9
+    # area preserved
+    def area(v, f):
+        a = v[f[:, 1]] - v[f[:, 0]]
+        b = v[f[:, 2]] - v[f[:, 0]]
+        return 0.5 * np.linalg.norm(np.cross(a, b), axis=1).sum()
+    assert area(v2, f2) == pytest.approx(area(verts, faces), rel=1e-9)
+
+
+def test_backface_culling():
+    # triangle wound away from the camera disappears with culling on
+    verts = np.array([[-0.5, -0.5, 0.0], [0.5, -0.5, 0.0], [0.0, 0.5, 0.0]])
+    faces_ccw = np.array([[0, 2, 1]])  # visible winding
+    faces_cw = np.array([[0, 1, 2]])
+    pose, intr, res = _camera()
+    out_front = rasterize_mesh(verts, faces_ccw, pose, intr, res,
+                               grid_size=12, cull_backfaces=True)
+    out_back = rasterize_mesh(verts, faces_cw, pose, intr, res,
+                              grid_size=12, cull_backfaces=True)
+    front = int(np.asarray(out_front["mask"]).sum())
+    back = int(np.asarray(out_back["mask"]).sum())
+    assert (front > 50) != (back > 50)  # exactly one winding survives
