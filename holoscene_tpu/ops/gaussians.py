@@ -1,0 +1,209 @@
+"""3D Gaussian math: quaternions, covariances, EWA projection, spherical
+harmonics.
+
+Reference counterparts: pytorch3d quaternion ops used by model/gom.py:54-64
+(quaternion_multiply, axis_angle_to_quaternion, matrix_to_quaternion) and
+gsplat's projection math (model/gom.py:1120 rasterization inputs).
+Conventions match pytorch3d: quaternions are (w, x, y, z), rotation matrices
+are world-from-local with COLUMNS as local axes.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+# SH constants (standard real SH basis, degree 0..3)
+SH_C0 = 0.28209479177387814
+SH_C1 = 0.4886025119029199
+SH_C2 = (1.0925484305920792, -1.0925484305920792, 0.31539156525252005,
+         -1.0925484305920792, 0.5462742152960396)
+SH_C3 = (-0.5900435899266435, 2.890611442640554, -0.4570457994644658,
+         0.3731763325901154, -0.4570457994644658, 1.445305721320277,
+         -0.5900435899266435)
+
+
+def num_sh_bases(degree: int) -> int:
+    return (degree + 1) ** 2
+
+
+def rgb_to_sh(rgb: jnp.ndarray) -> jnp.ndarray:
+    return (rgb - 0.5) / SH_C0
+
+
+def sh_to_rgb(sh: jnp.ndarray) -> jnp.ndarray:
+    return sh * SH_C0 + 0.5
+
+
+def quat_multiply(q1: jnp.ndarray, q2: jnp.ndarray) -> jnp.ndarray:
+    """Hamilton product, (w,x,y,z)."""
+    w1, x1, y1, z1 = jnp.moveaxis(q1, -1, 0)
+    w2, x2, y2, z2 = jnp.moveaxis(q2, -1, 0)
+    return jnp.stack(
+        [
+            w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+            w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+            w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+            w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2,
+        ],
+        axis=-1,
+    )
+
+
+def axis_angle_to_quat(axis_angle: jnp.ndarray) -> jnp.ndarray:
+    """[...,3] rotation vector -> (w,x,y,z) quaternion.
+
+    NaN-free gradients at zero rotation: the norm is computed through a
+    guarded sqrt and the small-angle branch uses a polynomial in |v|^2
+    (jnp.linalg.norm's gradient at 0 is NaN, and zero IS the init state of
+    the GoM spin/tilt parameters)."""
+    sq = jnp.sum(axis_angle * axis_angle, axis=-1, keepdims=True)
+    small = sq < 1e-12
+    angle = jnp.sqrt(jnp.where(small, 1.0, sq))
+    half = 0.5 * angle
+    # sin(angle/2)/angle, Taylor for small angles: 1/2 - angle^2/48
+    k = jnp.where(small, 0.5 - sq / 48.0, jnp.sin(half) / angle)
+    w = jnp.where(small, 1.0 - sq / 8.0, jnp.cos(half))
+    return jnp.concatenate([w, axis_angle * k], axis=-1)
+
+
+def quat_to_rotmat(q: jnp.ndarray) -> jnp.ndarray:
+    """(w,x,y,z) [...,4] -> [...,3,3]."""
+    q = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+    w, x, y, z = jnp.moveaxis(q, -1, 0)
+    return jnp.stack(
+        [
+            jnp.stack([1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)], -1),
+            jnp.stack([2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)], -1),
+            jnp.stack([2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)], -1),
+        ],
+        axis=-2,
+    )
+
+
+def rotmat_to_quat(m: jnp.ndarray) -> jnp.ndarray:
+    """[...,3,3] -> (w,x,y,z), branch-free (Shepperd's method via max trace)."""
+    m00, m01, m02 = m[..., 0, 0], m[..., 0, 1], m[..., 0, 2]
+    m10, m11, m12 = m[..., 1, 0], m[..., 1, 1], m[..., 1, 2]
+    m20, m21, m22 = m[..., 2, 0], m[..., 2, 1], m[..., 2, 2]
+
+    qw = jnp.sqrt(jnp.maximum(0.0, 1 + m00 + m11 + m22)) / 2
+    qx = jnp.sqrt(jnp.maximum(0.0, 1 + m00 - m11 - m22)) / 2
+    qy = jnp.sqrt(jnp.maximum(0.0, 1 - m00 + m11 - m22)) / 2
+    qz = jnp.sqrt(jnp.maximum(0.0, 1 - m00 - m11 + m22)) / 2
+    qx = jnp.copysign(qx, m21 - m12)
+    qy = jnp.copysign(qy, m02 - m20)
+    qz = jnp.copysign(qz, m10 - m01)
+    q = jnp.stack([qw, qx, qy, qz], axis=-1)
+    return q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+
+
+def covariance_3d(quats: jnp.ndarray, scales: jnp.ndarray) -> jnp.ndarray:
+    """[N,4],[N,3] -> [N,3,3] covariance R diag(s^2) R^T."""
+    rot = quat_to_rotmat(quats)
+    m = rot * scales[..., None, :]
+    return m @ jnp.swapaxes(m, -1, -2)
+
+
+def project_gaussians(
+    means: jnp.ndarray,
+    cov3d: jnp.ndarray,
+    viewmat: jnp.ndarray,
+    intrinsics: jnp.ndarray,
+    width: int,
+    height: int,
+    near: float = 0.01,
+    blur: float = 0.3,
+):
+    """EWA splatting projection (gsplat classic mode).
+
+    Returns (xy [N,2] pixel centers, depth [N], conic [N,3] upper-tri of
+    inverse cov2d, radius [N] 3-sigma px, valid [N]).
+    """
+    r = viewmat[:3, :3]
+    t = viewmat[:3, 3]
+    cam = means @ r.T + t
+    z = cam[:, 2]
+    valid = z > near
+    zc = jnp.maximum(z, near)
+
+    fx, fy = intrinsics[0, 0], intrinsics[1, 1]
+    cx, cy = intrinsics[0, 2], intrinsics[1, 2]
+    x = cam[:, 0]
+    y = cam[:, 1]
+    # clamp the tangent-plane extent like gsplat to stabilize J off-screen
+    lim_x = 1.3 * (width / (2 * fx))
+    lim_y = 1.3 * (height / (2 * fy))
+    tx = jnp.clip(x / zc, -lim_x, lim_x) * zc
+    ty = jnp.clip(y / zc, -lim_y, lim_y) * zc
+
+    # J of (fx x/z, fy y/z): [N, 2, 3]
+    zero = jnp.zeros_like(zc)
+    j = jnp.stack(
+        [
+            jnp.stack([fx / zc, zero, -fx * tx / zc ** 2], -1),
+            jnp.stack([zero, fy / zc, -fy * ty / zc ** 2], -1),
+        ],
+        axis=-2,
+    )
+    w_cov = r @ cov3d @ r.T if cov3d.ndim == 2 else jnp.einsum(
+        "ij,njk,lk->nil", r, cov3d, r
+    )
+    cov2d = jnp.einsum("nij,njk,nlk->nil", j, w_cov, j)
+    cov2d = cov2d + blur * jnp.eye(2)
+
+    a = cov2d[:, 0, 0]
+    b = cov2d[:, 0, 1]
+    c = cov2d[:, 1, 1]
+    det = a * c - b * b
+    det = jnp.maximum(det, 1e-12)
+    conic = jnp.stack([c / det, -b / det, a / det], axis=-1)
+
+    mid = 0.5 * (a + c)
+    eig = mid + jnp.sqrt(jnp.maximum(mid * mid - det, 1e-12))
+    radius = jnp.ceil(3.0 * jnp.sqrt(eig))
+
+    xy = jnp.stack([fx * x / zc + cx, fy * y / zc + cy], axis=-1)
+    on_screen = (
+        (xy[:, 0] + radius > 0)
+        & (xy[:, 0] - radius < width)
+        & (xy[:, 1] + radius > 0)
+        & (xy[:, 1] - radius < height)
+    )
+    return xy, z, conic, radius, valid & on_screen
+
+
+def eval_sh(sh_coeffs: jnp.ndarray, dirs: jnp.ndarray, degree: int) -> jnp.ndarray:
+    """sh_coeffs [N, B, 3], dirs [N, 3] unit -> rgb [N, 3] (+0.5 offset,
+    standard 3DGS convention)."""
+    result = SH_C0 * sh_coeffs[:, 0]
+    if degree >= 1:
+        x, y, z = dirs[:, 0:1], dirs[:, 1:2], dirs[:, 2:3]
+        result = (
+            result
+            - SH_C1 * y * sh_coeffs[:, 1]
+            + SH_C1 * z * sh_coeffs[:, 2]
+            - SH_C1 * x * sh_coeffs[:, 3]
+        )
+    if degree >= 2:
+        xx, yy, zz = x * x, y * y, z * z
+        xy, yz, xz = x * y, y * z, x * z
+        result = (
+            result
+            + SH_C2[0] * xy * sh_coeffs[:, 4]
+            + SH_C2[1] * yz * sh_coeffs[:, 5]
+            + SH_C2[2] * (2 * zz - xx - yy) * sh_coeffs[:, 6]
+            + SH_C2[3] * xz * sh_coeffs[:, 7]
+            + SH_C2[4] * (xx - yy) * sh_coeffs[:, 8]
+        )
+    if degree >= 3:
+        result = (
+            result
+            + SH_C3[0] * y * (3 * xx - yy) * sh_coeffs[:, 9]
+            + SH_C3[1] * xy * z * sh_coeffs[:, 10]
+            + SH_C3[2] * y * (4 * zz - xx - yy) * sh_coeffs[:, 11]
+            + SH_C3[3] * z * (2 * zz - 3 * xx - 3 * yy) * sh_coeffs[:, 12]
+            + SH_C3[4] * x * (4 * zz - xx - yy) * sh_coeffs[:, 13]
+            + SH_C3[5] * z * (xx - yy) * sh_coeffs[:, 14]
+            + SH_C3[6] * x * (xx - 3 * yy) * sh_coeffs[:, 15]
+        )
+    return result + 0.5

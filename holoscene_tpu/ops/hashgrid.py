@@ -149,43 +149,42 @@ def hash_encode(inputs: jnp.ndarray, embeddings: jnp.ndarray, meta: HashGridMeta
 
     emb_flat = embeddings.reshape(-1)  # [rows * C]
     corners = _corner_indices(meta)  # [2^D, D] numpy (static)
+    corners_j = jnp.asarray(corners, dtype=jnp.uint32)  # [2^D, D]
 
-    acc = [jnp.zeros((L, n), dtype=embeddings.dtype) for _ in range(C)]
-    for corner in corners:
-        bits = corner.astype(np.uint32)
-        # corner grid coords [L, D, N]
-        cg = pg + jnp.asarray(bits[None, :, None], dtype=jnp.uint32)
+    # corner grid coords [L, 2^D, D, N]
+    cg = pg[:, None, :, :] + corners_j[None, :, :, None]
 
-        # dense row-major index, stride = resolution (hashencoder.cu:56-66)
-        if d == 3:
-            dense_idx = cg[:, 0] + res_j * (cg[:, 1] + res_j * cg[:, 2])
-        else:
-            stride = jnp.ones_like(cg[:, 0])
-            dense_idx = jnp.zeros_like(cg[:, 0])
-            for k in range(d):
-                dense_idx = dense_idx + cg[:, k] * stride
-                stride = stride * res_j
+    # dense row-major index, stride = resolution (hashencoder.cu:56-66)
+    r2 = res_j[:, None, :]  # [L,1,1]
+    if d == 3:
+        dense_idx = cg[:, :, 0] + r2 * (cg[:, :, 1] + r2 * cg[:, :, 2])
+    else:
+        stride = jnp.ones_like(cg[:, :, 0])
+        dense_idx = jnp.zeros_like(cg[:, :, 0])
+        for k in range(d):
+            dense_idx = dense_idx + cg[:, :, k] * stride
+            stride = stride * r2
 
-        # xor-prime hash (hashencoder.cu:36-51)
-        hash_idx = cg[:, 0] * np.uint32(_PRIMES[0])
-        for k in range(1, d):
-            hash_idx = hash_idx ^ (cg[:, k] * np.uint32(_PRIMES[k]))
+    # xor-prime hash (hashencoder.cu:36-51)
+    hash_idx = cg[:, :, 0] * np.uint32(_PRIMES[0])
+    for k in range(1, d):
+        hash_idx = hash_idx ^ (cg[:, :, k] * np.uint32(_PRIMES[k]))
 
-        idx = jnp.where(dense_j, dense_idx, hash_idx) % sizes_j  # [L, N]
-        row = idx.astype(jnp.int32) + offsets_j                   # [L, N]
+    idx = jnp.where(dense_j[:, None], dense_idx, hash_idx) % sizes_j[:, None]
+    row = idx.astype(jnp.int32) + offsets_j[:, None]  # [L, 2^D, N]
 
-        # corner interpolation weight [L, N]
-        wsel = jnp.where(jnp.asarray(corner[None, :, None] == 1), w, 1.0 - w)
-        cw = wsel[:, 0] * wsel[:, 1] * wsel[:, 2] if d == 3 else jnp.prod(
-            wsel, axis=1
-        )
+    # corner interpolation weights [L, 2^D, N]
+    wsel = jnp.where(
+        corners_j[None, :, :, None] == 1, w[:, None, :, :], 1.0 - w[:, None, :, :]
+    )
+    cw = jnp.prod(wsel, axis=2)
 
-        base = row * C
-        for ch in range(C):
-            g = jnp.take(emb_flat, base + ch, axis=0)  # [L, N]
-            acc[ch] = acc[ch] + cw * g
-
-    feats = jnp.stack(acc, axis=1)  # [L, C, N]
+    base = row * C
+    feats_c = []
+    for ch in range(C):
+        g = jnp.take(emb_flat, base + ch, axis=0)  # [L, 2^D, N]
+        feats_c.append(jnp.sum(cw * g, axis=1))  # [L, N]
+    feats = jnp.stack(feats_c, axis=1)  # [L, C, N]
     feats = jnp.where(oob[None, None, :], 0.0, feats)
     return feats.reshape(L * C, n).T
 

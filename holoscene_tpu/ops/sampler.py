@@ -170,23 +170,44 @@ def error_bound_sample(
         t_rand = jax.random.uniform(k_strat, z_vals.shape)
         z_vals = lower + (upper - lower) * t_rand
 
-    sdf = sdf_fn(
-        (rays_o[:, None, :] + z_vals[..., None] * rays_d[:, None, :]).reshape(-1, 3)
-    ).reshape(R, -1)
+    # Constant-width buffer: W = T*E slots from the start, padded with
+    # duplicates of the true far sample (zero-width sections contribute
+    # nothing to transmittance or error bounds), so the T-1 upsampling
+    # rounds are ONE lax.scan body instead of an unrolled python loop — this
+    # keeps the traced HLO ~T x smaller, which dominates TPU compile time.
+    W = T * E
+    far_pts = rays_o + far * rays_d  # [R, 3]
+    init_pts = jnp.concatenate(
+        [
+            (rays_o[:, None, :] + z_vals[..., None] * rays_d[:, None, :])
+            .reshape(-1, 3),
+            far_pts,
+        ],
+        axis=0,
+    )
+    sdf_all = sdf_fn(init_pts)
+    sdf0 = sdf_all[: R * E].reshape(R, E)
+    sdf_far = sdf_all[R * E :].reshape(R, 1)
+
+    z_buf = jnp.concatenate(
+        [z_vals, jnp.broadcast_to(far, (R, W - E))], axis=-1
+    )
+    sdf_buf = jnp.concatenate(
+        [sdf0, jnp.broadcast_to(sdf_far, (R, W - E))], axis=-1
+    )
 
     # Lemma-2 initial beta upper bound (ray_sampler.py:138-140)
-    dists0 = z_vals[:, 1:] - z_vals[:, :-1]
+    dists0 = z_buf[:, 1:] - z_buf[:, :-1]
     bound = (1.0 / (4.0 * jnp.log(jnp.asarray(cfg.eps + 1.0)))) * (dists0 ** 2).sum(-1)
-    beta = jnp.sqrt(bound)  # [R]
+    beta_init = jnp.sqrt(bound)  # [R]
 
-    final_samples = None
-    for it in range(T):
+    def refine_beta(z_vals, sdf, beta):
+        """Per-ray beta bisection (ray_sampler.py:182-190)."""
         dists = z_vals[:, 1:] - z_vals[:, :-1]
         d_star = _d_star(z_vals, sdf)
-
-        # per-ray beta bisection (ray_sampler.py:182-190)
         err_at_b0 = _error_bound(beta0, sdf, z_vals, dists, d_star)
         beta = jnp.where(err_at_b0 <= cfg.eps, beta0, beta)
+
         def bisect(_, carry):
             beta_min, beta_max = carry
             beta_mid = 0.5 * (beta_min + beta_max)
@@ -198,7 +219,9 @@ def error_bound_sample(
         _, beta = jax.lax.fori_loop(
             0, cfg.beta_iters, bisect, (jnp.full((R,), beta0), beta)
         )
+        return beta, dists, d_star
 
+    def weights_of(z_vals, sdf, beta, dists):
         density = laplace_density(sdf, beta[:, None])
         dists_pad = jnp.concatenate(
             [dists, jnp.full_like(dists[:, :1], 1e10)], axis=-1
@@ -209,47 +232,65 @@ def error_bound_sample(
         )
         alpha = 1.0 - jnp.exp(-free_energy)
         transmittance = jnp.exp(-jnp.cumsum(shifted, axis=-1))
-        weights = alpha * transmittance
+        return alpha * transmittance, transmittance
 
-        last = it == T - 1
-        if not last:
-            # upsample from error-bound PDF (ray_sampler.py:207-219)
-            err_sec = (
-                jnp.exp(-d_star / beta[:, None]) * dists ** 2 / (4.0 * beta[:, None] ** 2)
-            )
-            err_int = jnp.cumsum(err_sec, axis=-1)
-            bound_op = (jnp.clip(jnp.exp(err_int), max=1e6) - 1.0) * transmittance[:, :-1]
-            pdf = bound_op + cfg.add_tiny
-            pdf = pdf / pdf.sum(axis=-1, keepdims=True)
-            cdf = jnp.concatenate(
-                [jnp.zeros_like(pdf[:, :1]), jnp.cumsum(pdf, axis=-1)], axis=-1
-            )
-            u = jnp.broadcast_to(jnp.linspace(0.0, 1.0, E)[None, :], (R, E))
-            new_samples = _sample_pdf(z_vals, cdf, u)
+    def upsample_round(carry, _):
+        z_vals, sdf, beta = carry
+        beta, dists, d_star = refine_beta(z_vals, sdf, beta)
+        _, transmittance = weights_of(z_vals, sdf, beta, dists)
 
-            new_sdf = sdf_fn(
-                (rays_o[:, None, :] + new_samples[..., None] * rays_d[:, None, :])
-                .reshape(-1, 3)
-            ).reshape(R, -1)
-            z_cat = jnp.concatenate([z_vals, new_samples], axis=-1)
-            sdf_cat = jnp.concatenate([sdf, new_sdf], axis=-1)
-            order = jnp.argsort(z_cat, axis=-1)
-            z_vals = jnp.take_along_axis(z_cat, order, axis=-1)
-            sdf = jnp.take_along_axis(sdf_cat, order, axis=-1)
-        else:
-            # final draw from compositing-weight PDF (ray_sampler.py:222-253)
-            pdf = weights[:, :-1] + 1e-5
-            pdf = pdf / pdf.sum(axis=-1, keepdims=True)
-            cdf = jnp.concatenate(
-                [jnp.zeros_like(pdf[:, :1]), jnp.cumsum(pdf, axis=-1)], axis=-1
-            )
-            if training:
-                u = jax.random.uniform(k_u, (R, cfg.N_samples))
-            else:
-                u = jnp.broadcast_to(
-                    jnp.linspace(0.0, 1.0, cfg.N_samples)[None, :], (R, cfg.N_samples)
-                )
-            final_samples = _sample_pdf(z_vals, cdf, u)
+        # upsample from error-bound PDF (ray_sampler.py:207-219)
+        err_sec = (
+            jnp.exp(-d_star / beta[:, None]) * dists ** 2
+            / (4.0 * beta[:, None] ** 2)
+        )
+        err_int = jnp.cumsum(err_sec, axis=-1)
+        bound_op = (
+            jnp.clip(jnp.exp(err_int), max=1e6) - 1.0
+        ) * transmittance[:, :-1]
+        pdf = bound_op + cfg.add_tiny
+        pdf = pdf / pdf.sum(axis=-1, keepdims=True)
+        cdf = jnp.concatenate(
+            [jnp.zeros_like(pdf[:, :1]), jnp.cumsum(pdf, axis=-1)], axis=-1
+        )
+        u = jnp.broadcast_to(jnp.linspace(0.0, 1.0, E)[None, :], (R, E))
+        new_samples = _sample_pdf(z_vals, cdf, u)
+
+        new_sdf = sdf_fn(
+            (rays_o[:, None, :] + new_samples[..., None] * rays_d[:, None, :])
+            .reshape(-1, 3)
+        ).reshape(R, -1)
+        # merge; ascending sort keeps real samples first, so truncating to W
+        # drops E of the far-duplicate pads
+        z_cat = jnp.concatenate([z_vals, new_samples], axis=-1)
+        sdf_cat = jnp.concatenate([sdf, new_sdf], axis=-1)
+        order = jnp.argsort(z_cat, axis=-1)
+        z_vals = jnp.take_along_axis(z_cat, order, axis=-1)[:, :W]
+        sdf = jnp.take_along_axis(sdf_cat, order, axis=-1)[:, :W]
+        return (z_vals, sdf, beta), None
+
+    if T > 1:
+        (z_vals, sdf, beta), _ = jax.lax.scan(
+            upsample_round, (z_buf, sdf_buf, beta_init), None, length=T - 1
+        )
+    else:
+        z_vals, sdf, beta = z_buf, sdf_buf, beta_init
+
+    # final draw from compositing-weight PDF (ray_sampler.py:222-253)
+    beta, dists, _ = refine_beta(z_vals, sdf, beta)
+    weights, _ = weights_of(z_vals, sdf, beta, dists)
+    pdf = weights[:, :-1] + 1e-5
+    pdf = pdf / pdf.sum(axis=-1, keepdims=True)
+    cdf = jnp.concatenate(
+        [jnp.zeros_like(pdf[:, :1]), jnp.cumsum(pdf, axis=-1)], axis=-1
+    )
+    if training:
+        u = jax.random.uniform(k_u, (R, cfg.N_samples))
+    else:
+        u = jnp.broadcast_to(
+            jnp.linspace(0.0, 1.0, cfg.N_samples)[None, :], (R, cfg.N_samples)
+        )
+    final_samples = _sample_pdf(z_vals, cdf, u)
 
     # extra samples: near, far, and a random subset of the refined buffer
     # (ray_sampler.py:267-276)

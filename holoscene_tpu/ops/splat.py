@@ -1,0 +1,179 @@
+"""Tile-based Gaussian splat renderer (gsplat replacement), pure JAX.
+
+Reference counterpart: gsplat's `rasterization(render_mode="RGB+ED")`
+(model/gom.py:1120-1142): project -> tile binning -> depth-sorted
+front-to-back alpha compositing, with RGB, expected depth, and accumulation
+outputs; fully differentiable w.r.t. means/quats/scales/opacities/colors.
+
+TPU-first shape (static everywhere):
+  * projection (EWA, classic 0.3px blur) over all N gaussians at once;
+  * tile binning as a dense [tiles, N] depth matrix, processed in fixed tile
+    chunks: gaussians that miss a tile get +inf depth;
+  * per-tile candidate selection with `jax.lax.approx_max_k` over -depth —
+    the TPU-native top-k (SIMD bucketing, returns sorted) — giving each
+    tile its K nearest overlapping gaussians front-to-back;
+  * compositing as a cumprod over the K axis for all tile pixels at once.
+
+Truncation at K per tile is the static-shape analog of gsplat's per-tile
+fragment limits; transmittance saturates long before K=512 in practice.
+Gradients flow through projection/weights/colors (selection indices are
+non-differentiable, like any z-buffer).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from holoscene_tpu.ops.gaussians import covariance_3d, eval_sh, project_gaussians
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "width", "height", "tile_size", "max_per_tile", "sh_degree",
+    ),
+)
+def render_gaussians(
+    means: jnp.ndarray,          # [N, 3]
+    quats: jnp.ndarray,          # [N, 4] (w,x,y,z), need not be normalized
+    scales: jnp.ndarray,         # [N, 3] linear scales
+    opacities: jnp.ndarray,      # [N] in [0, 1]
+    colors: jnp.ndarray,         # [N, 3] rgb or [N, B, 3] SH coeffs
+    viewmat: jnp.ndarray,        # [4, 4] world-to-camera
+    intrinsics: jnp.ndarray,     # [3, 3]
+    width: int,
+    height: int,
+    tile_size: int = 16,
+    max_per_tile: int = 512,
+    sh_degree: int | None = None,
+    background: jnp.ndarray | None = None,
+):
+    """Returns dict(rgb [H,W,3], depth [H,W] alpha-normalized expected depth,
+    alpha [H,W])."""
+    n = means.shape[0]
+    tiles_x = -(-width // tile_size)
+    tiles_y = -(-height // tile_size)
+    n_tiles = tiles_x * tiles_y
+    tile_chunk = min(64, n_tiles)
+
+    cov3d = covariance_3d(quats, scales)
+    xy, depth, conic, radius, valid = project_gaussians(
+        means, cov3d, viewmat, intrinsics, width, height
+    )
+
+    if sh_degree is not None:
+        cam_pos = -viewmat[:3, :3].T @ viewmat[:3, 3]
+        dirs = means - cam_pos[None, :]
+        dirs = dirs / jnp.maximum(
+            jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-8
+        )
+        rgb_n = jnp.clip(eval_sh(colors, dirs, sh_degree), 0.0, None)
+    else:
+        rgb_n = colors
+
+    # tile geometry
+    t_idx = jnp.arange(n_tiles)
+    tx0 = (t_idx % tiles_x) * tile_size
+    ty0 = (t_idx // tiles_x) * tile_size
+
+    k = min(max_per_tile, n)
+
+    # pixel offsets within a tile [tile_size^2, 2]
+    py, px = jnp.mgrid[0:tile_size, 0:tile_size]
+    pix_off = jnp.stack(
+        [px.reshape(-1) + 0.5, py.reshape(-1) + 0.5], axis=-1
+    )  # [P, 2]
+
+    depth_masked_base = jnp.where(valid, depth, jnp.inf)
+
+    def render_tile_chunk(carry, chunk_idx):
+        x0 = jax.lax.dynamic_slice_in_dim(tx0, chunk_idx * tile_chunk, tile_chunk)
+        y0 = jax.lax.dynamic_slice_in_dim(ty0, chunk_idx * tile_chunk, tile_chunk)
+
+        # overlap test: gaussian circle vs tile rect [Tc, N]
+        gx = xy[None, :, 0]
+        gy = xy[None, :, 1]
+        r = radius[None, :]
+        overlap = (
+            (gx + r >= x0[:, None])
+            & (gx - r <= x0[:, None] + tile_size)
+            & (gy + r >= y0[:, None])
+            & (gy - r <= y0[:, None] + tile_size)
+        )
+        neg_depth = jnp.where(overlap, -depth_masked_base[None, :], -jnp.inf)
+
+        # K nearest overlapping gaussians, sorted front-to-back
+        top_vals, top_idx = jax.lax.approx_max_k(neg_depth, k)  # [Tc, K]
+        live = jnp.isfinite(top_vals)
+
+        g_xy = xy[top_idx]            # [Tc, K, 2]
+        g_conic = conic[top_idx]      # [Tc, K, 3]
+        g_rgb = rgb_n[top_idx]        # [Tc, K, 3]
+        g_op = opacities[top_idx]     # [Tc, K]
+        g_z = depth[top_idx]          # [Tc, K]
+
+        # pixel coords of this chunk's tiles [Tc, P, 2]
+        pix = (
+            pix_off[None, :, :]
+            + jnp.stack([x0, y0], axis=-1)[:, None, :]
+        )
+        d = pix[:, None, :, :] - g_xy[:, :, None, :]  # [Tc, K, P, 2]
+        dx = d[..., 0]
+        dy = d[..., 1]
+        power = -0.5 * (
+            g_conic[..., 0, None] * dx * dx
+            + 2.0 * g_conic[..., 1, None] * dx * dy
+            + g_conic[..., 2, None] * dy * dy
+        )
+        alpha = jnp.minimum(
+            0.999, g_op[..., None] * jnp.exp(jnp.minimum(power, 0.0))
+        )  # [Tc, K, P]
+        alpha = jnp.where(live[..., None] & (alpha >= 1.0 / 255.0), alpha, 0.0)
+
+        # front-to-back transmittance over the K axis
+        trans = jnp.cumprod(1.0 - alpha, axis=1)
+        trans = jnp.concatenate(
+            [jnp.ones_like(trans[:, :1]), trans[:, :-1]], axis=1
+        )
+        w = alpha * trans  # [Tc, K, P]
+
+        rgb_tile = jnp.einsum("tkp,tkc->tpc", w, g_rgb)
+        depth_tile = jnp.einsum("tkp,tk->tp", w, g_z)
+        alpha_tile = w.sum(axis=1)
+        return carry, (rgb_tile, depth_tile, alpha_tile)
+
+    n_chunks = -(-n_tiles // tile_chunk)
+    # pad tile arrays so chunks divide evenly
+    pad = n_chunks * tile_chunk - n_tiles
+    if pad:
+        tx0 = jnp.concatenate([tx0, jnp.zeros(pad, tx0.dtype)])
+        ty0 = jnp.concatenate([ty0, jnp.zeros(pad, ty0.dtype)])
+
+    _, (rgb_t, depth_t, alpha_t) = jax.lax.scan(
+        render_tile_chunk, None, jnp.arange(n_chunks)
+    )
+    # [n_chunks, Tc, P(,C)] -> [n_tiles_padded, P(,C)]
+    rgb_t = rgb_t.reshape(-1, tile_size * tile_size, 3)[:n_tiles]
+    depth_t = depth_t.reshape(-1, tile_size * tile_size)[:n_tiles]
+    alpha_t = alpha_t.reshape(-1, tile_size * tile_size)[:n_tiles]
+
+    def tiles_to_image(tiles_flat, channels):
+        img = tiles_flat.reshape(
+            tiles_y, tiles_x, tile_size, tile_size, channels
+        )
+        img = img.transpose(0, 2, 1, 3, 4).reshape(
+            tiles_y * tile_size, tiles_x * tile_size, channels
+        )
+        return img[:height, :width]
+
+    rgb = tiles_to_image(rgb_t, 3)
+    alpha = tiles_to_image(alpha_t[..., None], 1)[..., 0]
+    depth_acc = tiles_to_image(depth_t[..., None], 1)[..., 0]
+    depth_norm = depth_acc / jnp.maximum(alpha, 1e-10)
+
+    if background is not None:
+        rgb = rgb + (1.0 - alpha[..., None]) * background[None, None, :]
+    return {"rgb": rgb, "depth": depth_norm, "alpha": alpha}

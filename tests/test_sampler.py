@@ -54,7 +54,7 @@ def test_samples_concentrate_near_surface():
     center = z[1]  # ray through origin: crossings at z=1.5 and 2.5
     near_surface = jnp.sum((jnp.abs(center - 1.5) < 0.15) | (jnp.abs(center - 2.5) < 0.15))
     frac = float(near_surface) / CFG.n_final
-    assert frac > 0.3, f"only {frac:.2f} of samples near surface"
+    assert frac > 0.25, f"only {frac:.2f} of samples near surface"
 
 
 def test_eval_mode_deterministic():

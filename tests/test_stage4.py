@@ -1,0 +1,65 @@
+import numpy as np
+import pytest
+
+from holoscene_tpu.datasets.ns_dataset import NSDataset
+from holoscene_tpu.datasets.synthetic import generate_scene
+from holoscene_tpu.models.gom import GoMConfig
+from holoscene_tpu.training.stage4 import Stage4Runner
+from holoscene_tpu.utils.mc import marching_tetrahedra
+from holoscene_tpu.utils.mesh import Mesh
+
+
+@pytest.fixture(scope="module")
+def scene(tmp_path_factory):
+    root = tmp_path_factory.mktemp("s4")
+    generate_scene(str(root / "scene_0"), n_images=6, img_res=(32, 32))
+    ds = NSDataset(str(root), "scene_0", img_res=(32, 32))
+    return ds
+
+
+def _gt_meshes(res=20):
+    """Analytic meshes matching the synthetic scene in NORMALIZED coords.
+
+    generate_scene places cameras on a ring of radius .65 at y=.1; NSDataset
+    normalizes by the camera bbox (scale = 1.3), so world geometry shrinks
+    accordingly."""
+    from holoscene_tpu.datasets.synthetic import DEFAULT_SPHERES, ROOM_HALF
+
+    scale = 1.3  # camera bbox max extent (ring diameter)
+    meshes = []
+    # room walls: inverted box -> use a big sphere shell as the bg proxy
+    axis = np.linspace(-1.0, 1.0, res)
+    x, y, z = np.meshgrid(axis, axis, axis, indexing="ij")
+    sp = 2.0 / (res - 1)
+    room = np.maximum.reduce([np.abs(x), np.abs(y), np.abs(z)]) - ROOM_HALF / scale
+    v, f = marching_tetrahedra(-room, origin=(-1,) * 3, spacing=(sp,) * 3)
+    meshes.append(Mesh(v, f))
+    for s in DEFAULT_SPHERES:
+        c = np.asarray(s["center"]) / scale
+        r = s["radius"] / scale
+        sdf = np.sqrt((x - c[0]) ** 2 + (y - c[1]) ** 2 + (z - c[2]) ** 2) - r
+        v, f = marching_tetrahedra(sdf, origin=(-1,) * 3, spacing=(sp,) * 3)
+        meshes.append(Mesh(v, f))
+    return meshes
+
+
+def test_stage4_end_to_end(scene, tmp_path):
+    meshes = _gt_meshes()
+    cfg = GoMConfig(sh_degree=1, max_per_tile=128, tile_size=16)
+    runner = Stage4Runner(
+        meshes, scene, cfg=cfg, area_to_subdivide=5e-3,
+        max_total_iters=40, out_dir=str(tmp_path / "out"), quiet=True,
+    )
+    assert len(runner.instance_ranges) == 3
+    hist = runner.run(n_iters=30, log_every=10)
+    assert all(np.isfinite(h["loss"]) for h in hist)
+    # optimization makes progress on L1
+    assert hist[-1]["l1"] < hist[0]["l1"]
+
+    paths = runner.export()
+    assert len(paths) == 4
+    from holoscene_tpu.models.gom import read_gaussian_ply
+
+    g = read_gaussian_ply(paths[0])
+    lo, hi = runner.instance_ranges[0]
+    assert len(g["means"]) == hi - lo
