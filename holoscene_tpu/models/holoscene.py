@@ -216,6 +216,151 @@ def render_rays(
     return out
 
 
+def render_rays_multi_obj(
+    params: Params,
+    cfg: HoloSceneConfig,
+    key: jax.Array,
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    depth_scale: jnp.ndarray,
+    w2c_rot: jnp.ndarray,
+    obj_idxs: tuple[int, ...],
+    training: bool = False,
+    near: jnp.ndarray | None = None,
+    far: jnp.ndarray | None = None,
+) -> dict[str, jnp.ndarray]:
+    """Object-subset rendering for Stage 2 (orthographic object views).
+
+    Reference semantics: forward_multi_obj_rays / _subset_all_sdf
+    (model/network.py:1092-1235): sampling and semantic weights use the
+    SUBSET min-SDF, while RGB/depth/normal composite under the FULL scene
+    min-SDF weights (`bg_weights`) so occlusions by other objects stay
+    consistent; object_opacity comes from all per-object densities.
+    """
+    R = rays_o.shape[0]
+    z_vals, _ = error_bound_sample(
+        key, rays_o, rays_d, scene_sdf_nograd(params, cfg, obj_idxs=obj_idxs),
+        jax.lax.stop_gradient(get_beta(params, cfg)), cfg.sampler,
+        training=training, near=near, far=far,
+    )
+    S = z_vals.shape[-1]
+    points = rays_o[:, None, :] + z_vals[..., None] * rays_d[:, None, :]
+    points_flat = points.reshape(-1, 3)
+    dirs_flat = jnp.broadcast_to(rays_d[:, None, :], points.shape).reshape(-1, 3)
+
+    sdf_scene, feature_vectors, gradients, semantic, sdf_raw = (
+        implicit_get_outputs(params["implicit"], cfg.implicit, points_flat)
+    )
+    rgb_flat = rendering_forward(
+        params["rendering"], cfg.rendering, points_flat, gradients, dirs_flat,
+        feature_vectors,
+    )
+
+    beta = get_beta(params, cfg)
+    subset_sdf = sdf_raw[:, list(obj_idxs)].min(axis=-1).reshape(R, S)
+    weights, transmittance, dists = volume_render_weights(
+        z_vals, laplace_density(subset_sdf, beta)
+    )
+    bg_weights, _, _ = volume_render_weights(
+        z_vals, laplace_density(sdf_scene.reshape(R, S), beta)
+    )
+
+    obj_density = laplace_density(sdf_raw.reshape(R, S, -1), beta)
+    object_opacity = occlusion_opacity(transmittance, dists, obj_density)
+
+    rgb = rgb_flat.reshape(R, S, 3)
+    rgb_values = composite(bg_weights, rgb)
+    semantic_r = semantic.reshape(R, S, cfg.num_semantic)
+    semantic_values = composite(weights, semantic_r)
+    depth_values = depth_scale * composite_depth(bg_weights, z_vals)
+
+    normals = gradients / jnp.sqrt(
+        jnp.sum(gradients * gradients, axis=-1, keepdims=True) + 1e-12
+    )
+    normal_map = composite(bg_weights, normals.reshape(R, S, 3)) @ w2c_rot.T
+
+    return {
+        "rgb_values": rgb_values,
+        "semantic_values": semantic_values,
+        "object_opacity": object_opacity,
+        "depth_values": depth_values,
+        "normal_map": normal_map,
+        "weights": weights,
+        "bg_weights": bg_weights,
+        "subset_weight_sum": weights.sum(axis=-1),
+        "z_vals": z_vals,
+        "sdf": subset_sdf,
+    }
+
+
+def render_rays_only_multi_obj(
+    params: Params,
+    cfg: HoloSceneConfig,
+    key: jax.Array,
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    depth_scale: jnp.ndarray,
+    w2c_rot: jnp.ndarray,
+    obj_idxs: tuple[int, ...],
+    training: bool = False,
+    near: jnp.ndarray | None = None,
+    far: jnp.ndarray | None = None,
+    detach_rgb_geometry: bool = False,
+) -> dict[str, jnp.ndarray]:
+    """Render ONLY the selected objects, as if nothing else existed
+    (reference forward_only_multi_obj_rays :1166 and the
+    _detach_rgb_for_geometry variants :1384-1458, used for the Stage-2
+    invisible-view supervision where generated views see the object in
+    isolation).
+
+    detach_rgb_geometry stops RGB-loss gradients from reshaping geometry
+    (weights are stop-gradient'ed for the color composite).
+    """
+    R = rays_o.shape[0]
+    z_vals, _ = error_bound_sample(
+        key, rays_o, rays_d, scene_sdf_nograd(params, cfg, obj_idxs=obj_idxs),
+        jax.lax.stop_gradient(get_beta(params, cfg)), cfg.sampler,
+        training=training, near=near, far=far,
+    )
+    S = z_vals.shape[-1]
+    points = rays_o[:, None, :] + z_vals[..., None] * rays_d[:, None, :]
+    points_flat = points.reshape(-1, 3)
+    dirs_flat = jnp.broadcast_to(rays_d[:, None, :], points.shape).reshape(-1, 3)
+
+    _, feature_vectors, gradients, _, sdf_raw = implicit_get_outputs(
+        params["implicit"], cfg.implicit, points_flat
+    )
+    rgb_flat = rendering_forward(
+        params["rendering"], cfg.rendering, points_flat, gradients, dirs_flat,
+        feature_vectors,
+    )
+
+    beta = get_beta(params, cfg)
+    subset_sdf = sdf_raw[:, list(obj_idxs)].min(axis=-1).reshape(R, S)
+    weights, _, _ = volume_render_weights(
+        z_vals, laplace_density(subset_sdf, beta)
+    )
+
+    w_rgb = jax.lax.stop_gradient(weights) if detach_rgb_geometry else weights
+    rgb_values = composite(w_rgb, rgb_flat.reshape(R, S, 3))
+    depth_values = depth_scale * composite_depth(weights, z_vals)
+    normals = gradients / jnp.sqrt(
+        jnp.sum(gradients * gradients, axis=-1, keepdims=True) + 1e-12
+    )
+    normal_map = composite(weights, normals.reshape(R, S, 3)) @ w2c_rot.T
+    acc = weights.sum(axis=-1)
+
+    return {
+        "rgb_values": rgb_values,
+        "depth_values": depth_values,
+        "normal_map": normal_map,
+        "acc": acc,
+        "weights": weights,
+        "z_vals": z_vals,
+        "sdf": subset_sdf,
+    }
+
+
 def render_bg_patch(
     params: Params,
     cfg: HoloSceneConfig,

@@ -1,0 +1,400 @@
+"""Stage-2 runner: generative per-object refinement + physics validation.
+
+Reference semantics: training/holoscene_train_post.py
+(`HoloSceneTrainPostRunner`, 4061 LoC) — the orchestration is:
+
+  run() (:393):
+    1. extract + prune instance meshes, per-object bboxes (:405-412)
+    2. infer the scene graph from meshes when graph.json is absent (:414)
+    3. background: inpaint occluded regions + 500-iter local SDF finetune
+       (:446-452)
+    4. generative_sampling (:733), per object sorted by distance-to-root:
+       a. view-weight analysis over an (azimuth, elevation) grid (:885)
+       b. render the object orthographically; inpaint occluder regions
+          (LaMa; :1013-1080)
+       c. if view coverage is poor: novel views from Wonder3D (+SR, +normal
+          re-estimation), with a seed-retry ladder (:1591-1595)
+       d. per-object SDF finetune under generated-view + parent-collision
+          constraints (:3394)
+       e. marching-cubes candidates at several prune thresholds; accept the
+          first that passes sim_validation (< 8 deg drift) (:1697-1966),
+          falling back to the best unstable candidate (:1972-1978)
+       f. export coarse_recon_obj_{i}.ply + vis_info_{i}.pkl (:1981-1989)
+    5. solve_intersection -> translation_dict.pkl (:2002)
+    6. final whole-scene sim_scene (:2003)
+
+The frozen generative models run behind providers
+(holoscene_tpu/stage2/providers.py); physics behind
+holoscene_tpu/physics providers.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from holoscene_tpu.losses.holoscene_loss import LossConfig
+from holoscene_tpu.models.holoscene import (
+    HoloSceneConfig,
+    render_rays_only_multi_obj,
+)
+from holoscene_tpu.physics import sim_validation
+from holoscene_tpu.stage2.providers import default_providers, save_vis_info
+from holoscene_tpu.stage2.refine import (
+    FinetuneConfig,
+    make_object_finetune_step,
+    sample_collision_points,
+)
+from holoscene_tpu.stage2.scene_graph import (
+    create_scene_graph_from_meshes,
+    solve_intersection,
+)
+from holoscene_tpu.stage2.views import (
+    select_best_views,
+    wonder3d_camera_rig,
+)
+from holoscene_tpu.utils.mesh import Mesh, write_ply
+from holoscene_tpu.utils.plots import extract_object_meshes
+
+
+class Stage2Runner:
+    def __init__(
+        self,
+        params,
+        model_cfg: HoloSceneConfig,
+        dataset,
+        out_dir: str = "stage2_out",
+        loss_cfg: LossConfig | None = None,
+        finetune_cfg: FinetuneConfig = FinetuneConfig(),
+        providers: dict | None = None,
+        mesh_resolution: int = 128,
+        view_render_res: int = 64,
+        coverage_threshold: float = 0.55,
+        stability_threshold_deg: float = 8.0,
+        candidate_levels: tuple[float, ...] = (0.0, 0.003, 0.006),
+        seeds: tuple[int, ...] = (42, 43, 44),
+        seed: int = 0,
+        quiet: bool = False,
+    ):
+        self.params = params
+        self.cfg = model_cfg
+        self.dataset = dataset
+        self.out_dir = out_dir
+        self.lcfg = loss_cfg or LossConfig()
+        self.fcfg = finetune_cfg
+        self.mesh_resolution = mesh_resolution
+        self.view_render_res = view_render_res
+        self.coverage_threshold = coverage_threshold
+        self.stability_threshold = stability_threshold_deg
+        self.candidate_levels = candidate_levels
+        self.seeds = seeds
+        self.quiet = quiet
+        os.makedirs(out_dir, exist_ok=True)
+        self.rng = np.random.default_rng(seed)
+        self.key = jax.random.PRNGKey(seed)
+        self.failed_object_list: list[int] = []
+
+        from holoscene_tpu.models.fields import implicit_sdf_raw
+
+        self._sdf_raw = jax.jit(
+            lambda p, pts: implicit_sdf_raw(p, self.cfg.implicit, pts)
+        )
+        self.providers = providers or default_providers(
+            render_fn=self._render_view_pack_factory()
+        )
+        self._current_obj: int | None = None
+
+    # ------------------------------------------------------------------
+    # rendering helpers
+    # ------------------------------------------------------------------
+
+    def _ortho_uv(self, res: int):
+        ys, xs = np.mgrid[0:res, 0:res]
+        uv = np.stack(
+            [(xs + 0.5) / res * 2 - 1, (ys + 0.5) / res * 2 - 1], axis=-1
+        ).reshape(-1, 2)
+        return jnp.asarray(uv, dtype=jnp.float32)
+
+    def render_object_view(self, obj_i: int, pose: np.ndarray,
+                           half_extent: float, res: int | None = None,
+                           chunk: int = 4096) -> dict:
+        """Isolated orthographic render of one object (reference
+        forward_only_multi_obj_rays over 1024-ray chunks,
+        holoscene_train_post.py:973)."""
+        res = res or self.view_render_res
+        uv = self._ortho_uv(res)
+        pose_j = jnp.asarray(pose, dtype=jnp.float32)
+        rays_o = pose_j[:3, 3][None, :] + (
+            uv[:, 0:1] * half_extent * pose_j[:3, 0][None, :]
+            + uv[:, 1:2] * half_extent * pose_j[:3, 1][None, :]
+        )
+        rays_d = jnp.broadcast_to(pose_j[:3, 2][None, :], rays_o.shape)
+        outs = {"rgb": [], "normal": [], "depth": [], "acc": []}
+        for i in range(0, rays_o.shape[0], chunk):
+            out = render_rays_only_multi_obj(
+                self.params, self.cfg, jax.random.PRNGKey(0),
+                rays_o[i : i + chunk], rays_d[i : i + chunk],
+                jnp.ones((min(chunk, rays_o.shape[0] - i), 1)),
+                pose_j[:3, :3].T, (obj_i,), training=False,
+            )
+            outs["rgb"].append(np.asarray(out["rgb_values"]))
+            outs["normal"].append(np.asarray(out["normal_map"]))
+            outs["depth"].append(np.asarray(out["depth_values"]))
+            outs["acc"].append(np.asarray(out["acc"]))
+        return {
+            "rgb": np.concatenate(outs["rgb"]).reshape(res, res, 3),
+            "normal": np.concatenate(outs["normal"]).reshape(res, res, 3),
+            "depth": np.concatenate(outs["depth"]).reshape(res, res),
+            "mask": np.concatenate(outs["acc"]).reshape(res, res) > 0.5,
+        }
+
+    def _render_view_pack_factory(self):
+        def render_fn(pose, seed):
+            obj_i = self._current_obj if self._current_obj is not None else 0
+            half = self._current_half_extent
+            pack = self.render_object_view(obj_i, pose, half)
+            return {"rgb": pack["rgb"], "normal": pack["normal"],
+                    "mask": pack["mask"]}
+
+        return render_fn
+
+    # ------------------------------------------------------------------
+    # pipeline steps
+    # ------------------------------------------------------------------
+
+    def extract_meshes(self) -> list[Mesh | None]:
+        params = self.params["implicit"]
+        return extract_object_meshes(
+            lambda pts: self._sdf_raw(params, pts),
+            self.cfg.implicit.d_out,
+            resolution=self.mesh_resolution,
+        )
+
+    def object_mesh_candidates(self, obj_i: int) -> list[Mesh]:
+        """Marching-cubes candidates at multiple prune thresholds
+        (marching_cubes_from_sdf_center_scale_rm_intersect,
+        utils/general.py:3687)."""
+        params = self.params["implicit"]
+        from holoscene_tpu.utils.mc import extract_mesh
+
+        candidates = []
+        for level in self.candidate_levels:
+            v, f = extract_mesh(
+                lambda pts: self._sdf_raw(params, pts)[:, obj_i],
+                resolution=self.mesh_resolution,
+                level=level,
+            )
+            if len(f):
+                candidates.append(Mesh(v, f).largest_component())
+        return candidates
+
+    def stability_ladder(self, obj_i: int, support_meshes: list[Mesh]):
+        """Try candidates until one passes sim_validation (< 8 deg)
+        (holoscene_train_post.py:1697-1978)."""
+        best = None
+        best_drift = np.inf
+        for cand in self.object_mesh_candidates(obj_i):
+            res = sim_validation([*support_meshes, cand])
+            if not self.quiet:
+                print(f"  [obj {obj_i}] candidate drift={res.drift_deg:.1f}deg")
+            if res.drift_deg < best_drift:
+                best, best_drift = cand, res.drift_deg
+            if res.drift_deg < self.stability_threshold:
+                return cand, res.drift_deg, True
+        if best is None:
+            self.failed_object_list.append(obj_i)
+        return best, best_drift, False
+
+    def generate_novel_views(self, obj_i: int, mesh: Mesh,
+                             half_extent: float) -> list[dict]:
+        """Novel views from the provider with the Wonder3D rig + seed-retry
+        (holoscene_train_post.py:1591-1595). Returns vis_info-style packs."""
+        b = mesh.bounds
+        center = (b[0] + b[1]) / 2
+        radius = float(np.linalg.norm(b[1] - b[0])) * 1.2
+        rig = wonder3d_camera_rig(center, radius)
+        front = self.render_object_view(obj_i, rig[0], half_extent)
+
+        provider = self.providers.get("novel_view")
+        self._current_obj = obj_i
+        self._current_half_extent = half_extent
+        views = None
+        for seed in self.seeds:
+            try:
+                views = provider.generate_views(
+                    front["rgb"], front["mask"], rig, seed=seed
+                )
+                break
+            except Exception as e:  # retry ladder
+                if not self.quiet:
+                    print(f"  [obj {obj_i}] novel-view seed {seed} failed: {e}")
+        if views is None:
+            return []
+        packs = []
+        for pose, v in zip(rig, views):
+            packs.append(
+                {
+                    "pose": np.asarray(pose, dtype=np.float32),
+                    "half_extent": float(half_extent),
+                    "rgb": np.asarray(v["rgb"], dtype=np.float32),
+                    "normal": np.asarray(v["normal"], dtype=np.float32),
+                    "mask": np.asarray(v["mask"], dtype=bool),
+                }
+            )
+        return packs
+
+    def finetune_object(self, obj_i: int, gen_views: list[dict],
+                        bbox_center, bbox_scale, parent_ids: tuple[int, ...],
+                        n_iters: int | None = None):
+        """Refine one object's SDF (holoscene_train_post.py:3394)."""
+        step, optimizer = make_object_finetune_step(
+            self.cfg, self.lcfg, self.fcfg, obj_i
+        )
+        opt_state = optimizer.init(self.params)
+        total = n_iters or self.fcfg.iters
+        m = self.fcfg.invis_pixels
+
+        for it in range(total):
+            _, sample, gt = self.dataset.sample_rays(
+                self.fcfg.rays_per_step, class_id=obj_i
+            )
+            batch = {
+                "uv": jnp.asarray(sample["uv"]),
+                "pose": jnp.asarray(sample["pose"]),
+                "intrinsics": jnp.asarray(sample["intrinsics"]),
+                "rgb": jnp.asarray(gt["rgb"]),
+                "depth": jnp.asarray(gt["depth"]),
+                "normal": jnp.asarray(gt["normal"]),
+                "segs": jnp.asarray(gt["segs"], dtype=jnp.int32),
+                "mask": jnp.asarray(gt["mask"]),
+            }
+            use_invis = len(gen_views) > 0
+            if use_invis:
+                view = gen_views[int(self.rng.integers(len(gen_views)))]
+                res = view["rgb"].shape[0]
+                pix = self.rng.integers(0, res * res, m)
+                uv_unit = np.stack(
+                    [(pix % res + 0.5) / res * 2 - 1,
+                     (pix // res + 0.5) / res * 2 - 1], axis=-1
+                )
+                gen_view = {
+                    "pose": jnp.asarray(view["pose"]),
+                    "half_extent": jnp.asarray(view["half_extent"]),
+                    "rgb": jnp.asarray(view["rgb"].reshape(-1, 3)[pix]),
+                    "normal": jnp.asarray(view["normal"].reshape(-1, 3)[pix]),
+                    "mask": jnp.asarray(
+                        view["mask"].reshape(-1)[pix], dtype=jnp.float32
+                    ),
+                    "uv": jnp.asarray(uv_unit, dtype=jnp.float32),
+                }
+            else:
+                zero = jnp.zeros((m, 3))
+                gen_view = {
+                    "pose": jnp.eye(4), "half_extent": jnp.asarray(1.0),
+                    "rgb": zero, "normal": zero, "mask": jnp.zeros(m),
+                    "uv": jnp.zeros((m, 2)),
+                }
+            coll_pts, coll_sdf = sample_collision_points(
+                self.params, self.cfg, bbox_center, bbox_scale, parent_ids,
+                self.fcfg.collision_pts, self.rng,
+            )
+            self.key, k = jax.random.split(self.key)
+            self.params, opt_state, metrics = step(
+                self.params, opt_state, k, batch, gen_view,
+                jnp.asarray(1.0), coll_pts, coll_sdf,
+                use_invis=use_invis, coll_mode="contain",
+            )
+            if not self.quiet and (it % 50 == 0 or it == total - 1):
+                print(
+                    f"  [obj {obj_i}] ft it {it} loss={float(metrics['loss']):.4f} "
+                    f"coll={float(metrics['collision_loss']):.4f}"
+                )
+        return self.params
+
+    # ------------------------------------------------------------------
+    # orchestration
+    # ------------------------------------------------------------------
+
+    def run(self, finetune_iters: int | None = None):
+        meshes = self.extract_meshes()
+        k = self.cfg.implicit.d_out
+
+        graph = (
+            self.dataset.graph_node_dict
+            if getattr(self.dataset, "graph_node_dict", None)
+            else create_scene_graph_from_meshes(meshes)
+        )
+        with open(os.path.join(self.out_dir, "graph_node_dict.pkl"), "wb") as f:
+            pickle.dump(graph, f)
+
+        order = sorted(
+            (i for i in range(1, k) if meshes[i] is not None),
+            key=lambda i: graph.get(i, {}).get("dist_to_root", 1),
+        )
+        accepted: dict[int, Mesh] = {}
+        if meshes[0] is not None:
+            accepted[0] = meshes[0]
+            write_ply(
+                os.path.join(self.out_dir, "coarse_recon_obj_0.ply"), meshes[0]
+            )
+
+        for obj_i in order:
+            mesh = meshes[obj_i]
+            b = mesh.bounds
+            center = (b[0] + b[1]) / 2
+            scale = (b[1] - b[0]) / 2 + 0.05
+            half_extent = float(np.linalg.norm(b[1] - b[0]) / 2 * 1.3)
+            self._current_obj = obj_i
+            self._current_half_extent = half_extent
+
+            others = [m for j, m in enumerate(meshes) if j != obj_i and m is not None]
+            best_views = select_best_views(
+                mesh, others, n_views=4, img_res=self.view_render_res
+            )
+            coverage = max((w for _, w in best_views), default=0.0)
+            if not self.quiet:
+                print(f"[obj {obj_i}] view coverage {coverage:.2f}")
+
+            gen_views = []
+            if coverage < self.coverage_threshold and self.providers.get("novel_view"):
+                gen_views = self.generate_novel_views(obj_i, mesh, half_extent)
+
+            parent = graph.get(obj_i, {}).get("parent", 0)
+            parent_ids = (parent if parent >= 0 else 0,)
+            self.finetune_object(
+                obj_i, gen_views, center, scale, parent_ids,
+                n_iters=finetune_iters,
+            )
+
+            supports = [accepted.get(parent if parent >= 0 else 0)]
+            supports = [s for s in supports if s is not None]
+            cand, drift, stable = self.stability_ladder(obj_i, supports or [mesh])
+            if cand is not None:
+                accepted[obj_i] = cand
+                write_ply(
+                    os.path.join(self.out_dir, f"coarse_recon_obj_{obj_i}.ply"),
+                    cand,
+                )
+            if gen_views:
+                save_vis_info(
+                    os.path.join(self.out_dir, f"vis_info_{obj_i}.pkl"),
+                    gen_views,
+                )
+            if not self.quiet:
+                print(f"[obj {obj_i}] accepted drift={drift:.1f} stable={stable}")
+
+        mesh_list = [accepted.get(i) for i in range(k)]
+        translations = solve_intersection(mesh_list, graph)
+        with open(os.path.join(self.out_dir, "translation_dict.pkl"), "wb") as f:
+            pickle.dump({i: np.asarray(t) for i, t in translations.items()}, f)
+
+        return {
+            "meshes": mesh_list,
+            "graph": graph,
+            "translations": translations,
+            "failed_objects": self.failed_object_list,
+        }

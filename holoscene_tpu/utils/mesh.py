@@ -118,8 +118,10 @@ class Mesh:
         return self.submesh(keep)
 
     def sample_surface(self, n: int, rng=None) -> np.ndarray:
-        """Uniform area-weighted surface samples [n,3]."""
+        """Uniform area-weighted surface samples [n,3] (empty mesh -> [0,3])."""
         rng = rng or np.random.default_rng(0)
+        if len(self.faces) == 0:
+            return np.zeros((0, 3))
         areas = self.face_areas
         p = areas / max(areas.sum(), 1e-12)
         fi = rng.choice(len(self.faces), n, p=p)

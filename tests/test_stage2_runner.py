@@ -1,0 +1,63 @@
+import jax
+import numpy as np
+import pytest
+
+from holoscene_tpu.datasets.ns_dataset import NSDataset
+from holoscene_tpu.datasets.synthetic import generate_scene
+from holoscene_tpu.losses.holoscene_loss import LossConfig
+from holoscene_tpu.models.fields import ImplicitNetworkConfig, RenderingNetworkConfig
+from holoscene_tpu.models.holoscene import HoloSceneConfig, init_holoscene
+from holoscene_tpu.ops.sampler import SamplerConfig
+from holoscene_tpu.stage2.refine import FinetuneConfig
+from holoscene_tpu.stage2.runner import Stage2Runner
+
+
+@pytest.fixture(scope="module")
+def scene(tmp_path_factory):
+    root = tmp_path_factory.mktemp("s2r")
+    generate_scene(str(root / "scene_0"), n_images=6, img_res=(32, 32))
+    return NSDataset(str(root), "scene_0", img_res=(32, 32))
+
+
+def tiny_cfg(d_out):
+    return HoloSceneConfig(
+        implicit=ImplicitNetworkConfig(
+            feature_vector_size=16, d_out=d_out, dims=(16, 16), multires=2,
+            num_levels=3, level_dim=2, base_size=4, end_size=16, logmap=8,
+        ),
+        rendering=RenderingNetworkConfig(
+            feature_vector_size=16, dims=(16, 16), multires_view=2,
+            multires_point=2, multires_normal=2,
+        ),
+        sampler=SamplerConfig(
+            N_samples=6, N_samples_eval=8, N_samples_extra=2,
+            beta_iters=3, max_total_iters=2,
+        ),
+        use_bg_reg=False,
+    )
+
+
+def test_stage2_runner_end_to_end(scene, tmp_path):
+    cfg = tiny_cfg(len(scene.label_mapping))
+    params = init_holoscene(jax.random.PRNGKey(0), cfg)
+    runner = Stage2Runner(
+        params, cfg, scene, out_dir=str(tmp_path / "s2"),
+        loss_cfg=LossConfig(depth_weight=0.1, semantic_weight=0.5),
+        finetune_cfg=FinetuneConfig(
+            iters=2, rays_per_step=64, invis_pixels=64, collision_pts=128,
+        ),
+        mesh_resolution=32,
+        view_render_res=24,
+        candidate_levels=(0.0,),
+        quiet=True,
+    )
+    result = runner.run(finetune_iters=2)
+
+    assert "graph" in result and result["graph"][0]["root"]
+    assert (tmp_path / "s2" / "graph_node_dict.pkl").exists()
+    assert (tmp_path / "s2" / "translation_dict.pkl").exists()
+    # at least the background mesh was accepted and written
+    assert (tmp_path / "s2" / "coarse_recon_obj_0.ply").exists()
+    assert len(result["meshes"]) == len(scene.label_mapping)
+    for t in result["translations"].values():
+        assert np.all(np.isfinite(t))
