@@ -58,6 +58,9 @@ def flagship_config() -> HoloSceneConfig:
             eps=0.1, beta_iters=10, max_total_iters=5,
         ),
         use_bg_reg=False,  # hot-loop iteration (bg patch runs every 10th)
+        # coarse-level SDF probes for sample placement (render stays exact);
+        # halves the sampler's gather traffic — see HoloSceneConfig
+        sampler_grid_levels=8,
     )
 
 
@@ -99,7 +102,9 @@ def main():
         params, opt_state, metrics = step(
             params, opt_state, k, batch, i, call_reg=True, with_bg=False
         )
-    jax.block_until_ready(metrics)
+    # host readback forces the full chain (block_until_ready is unreliable
+    # through remote-execution relays)
+    _ = float(metrics["loss"])
 
     t0 = time.perf_counter()
     for i in range(TIMED_STEPS):
@@ -107,7 +112,7 @@ def main():
         params, opt_state, metrics = step(
             params, opt_state, k, batch, i, call_reg=True, with_bg=False
         )
-    jax.block_until_ready(metrics)
+    _ = float(metrics["loss"])
     dt = time.perf_counter() - t0
 
     rays_per_sec = NUM_RAYS * TIMED_STEPS / dt

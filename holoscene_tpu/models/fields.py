@@ -201,6 +201,8 @@ def _kaiming_linear(key: jax.Array, in_dim: int, out_dim: int) -> Params:
 def implicit_forward(
     params: Params, cfg: ImplicitNetworkConfig, x: jnp.ndarray,
     with_features: bool = True,
+    packed: bool = True,
+    grid_levels: int | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray | None]:
     """x [N,3] -> (sdf_raw [N,K], feature_vectors [N,F] or None).
 
@@ -208,12 +210,40 @@ def implicit_forward(
     `with_features=False` skips the color hash grid + mapping MLP — the
     sampler and SDF-only probes don't need them (the reference wastes this
     work in get_sdf_vals; skipping it halves the sampler's gather traffic).
+    `grid_levels=L` evaluates only the first L (coarse) hash levels and
+    zero-pads the fine-level features — an approximation used ONLY for
+    sample placement (the error-bound sampler's no-grad SDF probes); the
+    level offsets are shared with the full table, so the same parameters
+    serve both paths.
     """
     xn = x / cfg.divide_factor
     grid_dim = cfg.num_levels * cfg.level_dim
     if cfg.use_grid_feature:
         # HashEncoder maps [-1,1] -> [0,1] internally (hashgrid.py:158)
-        feature = hash_encode((xn + 1.0) * 0.5, params["grid"], cfg.grid_meta)
+        if grid_levels is not None and grid_levels < cfg.num_levels:
+            # NOTE: keep the FULL grid's per-level scale (desired_resolution
+            # would re-derive a different scale for fewer levels)
+            full_meta = cfg.grid_meta
+            meta_s = HashGridMeta(
+                input_dim=full_meta.input_dim,
+                num_levels=grid_levels,
+                level_dim=full_meta.level_dim,
+                base_resolution=full_meta.base_resolution,
+                log2_hashmap_size=full_meta.log2_hashmap_size,
+                per_level_scale=full_meta.per_level_scale,
+                desired_resolution=None,
+            )
+            coarse = hash_encode((xn + 1.0) * 0.5, params["grid"], meta_s,
+                                 packed=packed)
+            feature = jnp.concatenate(
+                [coarse,
+                 jnp.zeros(x.shape[:-1] + (grid_dim - coarse.shape[-1],),
+                           dtype=x.dtype)],
+                axis=-1,
+            )
+        else:
+            feature = hash_encode((xn + 1.0) * 0.5, params["grid"],
+                                  cfg.grid_meta, packed=packed)
     else:
         feature = jnp.zeros(x.shape[:-1] + (grid_dim,), dtype=x.dtype)
 
@@ -236,7 +266,8 @@ def implicit_forward(
         sdf_raw = h
         if not with_features:
             return sdf_raw, None
-        cf = hash_encode((xn + 1.0) * 0.5, params["color_grid"], cfg.grid_meta)
+        cf = hash_encode((xn + 1.0) * 0.5, params["color_grid"], cfg.grid_meta,
+                         packed=packed)
         cf = _plain_linear_apply(params["color_map_mlp"]["lin0"], cf)
         cf = jax.nn.relu(cf)
         cf = _plain_linear_apply(params["color_map_mlp"]["lin1"], cf)
@@ -247,8 +278,10 @@ def implicit_forward(
     return sdf_raw, feature_vectors
 
 
-def implicit_sdf_raw(params, cfg, x):
-    return implicit_forward(params, cfg, x, with_features=False)[0]
+def implicit_sdf_raw(params, cfg, x, packed: bool = True,
+                     grid_levels: int | None = None):
+    return implicit_forward(params, cfg, x, with_features=False, packed=packed,
+                            grid_levels=grid_levels)[0]
 
 
 def implicit_scene_sdf(params, cfg, x):
@@ -301,7 +334,8 @@ def implicit_all_gradients(params, cfg, x):
     """
 
     def f(pts):
-        raw = implicit_sdf_raw(params, cfg, pts)
+        # forward-mode path: custom_vjp (packed gather) has no JVP rule
+        raw = implicit_sdf_raw(params, cfg, pts, packed=False)
         return jnp.concatenate([raw, raw.min(axis=-1, keepdims=True)], axis=-1)
 
     # one JVP per input dimension over the BATCHED function (points are

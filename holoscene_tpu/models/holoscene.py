@@ -63,6 +63,10 @@ class HoloSceneConfig:
     render_bg_iter: int = 10
     beta_init: float = 0.1
     beta_min: float = 1e-4
+    # Coarse-level SDF probes for SAMPLE PLACEMENT only (the final render
+    # always evaluates all levels). None = exact reference semantics; 8
+    # halves the sampler's gather traffic, the dominant Stage-1 cost on TPU.
+    sampler_grid_levels: int | None = None
 
     @property
     def num_semantic(self) -> int:
@@ -111,7 +115,9 @@ def scene_sdf_nograd(params: Params, cfg: HoloSceneConfig, obj_idxs=None):
     frozen = jax.lax.stop_gradient(params["implicit"])
 
     def fn(pts: jnp.ndarray) -> jnp.ndarray:
-        raw = implicit_sdf_raw(frozen, cfg.implicit, pts)
+        raw = implicit_sdf_raw(
+            frozen, cfg.implicit, pts, grid_levels=cfg.sampler_grid_levels
+        )
         if obj_idxs is not None:
             raw = raw[:, list(obj_idxs)]
         return raw.min(axis=-1)

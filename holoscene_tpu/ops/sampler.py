@@ -318,6 +318,70 @@ def error_bound_sample(
     return z_final, z_eik
 
 
+def ray_marching_surface(
+    key: jax.Array,
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    sdf_fn,
+    cfg: SamplerConfig,
+    n_steps: int = 128,
+    n_secant_steps: int = 8,
+    near: jnp.ndarray | None = None,
+    far: jnp.ndarray | None = None,
+):
+    """Sphere-trace-style surface depth via sign-change detection + secant
+    refinement (reference ray_marching_surface + secant,
+    ray_sampler.py:474-608; used for per-object depth maps in Stage 2).
+
+    Returns (depth [R,1], hit_mask [R]). Rays without a +- sign change get
+    depth = far.
+    """
+    del key
+    R = rays_o.shape[0]
+    if near is None or far is None:
+        _, far_cube = near_far_from_cube(
+            rays_o, rays_d, bound=cfg.scene_bounding_sphere,
+            min_near=cfg.near, max_far=cfg.far,
+        )
+        near = jnp.full((R, 1), cfg.near)
+        far = far_cube
+
+    t_vals = jnp.linspace(0.0, 1.0, n_steps)[None, :]
+    z = near * (1.0 - t_vals) + far * t_vals  # [R, S]
+    pts = rays_o[:, None, :] + z[..., None] * rays_d[:, None, :]
+    val = sdf_fn(pts.reshape(-1, 3)).reshape(R, n_steps)
+
+    # first +- transition (outside -> inside), reference :560-575
+    sign_change = (val[:, :-1] > 0) & (val[:, 1:] < 0)
+    any_hit = jnp.any(sign_change, axis=-1) & (val[:, 0] > 0)
+    first = jnp.argmax(sign_change, axis=-1)  # index of low side
+
+    d_low = jnp.take_along_axis(z, first[:, None], axis=-1)[:, 0]
+    f_low = jnp.take_along_axis(val, first[:, None], axis=-1)[:, 0]
+    hi = jnp.minimum(first + 1, n_steps - 1)
+    d_high = jnp.take_along_axis(z, hi[:, None], axis=-1)[:, 0]
+    f_high = jnp.take_along_axis(val, hi[:, None], axis=-1)[:, 0]
+
+    def secant_step(_, carry):
+        d_low, f_low, d_high, f_high = carry
+        d_pred = -f_low * (d_high - d_low) / (f_high - f_low + 1e-12) + d_low
+        p_mid = rays_o + d_pred[:, None] * rays_d
+        f_mid = sdf_fn(p_mid)
+        same_side = f_mid * f_low > 0
+        d_low = jnp.where(same_side, d_pred, d_low)
+        f_low = jnp.where(same_side, f_mid, f_low)
+        d_high = jnp.where(same_side, d_high, d_pred)
+        f_high = jnp.where(same_side, f_high, f_mid)
+        return d_low, f_low, d_high, f_high
+
+    d_low, f_low, d_high, f_high = jax.lax.fori_loop(
+        0, n_secant_steps, secant_step, (d_low, f_low, d_high, f_high)
+    )
+    d_pred = -f_low * (d_high - d_low) / (f_high - f_low + 1e-12) + d_low
+    depth = jnp.where(any_hit, d_pred, far[:, 0])
+    return depth[:, None], any_hit
+
+
 def uniform_sample(
     key: jax.Array,
     rays_o: jnp.ndarray,

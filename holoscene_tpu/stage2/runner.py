@@ -192,12 +192,13 @@ class Stage2Runner:
                 candidates.append(Mesh(v, f).largest_component())
         return candidates
 
-    def stability_ladder(self, obj_i: int, support_meshes: list[Mesh]):
+    def stability_ladder(self, obj_i: int, support_meshes: list[Mesh],
+                         extra_candidates: list[Mesh] = ()):
         """Try candidates until one passes sim_validation (< 8 deg)
         (holoscene_train_post.py:1697-1978)."""
         best = None
         best_drift = np.inf
-        for cand in self.object_mesh_candidates(obj_i):
+        for cand in [*self.object_mesh_candidates(obj_i), *extra_candidates]:
             res = sim_validation([*support_meshes, cand])
             if not self.quiet:
                 print(f"  [obj {obj_i}] candidate drift={res.drift_deg:.1f}deg")
@@ -370,9 +371,32 @@ class Stage2Runner:
                 n_iters=finetune_iters,
             )
 
+            # mesh-from-generated-views fallback candidate (reference
+            # coarse_recon after Wonder3D, holoscene_train_post.py:1680)
+            extra = []
+            if gen_views:
+                try:
+                    from holoscene_tpu.stage2.remesh import (
+                        CoarseReconConfig,
+                        coarse_recon,
+                    )
+
+                    extra.append(
+                        coarse_recon(
+                            gen_views, center,
+                            float(np.linalg.norm(b[1] - b[0]) / 2),
+                            CoarseReconConfig(iters=120, img_res=64),
+                        )
+                    )
+                except Exception as e:
+                    if not self.quiet:
+                        print(f"  [obj {obj_i}] coarse_recon failed: {e}")
+
             supports = [accepted.get(parent if parent >= 0 else 0)]
             supports = [s for s in supports if s is not None]
-            cand, drift, stable = self.stability_ladder(obj_i, supports or [mesh])
+            cand, drift, stable = self.stability_ladder(
+                obj_i, supports or [mesh], extra_candidates=extra
+            )
             if cand is not None:
                 accepted[obj_i] = cand
                 write_ply(

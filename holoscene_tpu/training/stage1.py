@@ -201,6 +201,8 @@ class Stage1Runner:
         use_mesh: bool = True,
         seed: int = 0,
         quiet: bool = False,
+        use_wandb: bool = False,
+        use_tensorboard: bool = False,
     ):
         self.conf = conf
         self.quiet = quiet
@@ -276,6 +278,17 @@ class Stage1Runner:
                                           self.optimizer)
         self.render_frame = make_eval_render(self.model_cfg)
         self.history: list[dict] = []
+
+        from holoscene_tpu.utils.logging import MetricsLogger
+
+        self.logger = MetricsLogger(
+            self.rundir,
+            project=conf.get_string("wandb.project_name", "holoscene_tpu"),
+            run_name=f"{self.expname}/{self.timestamp}",
+            use_wandb=use_wandb,
+            use_tensorboard=use_tensorboard,
+            config=conf.as_plain_dict(),
+        )
 
         from holoscene_tpu.models.fields import implicit_sdf_raw
 
@@ -359,6 +372,7 @@ class Stage1Runner:
                 m["rays_per_sec"] = rays_done / max(dt, 1e-9)
                 m["iter"] = it
                 self.history.append(m)
+                self.logger.log(m, step=it)
                 if not self.quiet:
                     print(
                         f"[{self.expname}] it {it} loss={m['loss']:.4f} "

@@ -137,10 +137,12 @@ def test_hashgrid_forward_shapes_and_oob():
 
 
 def test_hashgrid_dense_level_matches_manual_trilinear():
-    """Level 0 (4^3 dense) must reproduce hand-computed smoothstep-trilerp."""
+    """Level 0 (4^3 dense) must reproduce hand-computed smoothstep-trilerp
+    (packed=False for exact f32; the packed fast path is checked against it
+    separately below)."""
     emb = init_hash_embeddings(jax.random.PRNGKey(1), META)
     x = jnp.array([[0.37, 0.11, 0.68]])
-    out = hash_encode(x, emb, META)[0, :2]  # level-0 features
+    out = hash_encode(x, emb, META, packed=False)[0, :2]  # level-0 features
 
     scale = 4 - 1.0  # base_resolution - 1 (level 0)
     pos = np.array([0.37, 0.11, 0.68]) * scale
@@ -169,6 +171,32 @@ def test_hashgrid_continuity_across_cell_boundary():
     fa = hash_encode(xa, emb, META)
     fb = hash_encode(xb, emb, META)
     np.testing.assert_allclose(np.asarray(fa), np.asarray(fb), atol=1e-4)
+
+
+def test_hashgrid_packed_matches_unpacked():
+    """The packed bf16-pair gather must match the exact path to bf16
+    precision, and its custom-VJP gradient must match exactly (gradients
+    scatter in f32)."""
+    emb = init_hash_embeddings(jax.random.PRNGKey(4), META)
+    x = jax.random.uniform(jax.random.PRNGKey(5), (64, 3))
+    f_packed = hash_encode(x, emb, META, packed=True)
+    f_exact = hash_encode(x, emb, META, packed=False)
+    # init values ~1e-4; bf16 relative error ~0.4%
+    np.testing.assert_allclose(
+        np.asarray(f_packed), np.asarray(f_exact), atol=2e-6
+    )
+
+    def loss_packed(e):
+        return (hash_encode(x, e, META, packed=True) ** 2).sum()
+
+    def loss_exact(e):
+        return (hash_encode(x, e, META, packed=False) ** 2).sum()
+
+    # the scatter itself is exact f32; the cotangents differ only by the
+    # forward bf16 rounding
+    g_p = jax.grad(loss_packed)(emb)
+    g_e = jax.grad(loss_exact)(emb)
+    np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_e), atol=1e-6)
 
 
 def test_hashgrid_second_order_gradients():
