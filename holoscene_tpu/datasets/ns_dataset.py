@@ -342,3 +342,15 @@ class _Split:
     def __init__(self, d: dict):
         for k, v in d.items():
             setattr(self, k, v)
+
+
+class NSDatasetTex(NSDataset):
+    """Full-frame dataset variant for Stages 3/4 (reference
+    datasets/ns_dataset_tex.py:18-261: whole image + intrinsics + pose per
+    item, no ray subsampling). Same loading/normalization as NSDataset;
+    iteration yields full frames."""
+
+    def __getitem__(self, idx: int):
+        sample, gt = self.full_frame(idx)
+        sample["image_res"] = np.asarray(self.img_res)
+        return idx, sample, gt

@@ -142,10 +142,12 @@ def _gather_pairs_bwd(res, bars):
     idx, rows = res
     b0, b1 = bars
     flat_idx = idx.reshape(-1)
-    grad = jnp.zeros((rows, 2), dtype=jnp.float32)
-    grad = grad.at[flat_idx, 0].add(b0.reshape(-1))
-    grad = grad.at[flat_idx, 1].add(b1.reshape(-1))
-    return grad, None
+    # two ELEMENT scatters into a flat view: row-shaped [M, 2] scatters pad
+    # the 2-wide minor dim to 128 lanes (measured 2x slower end-to-end)
+    flat = jnp.zeros((rows * 2,), dtype=jnp.float32)
+    flat = flat.at[flat_idx * 2].add(b0.reshape(-1))
+    flat = flat.at[flat_idx * 2 + 1].add(b1.reshape(-1))
+    return flat.reshape(rows, 2), None
 
 
 gather_pairs.defvjp(_gather_pairs_fwd, _gather_pairs_bwd)

@@ -34,6 +34,7 @@ from holoscene_tpu.ops.gaussians import covariance_3d, eval_sh, project_gaussian
     jax.jit,
     static_argnames=(
         "width", "height", "tile_size", "max_per_tile", "sh_degree",
+        "use_pallas",
     ),
 )
 def render_gaussians(
@@ -50,9 +51,13 @@ def render_gaussians(
     max_per_tile: int = 512,
     sh_degree: int | None = None,
     background: jnp.ndarray | None = None,
+    use_pallas: bool = False,
 ):
     """Returns dict(rgb [H,W,3], depth [H,W] alpha-normalized expected depth,
-    alpha [H,W])."""
+    alpha [H,W]).
+
+    use_pallas=True composites through the fused Pallas tile kernel
+    (ops/splat_pallas.py) — inference only (the kernel has no backward)."""
     n = means.shape[0]
     tiles_x = -(-width // tile_size)
     tiles_y = -(-height // tile_size)
@@ -89,7 +94,9 @@ def render_gaussians(
 
     depth_masked_base = jnp.where(valid, depth, jnp.inf)
 
-    def render_tile_chunk(carry, chunk_idx):
+    def select_tile_chunk(chunk_idx):
+        """Per-tile gaussian selection: K nearest overlapping, sorted
+        front-to-back (shared by the JAX and Pallas compositors)."""
         x0 = jax.lax.dynamic_slice_in_dim(tx0, chunk_idx * tile_chunk, tile_chunk)
         y0 = jax.lax.dynamic_slice_in_dim(ty0, chunk_idx * tile_chunk, tile_chunk)
 
@@ -104,10 +111,12 @@ def render_gaussians(
             & (gy - r <= y0[:, None] + tile_size)
         )
         neg_depth = jnp.where(overlap, -depth_masked_base[None, :], -jnp.inf)
-
-        # K nearest overlapping gaussians, sorted front-to-back
         top_vals, top_idx = jax.lax.approx_max_k(neg_depth, k)  # [Tc, K]
         live = jnp.isfinite(top_vals)
+        return x0, y0, live, top_idx
+
+    def render_tile_chunk(carry, chunk_idx):
+        x0, y0, live, top_idx = select_tile_chunk(chunk_idx)
 
         g_xy = xy[top_idx]            # [Tc, K, 2]
         g_conic = conic[top_idx]      # [Tc, K, 3]
@@ -152,13 +161,37 @@ def render_gaussians(
         tx0 = jnp.concatenate([tx0, jnp.zeros(pad, tx0.dtype)])
         ty0 = jnp.concatenate([ty0, jnp.zeros(pad, ty0.dtype)])
 
-    _, (rgb_t, depth_t, alpha_t) = jax.lax.scan(
-        render_tile_chunk, None, jnp.arange(n_chunks)
-    )
-    # [n_chunks, Tc, P(,C)] -> [n_tiles_padded, P(,C)]
-    rgb_t = rgb_t.reshape(-1, tile_size * tile_size, 3)[:n_tiles]
-    depth_t = depth_t.reshape(-1, tile_size * tile_size)[:n_tiles]
-    alpha_t = alpha_t.reshape(-1, tile_size * tile_size)[:n_tiles]
+    if use_pallas:
+        from holoscene_tpu.ops.splat_pallas import composite_tiles_pallas
+
+        def select_only(carry, chunk_idx):
+            x0, y0, live, top_idx = select_tile_chunk(chunk_idx)
+            return carry, (x0, y0, live, top_idx)
+
+        _, (x0s, y0s, lives, top_idxs) = jax.lax.scan(
+            select_only, None, jnp.arange(n_chunks)
+        )
+        top_idx = top_idxs.reshape(-1, k)[:n_tiles]
+        live = lives.reshape(-1, k)[:n_tiles].astype(jnp.float32)
+        origins = jnp.stack(
+            [x0s.reshape(-1), y0s.reshape(-1)], axis=-1
+        )[:n_tiles].astype(jnp.float32)
+
+        rgb_t, depth_tn, alpha_t = composite_tiles_pallas(
+            xy[top_idx], conic[top_idx], rgb_n[top_idx],
+            opacities[top_idx] * live, depth[top_idx],
+            jnp.ones_like(live), origins, tile_size=tile_size,
+        )
+        # re-accumulate the unnormalized depth for a shared epilogue
+        depth_t = depth_tn * alpha_t
+    else:
+        _, (rgb_t, depth_t, alpha_t) = jax.lax.scan(
+            render_tile_chunk, None, jnp.arange(n_chunks)
+        )
+        # [n_chunks, Tc, P(,C)] -> [n_tiles_padded, P(,C)]
+        rgb_t = rgb_t.reshape(-1, tile_size * tile_size, 3)[:n_tiles]
+        depth_t = depth_t.reshape(-1, tile_size * tile_size)[:n_tiles]
+        alpha_t = alpha_t.reshape(-1, tile_size * tile_size)[:n_tiles]
 
     def tiles_to_image(tiles_flat, channels):
         img = tiles_flat.reshape(

@@ -248,6 +248,109 @@ class Stage2Runner:
             )
         return packs
 
+    def background_packs(self, max_views: int = 4) -> list[dict]:
+        """Inpaint background regions occluded by foreground objects in
+        training views (background_inpainting_sampling,
+        holoscene_train_post.py:2703 + LaMa passes :1013-1080) ->
+        bg_info-style supervision packs over PERSPECTIVE training views.
+        """
+        inpaint = self.providers.get("inpaint")
+        h, w = self.dataset.img_res
+        packs = []
+        n = min(max_views, self.dataset.n_images)
+        frame_ids = np.linspace(0, self.dataset.n_images - 1, n).astype(int)
+        for fi in frame_ids:
+            sem = self.dataset.semantic_images[fi].reshape(h, w)
+            occluded = sem != 0
+            if occluded.mean() < 0.01:
+                continue
+            rgb = self.dataset.rgb_images[fi].reshape(h, w, 3)
+            normal = self.dataset.normal_images[fi].reshape(h, w, 3)
+            depth = self.dataset.depth_images[fi].reshape(h, w)
+            rgb_in = inpaint.inpaint(rgb, occluded)
+            normal_in = inpaint.inpaint(normal, occluded)
+            depth_in = inpaint.inpaint(depth[..., None], occluded)[..., 0]
+            packs.append(
+                {
+                    "frame": int(fi),
+                    "pose": self.dataset.pose_all[fi],
+                    "rgb": rgb_in.astype(np.float32),
+                    "normal": normal_in.astype(np.float32),
+                    "depth": depth_in.astype(np.float32),
+                    # supervise exactly the regions that WERE occluded
+                    "mask": occluded,
+                }
+            )
+        return packs
+
+    def background_reconstruction(self, n_iters: int | None = None,
+                                  bg_packs: list[dict] | None = None):
+        """Finetune object 0 under inpainted-background supervision
+        (background_reconstruction, holoscene_train_post.py:3245)."""
+        if bg_packs is None:
+            bg_packs = self.background_packs()
+        if bg_packs:
+            save_vis_info(os.path.join(self.out_dir, "bg_info.pkl"), bg_packs)
+
+        step, optimizer = make_object_finetune_step(
+            self.cfg, self.lcfg, self.fcfg, 0
+        )
+        opt_state = optimizer.init(self.params)
+        total = n_iters or self.fcfg.iters
+        m = self.fcfg.rays_per_step
+        for it in range(total):
+            if bg_packs:
+                # sample inpainted-bg pixels as the ray batch: rays from the
+                # training camera supervised by the inpainted rgb/normal/depth
+                pack = bg_packs[int(self.rng.integers(len(bg_packs)))]
+                hh, ww = pack["mask"].shape
+                cand = np.flatnonzero(pack["mask"].reshape(-1))
+                if len(cand) == 0:
+                    continue
+                pix = self.rng.choice(cand, m)
+                uv = np.stack([pix % ww, pix // ww], -1).astype(np.float32)
+                batch = {
+                    "uv": jnp.asarray(uv),
+                    "pose": jnp.asarray(pack["pose"]),
+                    "intrinsics": jnp.asarray(self.dataset.intrinsics),
+                    "rgb": jnp.asarray(pack["rgb"].reshape(-1, 3)[pix]),
+                    "depth": jnp.asarray(
+                        pack["depth"].reshape(-1, 1)[pix]
+                    ),
+                    "normal": jnp.asarray(pack["normal"].reshape(-1, 3)[pix]),
+                    "segs": jnp.zeros(m, dtype=jnp.int32),
+                    "mask": jnp.ones((m, 1)),
+                }
+            else:
+                _, sample, gt = self.dataset.sample_rays(m, class_id=0)
+                batch = {
+                    "uv": jnp.asarray(sample["uv"]),
+                    "pose": jnp.asarray(sample["pose"]),
+                    "intrinsics": jnp.asarray(sample["intrinsics"]),
+                    "rgb": jnp.asarray(gt["rgb"]),
+                    "depth": jnp.asarray(gt["depth"]),
+                    "normal": jnp.asarray(gt["normal"]),
+                    "segs": jnp.asarray(gt["segs"], dtype=jnp.int32),
+                    "mask": jnp.asarray(gt["mask"]),
+                }
+            zero = jnp.zeros((self.fcfg.invis_pixels, 3))
+            gen_view = {
+                "pose": jnp.eye(4), "half_extent": jnp.asarray(1.0),
+                "rgb": zero, "normal": zero,
+                "mask": jnp.zeros(self.fcfg.invis_pixels),
+                "uv": jnp.zeros((self.fcfg.invis_pixels, 2)),
+            }
+            coll_pts = jnp.zeros((self.fcfg.collision_pts, 3))
+            coll_sdf = jnp.full((self.fcfg.collision_pts,), 1e3)
+            self.key, k = jax.random.split(self.key)
+            self.params, opt_state, metrics = step(
+                self.params, opt_state, k, batch, gen_view, jnp.asarray(0.0),
+                coll_pts, coll_sdf, use_invis=False, coll_mode="contain",
+            )
+            if not self.quiet and (it % 50 == 0 or it == total - 1):
+                print(f"  [bg] it {it} loss={float(metrics['loss']):.4f}")
+        return self.params
+
     def finetune_object(self, obj_i: int, gen_views: list[dict],
                         bbox_center, bbox_scale, parent_ids: tuple[int, ...],
                         n_iters: int | None = None):
@@ -331,6 +434,9 @@ class Stage2Runner:
         )
         with open(os.path.join(self.out_dir, "graph_node_dict.pkl"), "wb") as f:
             pickle.dump(graph, f)
+
+        # background first (holoscene_train_post.py:446-452)
+        self.background_reconstruction(n_iters=finetune_iters)
 
         order = sorted(
             (i for i in range(1, k) if meshes[i] is not None),

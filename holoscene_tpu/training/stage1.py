@@ -341,7 +341,41 @@ class Stage1Runner:
                 batch[k] = jax.device_put(batch[k], bs)
         return batch
 
-    def run(self, n_iters: int | None = None, log_every: int = 20):
+    def plot(self, it: int, frame_idx: int = 0, extract_meshes: bool = False):
+        """Plot-cadence artifacts (reference holoscene_train.py:283-353):
+        eval-render a frame to PNGs (rgb/normal/depth/instance) and
+        optionally extract + prune meshes + bboxes."""
+        from PIL import Image
+
+        sample, gt = self.dataset.full_frame(frame_idx)
+        out = self.render_frame(self.params, sample, chunk=self.split_n_pixels)
+        h, w = self.dataset.img_res
+
+        def save(name, arr):
+            Image.fromarray(
+                np.clip(arr * 255, 0, 255).astype(np.uint8)
+            ).save(os.path.join(self.plots_dir, f"{name}_{it}.png"))
+
+        save("rendering", out["rgb_values"].reshape(h, w, 3))
+        save("normal", (out["normal_map"].reshape(h, w, 3) + 1) / 2)
+        d = out["depth_values"].reshape(h, w)
+        save("depth", (d - d.min()) / max(d.max() - d.min(), 1e-9))
+        inst = np.argmax(out["object_opacity"], axis=-1).reshape(h, w)
+        save("instance", inst / max(self.model_cfg.num_semantic - 1, 1))
+
+        psnr = -10 * np.log10(
+            np.mean((out["rgb_values"] - gt["rgb"].reshape(-1, 3)) ** 2) + 1e-12
+        )
+        if not self.quiet:
+            print(f"[{self.expname}] plot it={it} frame={frame_idx} "
+                  f"psnr={psnr:.2f}")
+        if extract_meshes:
+            self.extract_meshes(epoch=it)
+        return {"psnr": float(psnr)}
+
+    def run(self, n_iters: int | None = None, log_every: int = 20,
+            plot_freq: int | None = None,
+            extract_meshes_on_plot: bool = False):
         end = self.start_iter + (n_iters if n_iters is not None else
                                  self.stop_iter - self.start_iter)
         if end <= self.start_iter and not self.quiet:
@@ -379,6 +413,9 @@ class Stage1Runner:
                         f"rgb={m['rgb_loss']:.4f} psnr={m['psnr']:.2f} "
                         f"beta={m['beta']:.4f} rays/s={m['rays_per_sec']:.0f}"
                     )
+
+            if plot_freq and (it + 1) % plot_freq == 0:
+                self.plot(it, extract_meshes=extract_meshes_on_plot)
 
             if (it + 1) % self.checkpoint_freq == 0 or it == end - 1:
                 ckpt_lib.save_checkpoint(

@@ -1,0 +1,59 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from holoscene_tpu.ops.splat_pallas import composite_tiles_pallas
+
+
+def _reference_composite(g_xy, g_conic, g_rgb, g_op, g_z, live, origins,
+                         tile_size):
+    """The JAX tile-compositing math from ops/splat.py, inline."""
+    t, k = g_op.shape
+    py, px = np.mgrid[0:tile_size, 0:tile_size]
+    pix = np.stack([px.ravel() + 0.5, py.ravel() + 0.5], -1)  # [P, 2]
+    pix = origins[:, None, :] + pix[None]  # [T, P, 2]
+
+    d = pix[:, None, :, :] - g_xy[:, :, None, :]  # [T, K, P, 2]
+    power = -0.5 * (
+        g_conic[..., 0, None] * d[..., 0] ** 2
+        + 2 * g_conic[..., 1, None] * d[..., 0] * d[..., 1]
+        + g_conic[..., 2, None] * d[..., 1] ** 2
+    )
+    alpha = np.minimum(0.999, (g_op * live)[..., None] * np.exp(np.minimum(power, 0)))
+    alpha = np.where(alpha >= 1 / 255, alpha, 0.0)
+    trans = np.cumprod(1 - alpha, axis=1)
+    trans = np.concatenate([np.ones_like(trans[:, :1]), trans[:, :-1]], axis=1)
+    w = alpha * trans  # [T, K, P]
+    rgb = np.einsum("tkp,tkc->tpc", w, g_rgb)
+    depth = np.einsum("tkp,tk->tp", w, g_z)
+    a = w.sum(1)
+    return rgb, depth / np.maximum(a, 1e-10), a
+
+
+def test_pallas_composite_matches_reference():
+    rng = np.random.default_rng(0)
+    t, k, ts = 4, 32, 8
+    origins = (rng.integers(0, 4, (t, 2)) * ts).astype(np.float32)
+    g_xy = origins[:, None, :] + rng.uniform(0, ts, (t, k, 2)).astype(np.float32)
+    g_conic = np.zeros((t, k, 3), np.float32)
+    g_conic[..., 0] = rng.uniform(0.05, 0.3, (t, k))
+    g_conic[..., 2] = rng.uniform(0.05, 0.3, (t, k))
+    g_rgb = rng.uniform(0, 1, (t, k, 3)).astype(np.float32)
+    g_op = rng.uniform(0.2, 0.9, (t, k)).astype(np.float32)
+    g_z = np.sort(rng.uniform(0.5, 3.0, (t, k)).astype(np.float32), axis=1)
+    live = (rng.uniform(0, 1, (t, k)) > 0.2).astype(np.float32)
+
+    ref_rgb, ref_depth, ref_alpha = _reference_composite(
+        g_xy, g_conic, g_rgb, g_op, g_z, live, origins, ts
+    )
+    rgb, depth, alpha = composite_tiles_pallas(
+        jnp.asarray(g_xy), jnp.asarray(g_conic), jnp.asarray(g_rgb),
+        jnp.asarray(g_op), jnp.asarray(g_z), jnp.asarray(live),
+        jnp.asarray(origins), tile_size=ts, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(rgb), ref_rgb, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(alpha), ref_alpha, atol=2e-5)
+    cover = ref_alpha > 1e-3
+    np.testing.assert_allclose(
+        np.asarray(depth)[cover], ref_depth[cover], atol=1e-3
+    )

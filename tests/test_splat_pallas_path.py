@@ -1,0 +1,54 @@
+import jax.numpy as jnp
+import numpy as np
+
+from holoscene_tpu.ops.splat import render_gaussians
+
+
+def test_render_gaussians_pallas_matches_jax():
+    """The Pallas compositing path must reproduce the JAX renderer
+    (interpret mode on CPU)."""
+    rng = np.random.default_rng(0)
+    n = 300
+    means = jnp.asarray(rng.uniform(-0.5, 0.5, (n, 3)).astype(np.float32))
+    quats = jnp.asarray(
+        np.tile([1.0, 0, 0, 0], (n, 1)).astype(np.float32)
+    )
+    scales = jnp.asarray(rng.uniform(0.02, 0.08, (n, 3)).astype(np.float32))
+    opac = jnp.asarray(rng.uniform(0.3, 0.9, n).astype(np.float32))
+    colors = jnp.asarray(rng.uniform(0, 1, (n, 3)).astype(np.float32))
+    viewmat = jnp.eye(4).at[2, 3].set(2.0)
+    intr = jnp.array([[60.0, 0, 32], [0, 60.0, 32], [0, 0, 1.0]])
+
+    kwargs = dict(
+        viewmat=viewmat, intrinsics=intr, width=64, height=64,
+        tile_size=16, max_per_tile=128,
+    )
+    # interpret-mode pallas on CPU
+    import holoscene_tpu.ops.splat_pallas as sp
+    import functools
+
+    orig = sp.composite_tiles_pallas
+    sp_interp = functools.partial(orig, interpret=True)
+    sp.composite_tiles_pallas = sp_interp
+    try:
+        out_p = render_gaussians(
+            means, quats, scales, opac, colors, use_pallas=True, **kwargs
+        )
+    finally:
+        sp.composite_tiles_pallas = orig
+    out_j = render_gaussians(
+        means, quats, scales, opac, colors, use_pallas=False, **kwargs
+    )
+
+    np.testing.assert_allclose(
+        np.asarray(out_p["rgb"]), np.asarray(out_j["rgb"]), atol=3e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_p["alpha"]), np.asarray(out_j["alpha"]), atol=3e-5
+    )
+    covered = np.asarray(out_j["alpha"]) > 1e-3
+    np.testing.assert_allclose(
+        np.asarray(out_p["depth"])[covered],
+        np.asarray(out_j["depth"])[covered],
+        rtol=1e-3,
+    )
