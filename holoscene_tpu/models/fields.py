@@ -284,6 +284,44 @@ def implicit_sdf_raw(params, cfg, x, packed: bool = True,
                             grid_levels=grid_levels)[0]
 
 
+def implicit_sdf_raw_sampler(params, cfg, x, blocks,
+                             grid_levels: int | None = None):
+    """SDF-only forward for the error-bound sampler using the block-table
+    fast path (ops/hashgrid.py hash_encode_sampler): dense levels cost one
+    row gather per point instead of 16 element gathers. No gradients flow
+    here (the sampler probes under stop_gradient)."""
+    from holoscene_tpu.ops.hashgrid import hash_encode_sampler
+
+    xn = x / cfg.divide_factor
+    grid_dim = cfg.num_levels * cfg.level_dim
+    feats = hash_encode_sampler(
+        (xn + 1.0) * 0.5, params["grid"], blocks, cfg.grid_meta,
+        grid_levels=grid_levels,
+    )
+    if feats.shape[-1] < grid_dim:
+        feats = jnp.concatenate(
+            [feats, jnp.zeros(x.shape[:-1] + (grid_dim - feats.shape[-1],),
+                              dtype=x.dtype)],
+            axis=-1,
+        )
+
+    if cfg.multires > 0:
+        embed = positional_encoding(x, cfg.multires)
+        h = jnp.concatenate([embed, feats], axis=-1)
+    else:
+        h = jnp.concatenate([x, feats], axis=-1)
+
+    inp = h
+    n_layers = len(cfg.layer_dims) - 1
+    for layer_i in range(n_layers):
+        if layer_i in cfg.skip_in:
+            h = jnp.concatenate([h, inp], axis=-1) / np.sqrt(2)
+        h = _weight_norm_apply(params["mlp"][f"lin{layer_i}"], h)
+        if layer_i < n_layers - 1:
+            h = softplus100(h)
+    return h if cfg.color_grid_feature else h[:, : cfg.d_out]
+
+
 def implicit_scene_sdf(params, cfg, x):
     """Scene SDF = min over object SDFs (model/network.py:287 MaxPool trick)."""
     return implicit_sdf_raw(params, cfg, x).min(axis=-1)

@@ -323,6 +323,7 @@ def render_gom(
     height: int,
     background: jnp.ndarray,
     visible_mask=None,
+    ortho: bool = False,
 ):
     """Full GoM render (gom.py:1082-1170). Returns dict(rgb, depth,
     accumulation)."""
@@ -345,7 +346,7 @@ def render_gom(
         means, quats, scales, opac, colors,
         viewmat, jnp.asarray(intrinsics, dtype=jnp.float32),
         width, height, tile_size=cfg.tile_size, max_per_tile=cfg.max_per_tile,
-        sh_degree=cfg.sh_degree, background=background,
+        sh_degree=cfg.sh_degree, background=background, ortho=ortho,
     )
     rgb = jnp.clip(out["rgb"], 0.0, 1.0)
     return {"rgb": rgb, "depth": out["depth"], "accumulation": out["alpha"]}

@@ -112,11 +112,18 @@ def scene_sdf_nograd(params: Params, cfg: HoloSceneConfig, obj_idxs=None):
     """Stop-gradient scene-SDF closure for the sampler (the reference samples
     under torch.no_grad, ray_sampler.py:150-156). obj_idxs selects a subset
     min-SDF for object-centric Stage-2 rendering."""
+    from holoscene_tpu.models.fields import implicit_sdf_raw_sampler
+    from holoscene_tpu.ops.hashgrid import build_dense_block_tables
+
     frozen = jax.lax.stop_gradient(params["implicit"])
+    # dense-level block tables: built once per traced step, hoisted out of
+    # the sampler's scan by XLA (loop-invariant)
+    blocks = build_dense_block_tables(frozen["grid"], cfg.implicit.grid_meta)
 
     def fn(pts: jnp.ndarray) -> jnp.ndarray:
-        raw = implicit_sdf_raw(
-            frozen, cfg.implicit, pts, grid_levels=cfg.sampler_grid_levels
+        raw = implicit_sdf_raw_sampler(
+            frozen, cfg.implicit, pts, blocks,
+            grid_levels=cfg.sampler_grid_levels,
         )
         if obj_idxs is not None:
             raw = raw[:, list(obj_idxs)]
@@ -365,6 +372,29 @@ def render_rays_only_multi_obj(
         "z_vals": z_vals,
         "sdf": subset_sdf,
     }
+
+
+def query_point_colors(
+    params: Params,
+    cfg: HoloSceneConfig,
+    points: jnp.ndarray,
+    view_dirs: jnp.ndarray,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Colors + unit normals of the field at given surface points/views
+    (reference get_colors_normals_from_point_rays*, model/network.py:
+    1532-1802 — used to color Stage-2/3 meshes from the trained field).
+    Returns (rgb [N,3], normals [N,3])."""
+    _, feature_vectors, gradients, _, _ = implicit_get_outputs(
+        params["implicit"], cfg.implicit, points
+    )
+    rgb = rendering_forward(
+        params["rendering"], cfg.rendering, points, gradients, view_dirs,
+        feature_vectors,
+    )
+    normals = gradients / jnp.sqrt(
+        jnp.sum(gradients * gradients, axis=-1, keepdims=True) + 1e-12
+    )
+    return rgb, normals
 
 
 def render_bg_patch(

@@ -113,8 +113,11 @@ def project_gaussians(
     height: int,
     near: float = 0.01,
     blur: float = 0.3,
+    ortho: bool = False,
 ):
-    """EWA splatting projection (gsplat classic mode).
+    """EWA splatting projection (gsplat classic mode; `ortho=True` matches
+    gsplat's camera_model="ortho", where intrinsics hold pixels-per-world-
+    unit scales — used for Stage-2/4 orthographic object views).
 
     Returns (xy [N,2] pixel centers, depth [N], conic [N,3] upper-tri of
     inverse cov2d, radius [N] 3-sigma px, valid [N]).
@@ -130,21 +133,31 @@ def project_gaussians(
     cx, cy = intrinsics[0, 2], intrinsics[1, 2]
     x = cam[:, 0]
     y = cam[:, 1]
-    # clamp the tangent-plane extent like gsplat to stabilize J off-screen
-    lim_x = 1.3 * (width / (2 * fx))
-    lim_y = 1.3 * (height / (2 * fy))
-    tx = jnp.clip(x / zc, -lim_x, lim_x) * zc
-    ty = jnp.clip(y / zc, -lim_y, lim_y) * zc
-
-    # J of (fx x/z, fy y/z): [N, 2, 3]
     zero = jnp.zeros_like(zc)
-    j = jnp.stack(
-        [
-            jnp.stack([fx / zc, zero, -fx * tx / zc ** 2], -1),
-            jnp.stack([zero, fy / zc, -fy * ty / zc ** 2], -1),
-        ],
-        axis=-2,
-    )
+    if ortho:
+        one = jnp.ones_like(zc)
+        j = jnp.stack(
+            [
+                jnp.stack([fx * one, zero, zero], -1),
+                jnp.stack([zero, fy * one, zero], -1),
+            ],
+            axis=-2,
+        )
+    else:
+        # clamp the tangent-plane extent like gsplat to stabilize J off-screen
+        lim_x = 1.3 * (width / (2 * fx))
+        lim_y = 1.3 * (height / (2 * fy))
+        tx = jnp.clip(x / zc, -lim_x, lim_x) * zc
+        ty = jnp.clip(y / zc, -lim_y, lim_y) * zc
+
+        # J of (fx x/z, fy y/z): [N, 2, 3]
+        j = jnp.stack(
+            [
+                jnp.stack([fx / zc, zero, -fx * tx / zc ** 2], -1),
+                jnp.stack([zero, fy / zc, -fy * ty / zc ** 2], -1),
+            ],
+            axis=-2,
+        )
     w_cov = r @ cov3d @ r.T if cov3d.ndim == 2 else jnp.einsum(
         "ij,njk,lk->nil", r, cov3d, r
     )
@@ -162,7 +175,10 @@ def project_gaussians(
     eig = mid + jnp.sqrt(jnp.maximum(mid * mid - det, 1e-12))
     radius = jnp.ceil(3.0 * jnp.sqrt(eig))
 
-    xy = jnp.stack([fx * x / zc + cx, fy * y / zc + cy], axis=-1)
+    if ortho:
+        xy = jnp.stack([fx * x + cx, fy * y + cy], axis=-1)
+    else:
+        xy = jnp.stack([fx * x / zc + cx, fy * y / zc + cy], axis=-1)
     on_screen = (
         (xy[:, 0] + radius > 0)
         & (xy[:, 0] - radius < width)

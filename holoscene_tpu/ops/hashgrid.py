@@ -160,9 +160,10 @@ def _corner_indices(meta: HashGridMeta):
     return np.stack([(idx >> k) & 1 for k in range(d)], axis=-1).astype(np.uint32)
 
 
-@partial(jax.jit, static_argnames=("meta", "packed"))
+@partial(jax.jit, static_argnames=("meta", "packed", "level_range"))
 def hash_encode(inputs: jnp.ndarray, embeddings: jnp.ndarray,
-                meta: HashGridMeta, packed: bool = True):
+                meta: HashGridMeta, packed: bool = True,
+                level_range: tuple[int, int] | None = None):
     """Encode points.
 
     inputs:     [N, D] in [0, 1] (out-of-range rows produce zero features)
@@ -179,17 +180,27 @@ def hash_encode(inputs: jnp.ndarray, embeddings: jnp.ndarray,
     """
     n, d = inputs.shape
     assert d == meta.input_dim
-    L, C = meta.num_levels, meta.level_dim
+    C = meta.level_dim
 
     res_np, sizes_np, offsets_np = meta.level_tables()
     scales = (
-        np.exp2(np.arange(L) * np.log2(meta.per_level_scale))
+        np.exp2(np.arange(meta.num_levels) * np.log2(meta.per_level_scale))
         * meta.base_resolution
         - 1.0
     ).astype(np.float32)  # hashencoder.cu:152
 
     # dense-indexable iff resolution^D rows fit in the level's table
     dense_np = (res_np.astype(np.int64) ** d) <= sizes_np.astype(np.int64)
+
+    # optional exact level slice (level_range=(lo, hi)): per-level metadata
+    # keeps the FULL table's offsets, so indices stay canonical
+    lo_lvl, hi_lvl = level_range if level_range is not None else (0, meta.num_levels)
+    res_np = res_np[lo_lvl:hi_lvl]
+    sizes_np = sizes_np[lo_lvl:hi_lvl]
+    offsets_np = offsets_np[lo_lvl:hi_lvl]
+    scales = scales[lo_lvl:hi_lvl]
+    dense_np = dense_np[lo_lvl:hi_lvl]
+    L = hi_lvl - lo_lvl
 
     scales_j = jnp.asarray(scales)[:, None, None]        # [L,1,1]
     res_j = jnp.asarray(res_np.astype(np.uint32))[:, None]      # [L,1]
@@ -250,6 +261,141 @@ def hash_encode(inputs: jnp.ndarray, embeddings: jnp.ndarray,
     feats = jnp.stack(feats_c, axis=1)  # [L, C, N]
     feats = jnp.where(oob[None, None, :], 0.0, feats)
     return feats.reshape(L * C, n).T
+
+
+def dense_level_count(meta: HashGridMeta) -> int:
+    """Number of leading levels whose dense grid fits the table (unhashed)."""
+    res_np, sizes_np, _ = meta.level_tables()
+    dense = (res_np.astype(np.int64) ** meta.input_dim) <= sizes_np.astype(
+        np.int64
+    )
+    n = 0
+    for d in dense:
+        if not d:
+            break
+        n += 1
+    return n
+
+
+def build_dense_block_tables(embeddings: jnp.ndarray, meta: HashGridMeta):
+    """Per-CELL corner blocks for the dense levels.
+
+    TPU gathers cost ~10 cycles per ROW regardless of row width (measured:
+    1M x 128-wide row gathers ~= 1M element gathers), so packing a cell's
+    8 corners x 2 channels into one 16-wide row turns 16 element gathers
+    per (point, level) into ONE row gather. Dense levels build their block
+    tables with pure slicing (regular +1/+res/+res^2 neighborships — zero
+    gathers); hashed levels can't (bucket collisions are per grid-point).
+
+    Returns (blocks [total_cells, 16], cell_offsets [n_dense],
+    cell_res [n_dense]) — numpy metadata, jnp blocks.
+    """
+    assert meta.input_dim == 3 and meta.level_dim == 2
+    res_np, _, offsets_np = meta.level_tables()
+    n_dense = dense_level_count(meta)
+    blocks = []
+    cell_offsets = []
+    cell_res = []
+    total = 0
+    for lvl in range(n_dense):
+        r = int(res_np[lvl])
+        off = int(offsets_np[lvl])
+        grid = embeddings[off : off + r ** 3].reshape(r, r, r, 2)
+        corners = []
+        for k in range(8):
+            dx, dy, dz = k & 1, (k >> 1) & 1, (k >> 2) & 1
+            # dense row-major index is x + r*(y + r*z) -> axis order (z, y, x)
+            # when reshaped (r, r, r); slice accordingly
+            corners.append(
+                grid[dz : dz + r - 1, dy : dy + r - 1, dx : dx + r - 1]
+            )
+        blk = jnp.stack(corners, axis=3).reshape((r - 1) ** 3, 16)
+        blocks.append(blk)
+        cell_offsets.append(total)
+        cell_res.append(r - 1)
+        total += (r - 1) ** 3
+    if not blocks:  # every level is hashed: no block tables
+        return (
+            jnp.zeros((1, 16), dtype=embeddings.dtype),
+            np.zeros((0,), dtype=np.int64),
+            np.zeros((0,), dtype=np.int64),
+        )
+    return (
+        jnp.concatenate(blocks, axis=0),
+        np.asarray(cell_offsets, dtype=np.int64),
+        np.asarray(cell_res, dtype=np.int64),
+    )
+
+
+def hash_encode_sampler(
+    inputs: jnp.ndarray,
+    embeddings: jnp.ndarray,
+    blocks,
+    meta: HashGridMeta,
+    grid_levels: int | None = None,
+):
+    """Fast SDF-probe encoding for the error-bound sampler (no gradients):
+    dense levels via one 16-wide block-row gather per (point, level), hashed
+    levels via the packed-pair path. Matches hash_encode bit-for-bit except
+    at the exact upper grid boundary (cells clamp instead of mod-wrapping).
+
+    blocks: output of build_dense_block_tables (built once per step).
+    """
+    n, d = inputs.shape
+    L = grid_levels if grid_levels is not None else meta.num_levels
+    blk_table, cell_offsets, cell_res = blocks
+    n_dense = min(len(cell_res), L)
+
+    res_np, _, _ = meta.level_tables()
+    scales = (
+        np.exp2(np.arange(meta.num_levels) * np.log2(meta.per_level_scale))
+        * meta.base_resolution
+        - 1.0
+    ).astype(np.float32)
+
+    x_t = inputs.T  # [D, N]
+    oob = jnp.any((x_t < 0.0) | (x_t > 1.0), axis=0)
+
+    feats = []
+    if n_dense == 0:
+        out = hash_encode(inputs, embeddings, meta, packed=True,
+                          level_range=(0, L) if L < meta.num_levels else None)
+        return out
+
+    # ---- dense levels: block-row gathers ----
+    sc = jnp.asarray(scales[:n_dense])[:, None, None]
+    pos = sc * x_t[None]  # [Ld, 3, N]
+    cr = jnp.asarray(cell_res)[:, None, None].astype(jnp.float32)
+    pg = jnp.clip(jnp.floor(pos), 0.0, cr - 1.0)
+    frac = pos - pg
+    w = _smoothstep(frac)  # [Ld, 3, N]
+    pg = pg.astype(jnp.int32)
+    cri = jnp.asarray(cell_res, dtype=jnp.int32)[:, None]
+    cell = pg[:, 0] + cri * (pg[:, 1] + cri * pg[:, 2])  # [Ld, N]
+    row = cell + jnp.asarray(cell_offsets, dtype=jnp.int32)[:, None]
+    g = jnp.take(blk_table, row, axis=0)  # [Ld, N, 16]
+
+    # corner weights [Ld, 8, N] -> align with block layout (corner, 2ch)
+    corners = _corner_indices(meta)  # [8, 3]
+    wsel = jnp.where(
+        jnp.asarray(corners, jnp.bool_)[None, :, :, None],
+        w[:, None, :, :], 1.0 - w[:, None, :, :],
+    )
+    cw = jnp.prod(wsel, axis=2)  # [Ld, 8, N]
+    gk = g.reshape(g.shape[0], n, 8, 2)
+    f_dense = jnp.einsum("lnkc,lkn->lcn", gk, cw)  # [Ld, 2, N]
+    feats.append(f_dense)
+
+    # ---- hashed levels via the packed path ----
+    if L > n_dense:
+        part = hash_encode(inputs, embeddings, meta, packed=True,
+                           level_range=(n_dense, L))
+        f_hash = part.T.reshape(L - n_dense, 2, n)
+        feats.append(f_hash)
+
+    out = jnp.concatenate(feats, axis=0)  # [L, 2, N]
+    out = jnp.where(oob[None, None, :], 0.0, out)
+    return out.reshape(L * 2, n).T
 
 
 def hash_encode_world(

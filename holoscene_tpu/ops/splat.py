@@ -34,7 +34,7 @@ from holoscene_tpu.ops.gaussians import covariance_3d, eval_sh, project_gaussian
     jax.jit,
     static_argnames=(
         "width", "height", "tile_size", "max_per_tile", "sh_degree",
-        "use_pallas",
+        "use_pallas", "ortho",
     ),
 )
 def render_gaussians(
@@ -52,6 +52,7 @@ def render_gaussians(
     sh_degree: int | None = None,
     background: jnp.ndarray | None = None,
     use_pallas: bool = False,
+    ortho: bool = False,
 ):
     """Returns dict(rgb [H,W,3], depth [H,W] alpha-normalized expected depth,
     alpha [H,W]).
@@ -66,7 +67,7 @@ def render_gaussians(
 
     cov3d = covariance_3d(quats, scales)
     xy, depth, conic, radius, valid = project_gaussians(
-        means, cov3d, viewmat, intrinsics, width, height
+        means, cov3d, viewmat, intrinsics, width, height, ortho=ortho
     )
 
     if sh_degree is not None:

@@ -122,20 +122,61 @@ class Stage3Runner:
 
         return step, optimizer
 
-    def train_object(self, obj_i: int, n_iters: int | None = None):
-        """Train one object's color field (reference :292-414)."""
+    def _make_invis_step(self, verts, faces, optimizer, res: int):
+        """Generated-view supervision for the color field
+        (reference get_invis_loss/get_bg_loss,
+        holoscene_train_texture.py:431-436, :487-573): rasterize the object
+        mesh from the generated ORTHO view, query the field at the
+        rasterized world positions, MSE against the generated rgb inside
+        the generated mask."""
+        cfg = self.cfg
+        m = self.pixels_per_step
+
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def invis_step(params, opt_state, key, pose, half_extent, gen_rgb,
+                       gen_mask):
+            out = rasterize_mesh(verts, faces, pose, None, (res, res),
+                                 ortho_half_extent=half_extent)
+            valid = out["mask"].reshape(-1) & (gen_mask.reshape(-1) > 0.5)
+            wp = out["world_pos"].reshape(-1, 3)
+            n_valid = valid.sum()
+            probs = valid.astype(jnp.float32)
+            probs = probs / jnp.maximum(probs.sum(), 1.0)
+            probs = jnp.where(n_valid > 0, probs, 1.0 / probs.shape[0])
+            idx = jax.random.choice(key, probs.shape[0], (m,), p=probs)
+            pts = wp[idx]
+            gt = gen_rgb.reshape(-1, 3)[idx]
+
+            def loss_fn(p):
+                rgb = color_field_forward(p, cfg, pts)
+                return jnp.where(n_valid > 0, jnp.mean((rgb - gt) ** 2), 0.0)
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
+
+        return invis_step
+
+    def train_object(self, obj_i: int, n_iters: int | None = None,
+                     vis_info: list[dict] | None = None):
+        """Train one object's color field (reference :292-414); `vis_info`
+        packs add generated-view supervision."""
         mesh = self.meshes[obj_i]
         total = n_iters or (
             self.max_total_iters if obj_i == 0 else self.max_total_iters // 10
         )
-        step, optimizer = self._make_step(
-            jnp.asarray(mesh.vertices, jnp.float32),
-            jnp.asarray(mesh.faces, jnp.int32),
-            total,
-        )
+        verts = jnp.asarray(mesh.vertices, jnp.float32)
+        faces = jnp.asarray(mesh.faces, jnp.int32)
+        step, optimizer = self._make_step(verts, faces, total)
         self.key, k_init = jax.random.split(self.key)
         params = init_color_field(k_init, self.cfg)
         opt_state = optimizer.init(params)
+
+        invis_step = None
+        if vis_info:
+            res = vis_info[0]["rgb"].shape[0]
+            invis_step = self._make_invis_step(verts, faces, optimizer, res)
 
         h, w = self.dataset.img_res
         occ = self.dataset.class_id_occurences.get(obj_i, [])
@@ -152,6 +193,16 @@ class Stage3Runner:
                     self.dataset.semantic_images[frame].reshape(h, w) == obj_i
                 ),
             )
+            if invis_step is not None:
+                pack = vis_info[int(self.rng.integers(len(vis_info)))]
+                self.key, k2 = jax.random.split(self.key)
+                params, opt_state, _ = invis_step(
+                    params, opt_state, k2,
+                    jnp.asarray(pack["pose"], jnp.float32),
+                    jnp.asarray(float(pack["half_extent"])),
+                    jnp.asarray(pack["rgb"], jnp.float32),
+                    jnp.asarray(pack["mask"], jnp.float32),
+                )
             if it % 50 == 0 or it == total - 1:
                 losses.append(float(loss))
                 if not self.quiet:

@@ -139,6 +139,43 @@ class Stage4Runner:
 
         self._step = jax.jit(step_fn, donate_argnums=(0, 1))
 
+        n_gauss = self.static["num_gaussians"]
+
+        def invis_step_fn(params, opt_state, key, pose, half_extent, image,
+                          mask, visible_mask):
+            """Invisible-view supervision: render ONLY one object's gaussians
+            from a generated orthographic view (reference get_invis_loss /
+            get_bg_loss, holoscene_train_gaussian.py:936/:1069 with
+            visible_gs_indices opacity masking, model/gom.py:1004-1011)."""
+            h, w = image.shape[0], image.shape[1]
+            bg = jax.random.uniform(key, (3,))
+            intr = jnp.array(
+                [[w / (2 * half_extent), 0.0, w / 2.0],
+                 [0.0, h / (2 * half_extent), h / 2.0],
+                 [0.0, 0.0, 1.0]]
+            )
+
+            def loss_fn(p):
+                out = render_gom(p, static, cfg_, pose, intr, w, h, bg,
+                                 visible_mask=visible_mask, ortho=True)
+                m = mask[..., None]
+                gt = image * m + (1 - m) * bg
+                l1 = jnp.mean(jnp.abs(out["rgb"] - gt))
+                acm = jnp.mean(jnp.abs(out["accumulation"] - mask))
+                return l1 + acm, (l1, acm)
+
+            (_, (l1, acm)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(params)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, l1
+
+        self._invis_step = jax.jit(invis_step_fn, donate_argnums=(0, 1))
+        self.vis_info_list: list[list[dict]] = [
+            [] for _ in range(len(meshes))
+        ]
+
         def render_eval(params, pose, intr, h: int, w: int):
             bg = jnp.zeros(3)
             return render_gom(params, static, cfg_, pose, intr, w, h, bg)
@@ -162,10 +199,28 @@ class Stage4Runner:
             self._mesh_cache[frame_idx] = (mask, depth)
         return self._mesh_cache[frame_idx]
 
+    def load_vis_info(self, plots_dir: str):
+        """Attach Stage-2 generated-view packs (vis_info_{i}.pkl /
+        bg_info.pkl) for invisible-view supervision."""
+        import pickle
+
+        for i in range(len(self.meshes)):
+            name = "bg_info.pkl" if i == 0 else f"vis_info_{i}.pkl"
+            p = os.path.join(plots_dir, name)
+            if os.path.exists(p):
+                with open(p, "rb") as f:
+                    self.vis_info_list[i] = pickle.load(f)
+
+    def _visible_mask(self, obj_i: int):
+        lo, hi = self.instance_ranges[obj_i]
+        n = self.static["num_gaussians"]
+        return (jnp.arange(n) >= lo) & (jnp.arange(n) < hi)
+
     def run(self, n_iters: int | None = None, log_every: int = 20):
         end = self.iter_step + (n_iters or self.max_total_iters - self.iter_step)
         h, w = self.dataset.img_res
         t0 = time.time()
+        has_vis = any(len(v) for v in self.vis_info_list)
         for it in range(self.iter_step, end):
             frame_idx = int(self.rng.integers(0, self.dataset.n_images))
             acm, mesh_depth = self._frame_mesh_raster(frame_idx)
@@ -177,6 +232,24 @@ class Stage4Runner:
                 jnp.asarray(self.dataset.intrinsics[:3, :3]),
                 jnp.asarray(image), jnp.asarray(acm), jnp.asarray(mesh_depth),
             )
+            if has_vis:
+                # one random object's generated view per iteration
+                # (reference :640-660)
+                objs = [i for i, v in enumerate(self.vis_info_list) if v]
+                obj_i = int(self.rng.choice(objs))
+                pack = self.vis_info_list[obj_i][
+                    int(self.rng.integers(len(self.vis_info_list[obj_i])))
+                ]
+                if "half_extent" in pack and "rgb" in pack:
+                    self.key, k = jax.random.split(self.key)
+                    self.params, self.opt_state, _ = self._invis_step(
+                        self.params, self.opt_state, k,
+                        jnp.asarray(pack["pose"], jnp.float32),
+                        jnp.asarray(float(pack["half_extent"])),
+                        jnp.asarray(pack["rgb"], jnp.float32),
+                        jnp.asarray(pack["mask"], jnp.float32),
+                        self._visible_mask(obj_i),
+                    )
             if it % log_every == 0 or it == end - 1:
                 m = {k2: float(v) for k2, v in metrics.items()}
                 m["iter"] = it

@@ -1,0 +1,63 @@
+"""Quality validation on the real TPU: train Stage 1 on the synthetic scene
+and report PSNR progression + chamfer of the extracted background mesh."""
+import os, sys, time
+sys.path.insert(0, "/root/repo")
+import numpy as np
+
+from holoscene_tpu.config import ConfigFactory
+from holoscene_tpu.datasets.synthetic import generate_scene
+from holoscene_tpu.training.stage1 import Stage1Runner
+
+work = "/tmp/tpu_quality"
+os.makedirs(work, exist_ok=True)
+os.chdir(work)
+if not os.path.exists("data/scene_0/transforms.json"):
+    generate_scene("data/scene_0", n_images=16, img_res=(128, 128))
+
+conf = ConfigFactory.parse_file("/root/repo/confs/synthetic.conf")
+conf.put("dataset.img_res", [128, 128])
+conf.put("train.num_pixels", 1024)
+conf.put("model.implicit_network.num_levels", 12)
+conf.put("model.implicit_network.logmap", 17)
+conf.put("model.implicit_network.end_size", 512)
+conf.put("model.implicit_network.dims", [128, 128])
+conf.put("model.implicit_network.feature_vector_size", 128)
+conf.put("model.feature_vector_size", 128)
+conf.put("model.rendering_network.dims", [128, 128])
+conf.put("model.ray_sampler.N_samples", 48)
+conf.put("model.ray_sampler.N_samples_eval", 96)
+conf.put("model.ray_sampler.N_samples_extra", 24)
+conf.put("model.ray_sampler.max_total_iters", 4)
+conf.put("train.checkpoint_freq", 2000)
+
+runner = Stage1Runner(conf, exps_folder="exps", data_root_override="data",
+                      use_mesh=False, quiet=False)
+# use the coarse-sampler fast path like the bench
+import dataclasses
+runner.model_cfg = dataclasses.replace(runner.model_cfg, sampler_grid_levels=8)
+from holoscene_tpu.training.stage1 import make_train_step, make_eval_render
+runner.train_step = make_train_step(runner.model_cfg, runner.loss_cfg, runner.optimizer)
+runner.render_frame = make_eval_render(runner.model_cfg)
+
+t0 = time.time()
+runner.run(n_iters=2500, log_every=250)
+print(f"train wall: {time.time()-t0:.0f}s", flush=True)
+out = runner.plot(it=2500)
+print(f"FINAL eval psnr: {out['psnr']:.2f}", flush=True)
+
+# geometry check: extracted background mesh vs analytic room
+meshes = runner.extract_meshes(resolution=96, prune=False, save=False)
+from holoscene_tpu.utils.eval_geometry import calc_3d_metric
+from holoscene_tpu.utils.mc import marching_tetrahedra
+from holoscene_tpu.utils.mesh import Mesh
+scale = 1.3
+ax = np.linspace(-1, 1, 64)
+x, y, z = np.meshgrid(ax, ax, ax, indexing="ij")
+room = -(np.maximum.reduce([abs(x), abs(y), abs(z)]) - 1.0/scale)
+v, f = marching_tetrahedra(room, origin=(-1,)*3, spacing=(2/63,)*3)
+gt_room = Mesh(v, f)
+if meshes[0] is not None:
+    m = calc_3d_metric(meshes[0], gt_room, n_samples=30000, align=False)
+    print(f"bg chamfer: {m}", flush=True)
+for i, mm in enumerate(meshes):
+    print(f"mesh {i}: {'None' if mm is None else len(mm.faces)} faces", flush=True)
