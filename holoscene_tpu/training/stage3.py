@@ -230,7 +230,12 @@ class Stage3Runner:
         cells = -(-f_count // 2)
         grid = int(np.ceil(np.sqrt(cells)))
         cell_px = tex_res // grid
-        assert cell_px >= 4, "texture too small for face count"
+        if cell_px < 4:
+            # grow the atlas so every face chart gets >= 4x4 texels
+            tex_res = 1 << int(np.ceil(np.log2(grid * 4)))
+            cell_px = tex_res // grid
+            print(f"[stage3] texture resized to {tex_res} "
+                  f"({f_count} faces need >=4px charts)")
         pad = 1.0  # px gutter inside each cell
 
         # split vertices per face; per-face UVs into cell triangles
