@@ -242,6 +242,19 @@ class NSDataset:
         ys, xs = np.mgrid[0 : self.img_res[0], 0 : self.img_res[1]]
         self.uv_full = np.stack([xs, ys], axis=-1).reshape(-1, 2).astype(np.float32)
 
+        # lazily-built per-(frame, class) pixel index lists: turns the
+        # per-iteration O(H*W) mask scans of class-balanced sampling into
+        # O(batch) lookups
+        self._class_pixels: dict[tuple[int, int], np.ndarray] = {}
+
+    def _class_pixel_idx(self, frame_idx: int, cls: int) -> np.ndarray:
+        key = (frame_idx, int(cls))
+        cached = self._class_pixels.get(key)
+        if cached is None:
+            cached = np.flatnonzero(self.semantic_images[frame_idx] == cls)
+            self._class_pixels[key] = cached
+        return cached
+
     def _subset(self, idx):
         return {
             "rgb_images": self.rgb_images[idx],
@@ -274,7 +287,6 @@ class NSDataset:
             assert occ, f"class {class_id} never observed"
             frame_idx = int(self.rng.choice(occ))
 
-        sem = self.semantic_images[frame_idx]
         if class_id == -1:
             half = sampling_size // 2
             classes = self.semantic_images_classes[frame_idx]
@@ -284,7 +296,7 @@ class NSDataset:
                 quota = (
                     half - per_sem * (len(classes) - 1) if ci == 0 else per_sem
                 )
-                pix = np.flatnonzero(sem == cls)
+                pix = self._class_pixel_idx(frame_idx, cls)
                 if len(pix) > quota:
                     pix = self.rng.choice(pix, quota, replace=False)
                 picks.append(pix)
@@ -298,7 +310,7 @@ class NSDataset:
                 )
             idx = idx[:sampling_size]
         else:
-            pix = np.flatnonzero(sem == class_id)
+            pix = self._class_pixel_idx(frame_idx, class_id)
             idx = (
                 self.rng.choice(pix, sampling_size, replace=False)
                 if len(pix) >= sampling_size

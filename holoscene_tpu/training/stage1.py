@@ -385,8 +385,26 @@ class Stage1Runner:
             )
         t0 = time.time()
         rays_done = 0
+
+        # host-side prefetch: ray batches are sampled on a worker thread
+        # while the device runs (the reference uses 8 dataloader workers,
+        # holoscene_train.py:128; here one thread suffices — sampling is
+        # O(batch) after the class-index cache)
+        import queue
+        import threading
+
+        batch_q: queue.Queue = queue.Queue(maxsize=4)
+        n_steps = end - self.start_iter
+
+        def producer():
+            for _ in range(n_steps):
+                batch_q.put(self.dataset.sample_rays(self.num_pixels))
+
+        if n_steps > 0:
+            threading.Thread(target=producer, daemon=True).start()
+
         for it in range(self.start_iter, end):
-            _, sample, gt = self.dataset.sample_rays(self.num_pixels)
+            _, sample, gt = batch_q.get()
             batch = self._device_batch(sample, gt)
             self.key, k_step = jax.random.split(self.key)
             call_reg = it >= self.add_objectvio_iter

@@ -50,12 +50,31 @@ def marching_tetrahedra(
     level: float = 0.0,
     origin=(0.0, 0.0, 0.0),
     spacing=(1.0, 1.0, 1.0),
+    use_native: bool | None = None,
 ):
     """Extract the `level` isosurface of a dense SDF grid.
 
     sdf: [X, Y, Z] float array. Returns (verts [V,3] float64, faces [F,3]
     int64) with outward orientation for SDF convention (negative inside).
+
+    Dispatches to the C++ extractor (holoscene_tpu/native/mc_native.cpp,
+    single-pass, hash-welded) for large grids; numpy path retained as the
+    reference implementation and fallback.
     """
+    if use_native is None:
+        use_native = sdf.size >= 64 ** 3
+    if use_native:
+        from holoscene_tpu.native import marching_tetrahedra_native
+
+        out = marching_tetrahedra_native(np.asarray(sdf), level=level)
+        if out is not None:
+            verts, faces = out
+            if len(faces) == 0:
+                return np.zeros((0, 3)), np.zeros((0, 3), dtype=np.int64)
+            verts = verts * np.asarray(spacing)[None, :] + np.asarray(origin)[None, :]
+            sdf64 = np.asarray(sdf, dtype=np.float64) - level
+            return _orient_outward(sdf64, verts, faces, origin, spacing)
+
     sdf = np.asarray(sdf, dtype=np.float64) - level
     nx, ny, nz = sdf.shape
     if min(nx, ny, nz) < 2:
