@@ -134,9 +134,15 @@ def make_train_step(cfg: HoloSceneConfig, lcfg: LossConfig, optimizer,
         (_, (losses, psnr)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params
         )
+        # NaN guard: skip the update on non-finite losses (the reference
+        # bails out of bad iterations, holoscene_train_post.py:608-623)
+        finite = jnp.isfinite(losses["loss"])
+        grads = jax.tree_util.tree_map(
+            lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads
+        )
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        metrics = {**losses, "psnr": psnr,
+        metrics = {**losses, "psnr": psnr, "nonfinite": 1.0 - finite,
                    "beta": jnp.abs(params["density"]["beta"]) + cfg.beta_min}
         return params, opt_state, metrics
 

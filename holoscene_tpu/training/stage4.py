@@ -291,7 +291,9 @@ class Stage4Runner:
         }
 
     def export(self):
-        """gauss_obj_{i}.ply + combined scene (reference :684-690)."""
+        """gauss_obj_{i}.ply/.npz + combined scene (reference exports
+        gauss_obj_{i}.pt + .ply, :684-690; npz is the torch-free .pt
+        counterpart and reload format for eval/USD export)."""
         paths = []
         for i, (lo, hi) in enumerate(self.instance_ranges):
             g = compose_for_export(
@@ -299,6 +301,7 @@ class Stage4Runner:
             )
             p = os.path.join(self.out_dir, f"gauss_obj_{i}.ply")
             write_gaussian_ply(p, g)
+            np.savez(os.path.join(self.out_dir, f"gauss_obj_{i}.npz"), **g)
             paths.append(p)
         g_all = compose_for_export(self.params, self.static, self.cfg)
         p_all = os.path.join(self.out_dir, "gauss_scene.ply")
