@@ -363,6 +363,31 @@ def implicit_get_outputs(params, cfg, x):
     return sdf, feature_vectors, gradients, semantic, sdf_raw
 
 
+def implicit_get_outputs_jvp(params, cfg, x):
+    """implicit_get_outputs variant computing the scene-SDF gradient with 3
+    forward-mode JVPs over the batched forward instead of an inner reverse
+    pass. The outer training backward then differentiates a jvp-augmented
+    graph (one reverse pass) instead of reverse-over-reverse; the hash
+    gathers of primal and tangents share indices and CSE. Uses the unpacked
+    gather path (custom_vjp has no JVP rule)."""
+
+    def f(pts):
+        raw, feats = implicit_forward(params, cfg, pts, packed=False)
+        return raw.min(axis=-1), (raw, feats)
+
+    cols = []
+    aux = None
+    for dim in range(3):
+        tangent = jnp.zeros_like(x).at[:, dim].set(1.0)
+        sdf, jv, aux = jax.jvp(f, (x,), (tangent,), has_aux=True)
+        cols.append(jv)
+    sdf_raw, feature_vectors = aux
+    sdf = sdf_raw.min(axis=-1)
+    gradients = jnp.stack(cols, axis=-1)  # [N, 3]
+    semantic = semantic_from_sdf(sdf_raw, cfg.sigmoid)
+    return sdf, feature_vectors, gradients, semantic, sdf_raw
+
+
 def implicit_all_gradients(params, cfg, x):
     """Jacobian of all K object SDFs + scene SDF w.r.t. points: [N, K+1, 3].
 

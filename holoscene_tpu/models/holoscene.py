@@ -32,6 +32,7 @@ from holoscene_tpu.models.fields import (
     RenderingNetworkConfig,
     implicit_forward,
     implicit_get_outputs,
+    implicit_get_outputs_jvp,
     implicit_all_gradients,
     implicit_sdf_raw,
     init_implicit_network,
@@ -67,6 +68,10 @@ class HoloSceneConfig:
     # always evaluates all levels). None = exact reference semantics; 8
     # halves the sampler's gather traffic, the dominant Stage-1 cost on TPU.
     sampler_grid_levels: int | None = None
+    # scene-SDF gradient mode in the main forward: "vjp" (inner reverse pass,
+    # reference-equivalent) or "jvp" (3 forward-mode passes whose gathers CSE
+    # with the primal — often cheaper under the outer training backward)
+    forward_grad_mode: str = "vjp"
 
     @property
     def num_semantic(self) -> int:
@@ -163,7 +168,11 @@ def render_rays(
     points_flat = points.reshape(-1, 3)
     dirs_flat = jnp.broadcast_to(rays_d[:, None, :], points.shape).reshape(-1, 3)
 
-    sdf, feature_vectors, gradients, semantic, sdf_raw = implicit_get_outputs(
+    get_outputs = (
+        implicit_get_outputs_jvp if cfg.forward_grad_mode == "jvp"
+        else implicit_get_outputs
+    )
+    sdf, feature_vectors, gradients, semantic, sdf_raw = get_outputs(
         params["implicit"], cfg.implicit, points_flat
     )
     rgb_flat = rendering_forward(
