@@ -28,6 +28,10 @@ def main(argv=None):
     parser.add_argument("--no_mesh", action="store_true",
                         help="disable multi-device sharding")
     parser.add_argument("--quiet", action="store_true")
+    parser.add_argument("--wandb", action="store_true",
+                        help="log to wandb (reference default; falls back to"
+                             " JSONL when unavailable)")
+    parser.add_argument("--tensorboard", action="store_true")
     args = parser.parse_args(argv)
 
     conf = ConfigFactory.parse_file(args.conf)
@@ -41,6 +45,8 @@ def main(argv=None):
         max_total_iters=args.max_niters,
         use_mesh=not args.no_mesh,
         quiet=args.quiet,
+        use_wandb=args.wandb,
+        use_tensorboard=args.tensorboard,
     )
     runner.run()
     return runner

@@ -122,3 +122,15 @@ def test_eikonal_second_order_through_full_network():
     flat, _ = jax.flatten_util.ravel_pytree(grads)
     assert bool(jnp.all(jnp.isfinite(flat)))
     assert float(jnp.abs(np.asarray(flat)).sum()) > 0
+
+
+def test_jvp_get_outputs_matches_vjp():
+    from holoscene_tpu.models.fields import implicit_get_outputs_jvp
+
+    params = init_implicit_network(jax.random.PRNGKey(0), CFG)
+    x = jax.random.uniform(jax.random.PRNGKey(9), (8, 3), minval=-0.5,
+                           maxval=0.5)
+    a = implicit_get_outputs(params, CFG, x)
+    b = implicit_get_outputs_jvp(params, CFG, x)
+    for u, v in zip(a, b):
+        np.testing.assert_allclose(np.asarray(u), np.asarray(v), atol=1e-5)
