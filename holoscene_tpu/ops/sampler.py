@@ -237,36 +237,56 @@ def error_bound_sample(
     def upsample_round(carry, _):
         z_vals, sdf, beta = carry
         beta, dists, d_star = refine_beta(z_vals, sdf, beta)
-        _, transmittance = weights_of(z_vals, sdf, beta, dists)
 
-        # upsample from error-bound PDF (ray_sampler.py:207-219)
-        err_sec = (
-            jnp.exp(-d_star / beta[:, None]) * dists ** 2
-            / (4.0 * beta[:, None] ** 2)
-        )
-        err_int = jnp.cumsum(err_sec, axis=-1)
-        bound_op = (
-            jnp.clip(jnp.exp(err_int), max=1e6) - 1.0
-        ) * transmittance[:, :-1]
-        pdf = bound_op + cfg.add_tiny
-        pdf = pdf / pdf.sum(axis=-1, keepdims=True)
-        cdf = jnp.concatenate(
-            [jnp.zeros_like(pdf[:, :1]), jnp.cumsum(pdf, axis=-1)], axis=-1
-        )
-        u = jnp.broadcast_to(jnp.linspace(0.0, 1.0, E)[None, :], (R, E))
-        new_samples = _sample_pdf(z_vals, cdf, u)
+        # the reference exits its loop when every ray's beta reached beta0
+        # (ray_sampler.py:204 `not_converge = beta.max() > beta0`); here the
+        # expensive part of a converged round is skipped with lax.cond —
+        # free once beta anneals down in real training
+        not_converged = jnp.any(beta > beta0 * (1.0 + 1e-6))
 
-        new_sdf = sdf_fn(
-            (rays_o[:, None, :] + new_samples[..., None] * rays_d[:, None, :])
-            .reshape(-1, 3)
-        ).reshape(R, -1)
-        # merge; ascending sort keeps real samples first, so truncating to W
-        # drops E of the far-duplicate pads
-        z_cat = jnp.concatenate([z_vals, new_samples], axis=-1)
-        sdf_cat = jnp.concatenate([sdf, new_sdf], axis=-1)
-        order = jnp.argsort(z_cat, axis=-1)
-        z_vals = jnp.take_along_axis(z_cat, order, axis=-1)[:, :W]
-        sdf = jnp.take_along_axis(sdf_cat, order, axis=-1)[:, :W]
+        def do_round(operand):
+            z_vals, sdf, beta, dists, d_star = operand
+            _, transmittance = weights_of(z_vals, sdf, beta, dists)
+
+            # upsample from error-bound PDF (ray_sampler.py:207-219)
+            err_sec = (
+                jnp.exp(-d_star / beta[:, None]) * dists ** 2
+                / (4.0 * beta[:, None] ** 2)
+            )
+            err_int = jnp.cumsum(err_sec, axis=-1)
+            bound_op = (
+                jnp.clip(jnp.exp(err_int), max=1e6) - 1.0
+            ) * transmittance[:, :-1]
+            pdf = bound_op + cfg.add_tiny
+            pdf = pdf / pdf.sum(axis=-1, keepdims=True)
+            cdf = jnp.concatenate(
+                [jnp.zeros_like(pdf[:, :1]), jnp.cumsum(pdf, axis=-1)], axis=-1
+            )
+            u = jnp.broadcast_to(jnp.linspace(0.0, 1.0, E)[None, :], (R, E))
+            new_samples = _sample_pdf(z_vals, cdf, u)
+
+            new_sdf = sdf_fn(
+                (rays_o[:, None, :]
+                 + new_samples[..., None] * rays_d[:, None, :]).reshape(-1, 3)
+            ).reshape(R, -1)
+            # merge; ascending sort keeps real samples first, so truncating
+            # to W drops E of the far-duplicate pads
+            z_cat = jnp.concatenate([z_vals, new_samples], axis=-1)
+            sdf_cat = jnp.concatenate([sdf, new_sdf], axis=-1)
+            order = jnp.argsort(z_cat, axis=-1)
+            return (
+                jnp.take_along_axis(z_cat, order, axis=-1)[:, :W],
+                jnp.take_along_axis(sdf_cat, order, axis=-1)[:, :W],
+            )
+
+        def skip_round(operand):
+            z_vals, sdf, *_ = operand
+            return z_vals, sdf
+
+        z_vals, sdf = jax.lax.cond(
+            not_converged, do_round, skip_round,
+            (z_vals, sdf, beta, dists, d_star),
+        )
         return (z_vals, sdf, beta), None
 
     if T > 1:

@@ -1,0 +1,36 @@
+"""Flagship-config quality run: full 16-level 2^19 grids on the synthetic
+scene at 192^2 — evidence that the production model trains on hardware."""
+import os, sys, time
+sys.path.insert(0, "/root/repo")
+import numpy as np
+from holoscene_tpu.config import ConfigFactory
+from holoscene_tpu.datasets.synthetic import generate_scene
+from holoscene_tpu.training.stage1 import Stage1Runner, make_train_step, make_eval_render
+
+work = "/tmp/tpu_flagship"
+os.makedirs(work, exist_ok=True)
+os.chdir(work)
+if not os.path.exists("data/scene_0/transforms.json"):
+    generate_scene("data/scene_0", n_images=20, img_res=(192, 192))
+
+conf = ConfigFactory.parse_file("/root/repo/confs/replica_room0.conf")
+conf.put("dataset.data_root_dir", "data")
+conf.put("dataset.data_dir", "scene_0")
+conf.put("dataset.img_res", [192, 192])
+conf.put("dataset.fix_length", 0)
+conf.put("train.expname", "flagship_synth")
+conf.put("train.checkpoint_freq", 5000)
+
+runner = Stage1Runner(conf, exps_folder="exps", data_root_override="data",
+                      use_mesh=False, quiet=False)
+import dataclasses
+runner.model_cfg = dataclasses.replace(runner.model_cfg, sampler_grid_levels=8,
+                                       use_bg_reg=False)
+runner.train_step = make_train_step(runner.model_cfg, runner.loss_cfg, runner.optimizer)
+runner.render_frame = make_eval_render(runner.model_cfg)
+
+t0 = time.time()
+runner.run(n_iters=2200, log_every=200)
+print(f"train wall: {time.time()-t0:.0f}s", flush=True)
+out = runner.plot(it=2200)
+print(f"FLAGSHIP FINAL eval psnr: {out['psnr']:.2f}", flush=True)
