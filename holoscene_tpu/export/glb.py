@@ -9,7 +9,6 @@ directly (JSON + BIN chunks per the glTF 2.0 spec) with zero dependencies.
 
 from __future__ import annotations
 
-import io
 import json
 import struct
 

@@ -1,5 +1,6 @@
 """SE(3) camera-pose refinement layer.
 
+
 Reference semantics: model/cam_opt.py:13-110 — a per-image 6-DoF delta
 (rotation-vector + translation) applied to camera-to-world poses via the
 SO(3)xR(3) exponential map. Defined-but-unwired in the reference; here it is
@@ -8,7 +9,7 @@ a small functional module any stage runner can enable.
 
 from __future__ import annotations
 
-import jax
+
 import jax.numpy as jnp
 
 

@@ -39,7 +39,6 @@ from holoscene_tpu.ops.gaussians import (
     quat_multiply,
     rgb_to_sh,
     rotmat_to_quat,
-    sh_to_rgb,
 )
 from holoscene_tpu.ops.splat import render_gaussians
 from holoscene_tpu.ops.ssim import ssim as ssim_fn

@@ -34,11 +34,9 @@ from holoscene_tpu.models.fields import (
     implicit_get_outputs,
     implicit_get_outputs_jvp,
     implicit_all_gradients,
-    implicit_sdf_raw,
     init_implicit_network,
     init_rendering_network,
     rendering_forward,
-    semantic_from_sdf,
 )
 from holoscene_tpu.ops.density import laplace_beta, laplace_density
 from holoscene_tpu.ops.sampler import SamplerConfig, error_bound_sample
