@@ -58,7 +58,8 @@ def render_gaussians(
     alpha [H,W]).
 
     use_pallas=True composites through the fused Pallas tile kernel
-    (ops/splat_pallas.py) — inference only (the kernel has no backward)."""
+    (ops/splat_pallas.py), differentiable via its custom-VJP backward
+    kernel — usable for both training and inference on TPU."""
     n = means.shape[0]
     tiles_x = -(-width // tile_size)
     tiles_y = -(-height // tile_size)
@@ -182,6 +183,9 @@ def render_gaussians(
             xy[top_idx], conic[top_idx], rgb_n[top_idx],
             opacities[top_idx] * live, depth[top_idx],
             jnp.ones_like(live), origins, tile_size=tile_size,
+            # Mosaic kernels only lower on TPU; fall back to the pallas
+            # interpreter elsewhere so the flag works on any backend.
+            interpret=jax.default_backend() != "tpu",
         )
         # re-accumulate the unnormalized depth for a shared epilogue
         depth_t = depth_tn * alpha_t

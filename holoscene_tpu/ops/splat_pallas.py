@@ -1,8 +1,8 @@
-"""Pallas TPU kernel: per-tile front-to-back gaussian compositing.
+"""Pallas TPU kernels: per-tile front-to-back gaussian compositing (fwd+bwd).
 
 The pure-JAX tile renderer (ops/splat.py) materializes [tiles, K, pixels]
-alpha/transmittance tensors in HBM (~33 MB per tile chunk at K=512). This
-kernel keeps the whole compositing loop in VMEM and on the MXU: each grid
+alpha/transmittance tensors in HBM (~33 MB per tile chunk at K=512). These
+kernels keep the whole compositing loop in VMEM and on the MXU: each grid
 program owns one tile and walks its K depth-sorted gaussians in chunks of
 128 along the LANE dimension —
 
@@ -13,9 +13,21 @@ program owns one tile and walks its K depth-sorted gaussians in chunks of
     (MXU), carried across chunks by a running [P,1] transmittance;
   * color/depth accumulation is a second [P,128] x [128,4] matmul.
 
+The backward kernel implements the gsplat-style closed form (reference
+vendors it as CUDA back-to-front traversal, threedgut_tracer): with
+s_k = <u_k, v> the per-gaussian output-cotangent dot,
+
+    dL/da_k = T_k * s_k - S_k / (1 - a_k),   S_k = sum_{j>k} w_j s_j,
+
+walking chunks in REVERSE with [P,1] carries for the suffix weight-sum and
+suffix log-transmittance; within a chunk the suffix sums are
+strictly-triangular MXU matmuls (the transpose of the forward's cumsum
+trick). Inputs are recomputed per chunk instead of stashing [P,K] residuals.
+
 No dynamic scalar indexing (Mosaic requires lane starts provably divisible
-by 128, which the chunk layout guarantees). Used for inference/eval renders;
-training uses the differentiable JAX renderer.
+by 128, which the chunk layout guarantees). `composite_tiles_pallas` is
+fully differentiable via jax.custom_vjp, so Stage-4 gaussian training can
+run through the fused path.
 """
 
 from __future__ import annotations
@@ -92,43 +104,122 @@ def _composite_tile_kernel(xy_ref, conic_ref, rgbz_ref, op_ref, origin_ref,
     out_ref[0, :, :] = out
 
 
-@partial(jax.jit, static_argnames=("tile_size", "interpret"))
-def composite_tiles_pallas(
-    g_xy: jnp.ndarray,      # [T, K, 2]
-    g_conic: jnp.ndarray,   # [T, K, 3]
-    g_rgb: jnp.ndarray,     # [T, K, 3]
-    g_op: jnp.ndarray,      # [T, K]
-    g_z: jnp.ndarray,       # [T, K]
-    live: jnp.ndarray,      # [T, K] float (0/1)
-    origins: jnp.ndarray,   # [T, 2] float tile pixel origins
-    tile_size: int = 16,
-    interpret: bool = False,
-):
-    """Returns (rgb [T, P, 3], depth [T, P] alpha-normalized, alpha [T, P]).
+def _composite_bwd_kernel(xy_ref, conic_ref, op_ref, u_ref, v_ref, origin_ref,
+                          dgeom_ref, du_ref, *, tile_size: int):
+    """One program = one tile, reverse chunk walk.
 
-    NOTE alpha here is 1 - prod(1 - a_i) over ALL lanes — identical to the
-    JAX renderer's sum of weights."""
+    Block shapes:
+      xy     [1, 2, K]   conic [1, 4, K]   op [1, 1, K]
+      u      [1, 8, K]   (rows r, g, b, z, 1, 0, 0, 0 — per-gaussian payload)
+      v      [1, P, 8]   (cols = cotangents of rgb(3), depth_acc, alpha, pad)
+      origin [1, 1, 2]   (SMEM)
+      dgeom  [1, 8, K]   (rows dgx, dgy, dca, dcb, dcc, dop, 0, 0)
+      du     [1, 8, K]   (rows drgb(3), dz, d<ones> (ignored), pad)
+    """
+    p = tile_size * tile_size
+    k_total = op_ref.shape[2]
+    n_chunks = k_total // K_CHUNK
+
+    pix_id = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0).astype(jnp.float32)
+    px = origin_ref[0, 0, 0] + (pix_id % tile_size) + 0.5  # [P, 1]
+    py = origin_ref[0, 0, 1] + (pix_id // tile_size) + 0.5
+
+    row = jax.lax.broadcasted_iota(jnp.int32, (K_CHUNK, K_CHUNK), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (K_CHUNK, K_CHUNK), 1)
+    lower = (row < col).astype(jnp.float32)   # exclusive prefix along lanes
+    upper = (row > col).astype(jnp.float32)   # exclusive suffix along lanes
+
+    def chunk_geom(lo):
+        gx = xy_ref[0, 0:1, pl.ds(lo, K_CHUNK)]
+        gy = xy_ref[0, 1:2, pl.ds(lo, K_CHUNK)]
+        ca = conic_ref[0, 0:1, pl.ds(lo, K_CHUNK)]
+        cb = conic_ref[0, 1:2, pl.ds(lo, K_CHUNK)]
+        cc = conic_ref[0, 2:3, pl.ds(lo, K_CHUNK)]
+        op = op_ref[0, 0:1, pl.ds(lo, K_CHUNK)]
+        dx = px - gx  # [P, C]
+        dy = py - gy
+        power = -0.5 * (ca * dx * dx + 2.0 * cb * dx * dy + cc * dy * dy)
+        e = jnp.exp(jnp.minimum(power, 0.0))
+        a_pre = op * e
+        a_cap = jnp.minimum(0.999, a_pre)
+        keep = a_cap >= 1.0 / 255.0
+        a = jnp.where(keep, a_cap, 0.0)
+        return dx, dy, ca, cb, cc, e, a_pre, a, keep, power
+
+    # pass 1: total log-transmittance per pixel (so the reverse walk can
+    # reconstruct T_k = exp(total - suffix) without storing [P, K])
+    def body1(kc, tot):
+        lo = pl.multiple_of(kc * K_CHUNK, K_CHUNK)
+        a = chunk_geom(lo)[7]
+        return tot + jnp.sum(jnp.log1p(-a), axis=1, keepdims=True)
+
+    total = jax.lax.fori_loop(
+        0, n_chunks, body1, jnp.zeros((p, 1), jnp.float32)
+    )
+
+    v = v_ref[0]  # [P, 8]
+
+    def body2(i, carry):
+        suffix_log, s_after = carry  # [P, 1] each
+        c = n_chunks - 1 - i
+        lo = pl.multiple_of(c * K_CHUNK, K_CHUNK)
+        dx, dy, ca, cb, cc, e, a_pre, a, keep, power = chunk_geom(lo)
+        u = u_ref[0, :, pl.ds(lo, K_CHUNK)]  # [8, C]
+
+        log1m = jnp.log1p(-a)
+        chunk_sum = jnp.sum(log1m, axis=1, keepdims=True)
+        prefix = total - suffix_log - chunk_sum  # log T at chunk entry
+        log_t = prefix + jnp.dot(
+            log1m, lower, preferred_element_type=jnp.float32
+        )
+        tr = jnp.exp(log_t)  # [P, C] transmittance in front of each gaussian
+        w = a * tr
+
+        s = jnp.dot(v, u, preferred_element_type=jnp.float32)  # [P, C]
+        ws = w * s
+        s_k = jnp.dot(ws, upper, preferred_element_type=jnp.float32) + s_after
+
+        da = tr * s - s_k / (1.0 - a)
+        da = jnp.where(keep & (a_pre < 0.999), da, 0.0)
+        dpow = jnp.where(power < 0.0, da * a, 0.0)
+
+        def red(x):  # reduce over pixels (sublanes) -> [1, C]
+            return jnp.sum(x, axis=0, keepdims=True)
+
+        sl = pl.ds(lo, K_CHUNK)
+        dgeom_ref[0, 0:1, sl] = red(dpow * (ca * dx + cb * dy))
+        dgeom_ref[0, 1:2, sl] = red(dpow * (cb * dx + cc * dy))
+        dgeom_ref[0, 2:3, sl] = red(dpow * (-0.5 * dx * dx))
+        dgeom_ref[0, 3:4, sl] = red(dpow * (-dx * dy))
+        dgeom_ref[0, 4:5, sl] = red(dpow * (-0.5 * dy * dy))
+        dgeom_ref[0, 5:6, sl] = red(da * e)
+        zero_row = jnp.zeros((1, K_CHUNK), jnp.float32)
+        dgeom_ref[0, 6:7, sl] = zero_row
+        dgeom_ref[0, 7:8, sl] = zero_row
+        for ch in range(8):
+            du_ref[0, ch:ch + 1, sl] = red(v[:, ch:ch + 1] * w)
+
+        return (
+            suffix_log + chunk_sum,
+            s_after + jnp.sum(ws, axis=1, keepdims=True),
+        )
+
+    jax.lax.fori_loop(
+        0, n_chunks, body2,
+        (jnp.zeros((p, 1), jnp.float32), jnp.zeros((p, 1), jnp.float32)),
+    )
+
+
+def _core_fwd_impl(g_xy, g_conic, g_rgb, g_op, g_z, origins, tile_size,
+                   interpret):
     t, k = g_op.shape
     p = tile_size * tile_size
-    pad = (-k) % K_CHUNK
-    if pad:
-        def padk(x, fill=0.0):
-            shape = list(x.shape)
-            shape[1] = pad
-            return jnp.concatenate([x, jnp.full(shape, fill, x.dtype)], axis=1)
-
-        g_xy, g_conic, g_rgb, g_op, g_z, live = (
-            padk(g_xy), padk(g_conic), padk(g_rgb), padk(g_op), padk(g_z),
-            padk(live),
-        )
-        k += pad
-
     xy_t = jnp.swapaxes(g_xy, 1, 2)  # [T, 2, K]
     conic_t = jnp.concatenate(
         [jnp.swapaxes(g_conic, 1, 2), jnp.zeros((t, 1, k))], axis=1
     )  # [T, 4, K]
     rgbz = jnp.concatenate([g_rgb, g_z[..., None]], axis=-1)  # [T, K, 4]
-    op = (g_op * live)[:, None, :]  # [T, 1, K]
+    op = g_op[:, None, :]  # [T, 1, K]
 
     out = pl.pallas_call(
         partial(_composite_tile_kernel, tile_size=tile_size),
@@ -146,8 +237,115 @@ def composite_tiles_pallas(
         ),
         interpret=interpret,
     )(xy_t, conic_t, rgbz, op, origins[:, None, :])
+    return out[:, :, :3], out[:, :, 3], out[:, :, 4]
 
-    rgb = out[:, :, :3]
-    depth_acc = out[:, :, 3]
-    alpha = out[:, :, 4]
+
+@partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def _composite_core(g_xy, g_conic, g_rgb, g_op, g_z, origins, tile_size,
+                    interpret):
+    """Fused tile compositing; returns (rgb [T,P,3], depth_acc [T,P],
+    alpha [T,P]) — depth is UNNORMALIZED. K must be a K_CHUNK multiple;
+    g_op is the effective (live-masked) opacity."""
+    return _core_fwd_impl(g_xy, g_conic, g_rgb, g_op, g_z, origins,
+                          tile_size, interpret)
+
+
+def _core_fwd(g_xy, g_conic, g_rgb, g_op, g_z, origins, tile_size, interpret):
+    out = _core_fwd_impl(g_xy, g_conic, g_rgb, g_op, g_z, origins,
+                         tile_size, interpret)
+    return out, (g_xy, g_conic, g_rgb, g_op, g_z, origins)
+
+
+def _core_bwd(tile_size, interpret, res, cts):
+    g_xy, g_conic, g_rgb, g_op, g_z, origins = res
+    ct_rgb, ct_depth, ct_alpha = cts
+    t, k = g_op.shape
+    p = tile_size * tile_size
+
+    xy_t = jnp.swapaxes(g_xy, 1, 2)
+    conic_t = jnp.concatenate(
+        [jnp.swapaxes(g_conic, 1, 2), jnp.zeros((t, 1, k))], axis=1
+    )
+    op = g_op[:, None, :]
+    ones = jnp.ones((t, k), jnp.float32)
+    zero = jnp.zeros((t, k), jnp.float32)
+    u_t = jnp.stack(
+        [g_rgb[..., 0], g_rgb[..., 1], g_rgb[..., 2], g_z, ones,
+         zero, zero, zero],
+        axis=1,
+    )  # [T, 8, K]
+    v = jnp.concatenate(
+        [ct_rgb, ct_depth[..., None], ct_alpha[..., None],
+         jnp.zeros((t, p, 3), jnp.float32)],
+        axis=-1,
+    )  # [T, P, 8]
+
+    dgeom, du = pl.pallas_call(
+        partial(_composite_bwd_kernel, tile_size=tile_size),
+        out_shape=(
+            jax.ShapeDtypeStruct((t, 8, k), jnp.float32),
+            jax.ShapeDtypeStruct((t, 8, k), jnp.float32),
+        ),
+        grid=(t,),
+        in_specs=[
+            pl.BlockSpec((1, 2, k), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4, k), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, k), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, k), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, p, 8), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 2), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 8, k), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, k), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(xy_t, conic_t, op, u_t, v, origins[:, None, :])
+
+    d_xy = jnp.stack([dgeom[:, 0, :], dgeom[:, 1, :]], axis=-1)
+    d_conic = jnp.stack(
+        [dgeom[:, 2, :], dgeom[:, 3, :], dgeom[:, 4, :]], axis=-1
+    )
+    d_op = dgeom[:, 5, :]
+    d_rgb = jnp.stack([du[:, 0, :], du[:, 1, :], du[:, 2, :]], axis=-1)
+    d_z = du[:, 3, :]
+    return d_xy, d_conic, d_rgb, d_op, d_z, jnp.zeros_like(origins)
+
+
+_composite_core.defvjp(_core_fwd, _core_bwd)
+
+
+@partial(jax.jit, static_argnames=("tile_size", "interpret"))
+def composite_tiles_pallas(
+    g_xy: jnp.ndarray,      # [T, K, 2]
+    g_conic: jnp.ndarray,   # [T, K, 3]
+    g_rgb: jnp.ndarray,     # [T, K, 3]
+    g_op: jnp.ndarray,      # [T, K]
+    g_z: jnp.ndarray,       # [T, K]
+    live: jnp.ndarray,      # [T, K] float (0/1)
+    origins: jnp.ndarray,   # [T, 2] float tile pixel origins
+    tile_size: int = 16,
+    interpret: bool = False,
+):
+    """Returns (rgb [T, P, 3], depth [T, P] alpha-normalized, alpha [T, P]).
+
+    Differentiable w.r.t. g_xy/g_conic/g_rgb/g_op/g_z/live via the fused
+    Pallas backward kernel. NOTE alpha here is 1 - prod(1 - a_i) over ALL
+    lanes — identical to the JAX renderer's sum of weights."""
+    k = g_op.shape[1]
+    pad = (-k) % K_CHUNK
+    if pad:
+        def padk(x, fill=0.0):
+            shape = list(x.shape)
+            shape[1] = pad
+            return jnp.concatenate([x, jnp.full(shape, fill, x.dtype)], axis=1)
+
+        g_xy, g_conic, g_rgb, g_op, g_z, live = (
+            padk(g_xy), padk(g_conic), padk(g_rgb), padk(g_op), padk(g_z),
+            padk(live),
+        )
+
+    rgb, depth_acc, alpha = _composite_core(
+        g_xy, g_conic, g_rgb, g_op * live, g_z, origins, tile_size, interpret
+    )
     return rgb, depth_acc / jnp.maximum(alpha, 1e-10), alpha

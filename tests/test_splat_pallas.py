@@ -30,6 +30,85 @@ def _reference_composite(g_xy, g_conic, g_rgb, g_op, g_z, live, origins,
     return rgb, depth / np.maximum(a, 1e-10), a
 
 
+def _jnp_reference_composite(g_xy, g_conic, g_rgb, g_op, g_z, live, origins,
+                             tile_size):
+    """Differentiable jnp twin of _reference_composite (for grad checks)."""
+    py, px = np.mgrid[0:tile_size, 0:tile_size]
+    pix = np.stack([px.ravel() + 0.5, py.ravel() + 0.5], -1)
+    pix = jnp.asarray(origins)[:, None, :] + jnp.asarray(pix)[None]
+    d = pix[:, None, :, :] - g_xy[:, :, None, :]
+    power = -0.5 * (
+        g_conic[..., 0, None] * d[..., 0] ** 2
+        + 2 * g_conic[..., 1, None] * d[..., 0] * d[..., 1]
+        + g_conic[..., 2, None] * d[..., 1] ** 2
+    )
+    alpha = jnp.minimum(
+        0.999, (g_op * live)[..., None] * jnp.exp(jnp.minimum(power, 0.0))
+    )
+    alpha = jnp.where(alpha >= 1 / 255, alpha, 0.0)
+    trans = jnp.cumprod(1 - alpha, axis=1)
+    trans = jnp.concatenate([jnp.ones_like(trans[:, :1]), trans[:, :-1]], 1)
+    w = alpha * trans
+    rgb = jnp.einsum("tkp,tkc->tpc", w, g_rgb)
+    depth = jnp.einsum("tkp,tk->tp", w, g_z)
+    a = w.sum(1)
+    return rgb, depth / jnp.maximum(a, 1e-10), a
+
+
+def test_pallas_composite_backward_matches_autodiff():
+    rng = np.random.default_rng(3)
+    t, k, ts = 2, 32, 8
+    p = ts * ts
+    origins = (rng.integers(0, 4, (t, 2)) * ts).astype(np.float32)
+    g_xy = origins[:, None, :] + rng.uniform(0, ts, (t, k, 2)).astype(np.float32)
+    g_conic = np.zeros((t, k, 3), np.float32)
+    g_conic[..., 0] = rng.uniform(0.05, 0.3, (t, k))
+    g_conic[..., 2] = rng.uniform(0.05, 0.3, (t, k))
+    g_rgb = rng.uniform(0, 1, (t, k, 3)).astype(np.float32)
+    g_op = rng.uniform(0.2, 0.9, (t, k)).astype(np.float32)
+    g_z = np.sort(rng.uniform(0.5, 3.0, (t, k)).astype(np.float32), axis=1)
+    live = (rng.uniform(0, 1, (t, k)) > 0.2).astype(np.float32)
+    ct_rgb = rng.normal(size=(t, p, 3)).astype(np.float32)
+    ct_dep = rng.normal(size=(t, p)).astype(np.float32)
+    ct_alp = rng.normal(size=(t, p)).astype(np.float32)
+
+    inputs = tuple(
+        jnp.asarray(x) for x in (g_xy, g_conic, g_rgb, g_op, g_z, live)
+    )
+
+    def loss(fn, *args):
+        rgb, depth, alpha = fn(*args, jnp.asarray(origins), tile_size=ts)
+        return (
+            jnp.sum(rgb * ct_rgb)
+            + jnp.sum(depth * alpha * ct_dep)  # unnormalized depth
+            + jnp.sum(alpha * ct_alp)
+        )
+
+    pallas_fn = lambda *a, **kw: composite_tiles_pallas(
+        *a, **kw, interpret=True
+    )
+    grads_p = jax.grad(lambda *a: loss(pallas_fn, *a), argnums=range(6))(
+        *inputs
+    )
+    grads_r = jax.grad(
+        lambda *a: loss(
+            lambda *b, tile_size: _jnp_reference_composite(
+                *b, tile_size=tile_size
+            ),
+            *a,
+        ),
+        argnums=range(6),
+    )(*inputs)
+
+    names = ["xy", "conic", "rgb", "op", "z", "live"]
+    for nm, gp, gr in zip(names, grads_p, grads_r):
+        scale = max(1.0, float(jnp.max(jnp.abs(gr))))
+        np.testing.assert_allclose(
+            np.asarray(gp), np.asarray(gr), atol=2e-4 * scale,
+            err_msg=f"grad mismatch: {nm}",
+        )
+
+
 def test_pallas_composite_matches_reference():
     rng = np.random.default_rng(0)
     t, k, ts = 4, 32, 8

@@ -52,3 +52,56 @@ def test_render_gaussians_pallas_matches_jax():
         np.asarray(out_j["depth"])[covered],
         rtol=1e-3,
     )
+
+
+def test_render_gaussians_pallas_grads_match_jax():
+    """Training through the Pallas path: photometric-loss gradients w.r.t.
+    means/scales/opacities/colors must match the JAX compositor."""
+    import functools
+
+    import jax
+
+    import holoscene_tpu.ops.splat_pallas as sp
+
+    rng = np.random.default_rng(1)
+    n = 120
+    means = jnp.asarray(rng.uniform(-0.5, 0.5, (n, 3)).astype(np.float32))
+    quats = jnp.asarray(np.tile([1.0, 0, 0, 0], (n, 1)).astype(np.float32))
+    scales = jnp.asarray(rng.uniform(0.03, 0.08, (n, 3)).astype(np.float32))
+    opac = jnp.asarray(rng.uniform(0.3, 0.9, n).astype(np.float32))
+    colors = jnp.asarray(rng.uniform(0, 1, (n, 3)).astype(np.float32))
+    viewmat = jnp.eye(4).at[2, 3].set(2.0)
+    intr = jnp.array([[40.0, 0, 16], [0, 40.0, 16], [0, 0, 1.0]])
+    target = jnp.asarray(rng.uniform(0, 1, (32, 32, 3)).astype(np.float32))
+    kwargs = dict(
+        viewmat=viewmat, intrinsics=intr, width=32, height=32,
+        tile_size=16, max_per_tile=64,
+    )
+
+    def loss(m, s, o, c, use_pallas):
+        out = render_gaussians(
+            m, quats, s, o, c, use_pallas=use_pallas, **kwargs
+        )
+        return jnp.mean((out["rgb"] - target) ** 2) + 0.1 * jnp.mean(
+            out["alpha"]
+        )
+
+    orig = sp.composite_tiles_pallas
+    sp.composite_tiles_pallas = functools.partial(orig, interpret=True)
+    try:
+        g_p = jax.grad(loss, argnums=(0, 1, 2, 3))(
+            means, scales, opac, colors, True
+        )
+    finally:
+        sp.composite_tiles_pallas = orig
+    g_j = jax.grad(loss, argnums=(0, 1, 2, 3))(
+        means, scales, opac, colors, False
+    )
+
+    for nm, gp, gj in zip(["means", "scales", "opac", "colors"], g_p, g_j):
+        scale = max(1e-3, float(jnp.max(jnp.abs(gj))))
+        np.testing.assert_allclose(
+            np.asarray(gp), np.asarray(gj), atol=5e-4 * scale,
+            err_msg=f"grad mismatch: {nm}",
+        )
+        assert float(jnp.max(jnp.abs(gj))) > 0  # non-degenerate test
