@@ -63,6 +63,7 @@ class GoMConfig:
     background_color: str = "random"
     tile_size: int = 16
     max_per_tile: int = 512
+    use_pallas: bool = False  # fused Pallas compositing (fwd+bwd kernels)
 
 
 # ---------------------------------------------------------------------------
@@ -346,6 +347,7 @@ def render_gom(
         viewmat, jnp.asarray(intrinsics, dtype=jnp.float32),
         width, height, tile_size=cfg.tile_size, max_per_tile=cfg.max_per_tile,
         sh_degree=cfg.sh_degree, background=background, ortho=ortho,
+        use_pallas=cfg.use_pallas,
     )
     rgb = jnp.clip(out["rgb"], 0.0, 1.0)
     return {"rgb": rgb, "depth": out["depth"], "accumulation": out["alpha"]}

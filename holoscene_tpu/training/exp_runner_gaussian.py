@@ -28,6 +28,10 @@ def main(argv=None):
     parser.add_argument("--max_niters", type=int, default=None)
     parser.add_argument("--area_to_subdivide", type=float, default=1e-5)
     parser.add_argument("--quiet", action="store_true")
+    parser.add_argument(
+        "--use_pallas", action="store_true",
+        help="composite through the fused Pallas tile kernels (TPU)",
+    )
     args = parser.parse_args(argv)
 
     conf = ConfigFactory.parse_file(args.conf)
@@ -62,7 +66,7 @@ def main(argv=None):
 
     runner = Stage4Runner(
         meshes, dataset,
-        cfg=GoMConfig(),
+        cfg=GoMConfig(use_pallas=args.use_pallas),
         area_to_subdivide=args.area_to_subdivide,
         max_total_iters=args.max_niters,
         out_dir=plots_dir,

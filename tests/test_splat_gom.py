@@ -243,3 +243,47 @@ def test_gaussian_ply_roundtrip(tmp_path):
 
 
 import jax.flatten_util  # noqa: E402
+
+
+def test_gom_render_pallas_path_matches_and_trains():
+    """render_gom with cfg.use_pallas=True (interpret on CPU) must match the
+    JAX compositor and carry gradients to every param group."""
+    cfg = GoMConfig(sh_degree=1, max_per_tile=64, tile_size=16)
+    cfg_p = GoMConfig(sh_degree=1, max_per_tile=64, tile_size=16,
+                      use_pallas=True)
+    mesh = _sphere_mesh()
+    static = seed_gaussians_from_meshes([mesh], area_to_subdivide=1e-2, cfg=cfg)
+    params = init_gom_params(static, cfg)
+    pose = jnp.eye(4).at[2, 3].set(-2.0)
+    intr = jnp.array([[40.0, 0, 16], [0, 40.0, 16], [0, 0, 1.0]])
+    bg = jnp.zeros(3)
+
+    out_j = render_gom(params, static, cfg, pose, intr, 32, 32, bg)
+    out_p = render_gom(params, static, cfg_p, pose, intr, 32, 32, bg)
+    np.testing.assert_allclose(
+        np.asarray(out_p["rgb"]), np.asarray(out_j["rgb"]), atol=3e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_p["accumulation"]), np.asarray(out_j["accumulation"]),
+        atol=3e-5,
+    )
+
+    batch = {
+        "image": jnp.full((32, 32, 3), 0.5),
+        "acm": jnp.ones((32, 32)) * 0.5,
+        "mesh_depth": jnp.full((32, 32), 1.8),
+        "mask": None,
+    }
+
+    def loss_fn(p, c):
+        out = render_gom(p, static, c, pose, intr, 32, 32, bg)
+        return gom_loss(out, batch, c)["loss"]
+
+    g_p = jax.grad(lambda p: loss_fn(p, cfg_p))(params)
+    g_j = jax.grad(lambda p: loss_fn(p, cfg))(params)
+    for name in ("means_2d", "scales", "opacities", "features_dc"):
+        gp = np.asarray(jax.flatten_util.ravel_pytree(g_p[name])[0])
+        gj = np.asarray(jax.flatten_util.ravel_pytree(g_j[name])[0])
+        scale = max(1e-4, float(np.abs(gj).max()))
+        np.testing.assert_allclose(gp, gj, atol=1e-3 * scale, err_msg=name)
+        assert np.abs(gj).sum() > 0, name
