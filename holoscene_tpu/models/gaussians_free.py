@@ -42,6 +42,7 @@ class FreeGaussianConfig:
     n_split_samples: int = 2
     tile_size: int = 16
     max_per_tile: int = 512
+    use_pallas: bool = False  # fused Pallas compositing (fwd+bwd kernels)
 
 
 def init_free_gaussians(
@@ -124,6 +125,7 @@ def render_free_gaussians(params, state, cfg: FreeGaussianConfig, pose_c2w,
         opac, colors, viewmat, jnp.asarray(intrinsics, jnp.float32),
         width, height, tile_size=cfg.tile_size, max_per_tile=cfg.max_per_tile,
         sh_degree=cfg.sh_degree, background=background,
+        use_pallas=cfg.use_pallas,
     )
 
 

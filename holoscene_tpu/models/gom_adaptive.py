@@ -101,6 +101,7 @@ def render_adaptive_gom(params, state, static, cfg: GoMConfig, pose_c2w,
         jnp.asarray(intrinsics, jnp.float32), width, height,
         tile_size=cfg.tile_size, max_per_tile=cfg.max_per_tile,
         sh_degree=cfg.sh_degree, background=background, ortho=ortho,
+        use_pallas=cfg.use_pallas,
     )
     return {"rgb": jnp.clip(out["rgb"], 0, 1), "depth": out["depth"],
             "accumulation": out["alpha"]}
