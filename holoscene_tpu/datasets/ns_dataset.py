@@ -177,6 +177,13 @@ class NSDataset:
         self.pose_all = poses.astype(np.float32)
 
         n = len(image_paths)
+        first = np.asarray(Image.open(image_paths[0]))
+        if first.shape[0] * first.shape[1] != self.total_pixels:
+            raise ValueError(
+                f"dataset.img_res {self.img_res} does not match on-disk "
+                f"images {first.shape[:2]} under {self.instance_dir} (the "
+                "loader, like the reference, does not resize)"
+            )
         self.rgb_images = np.stack(
             [
                 (np.asarray(Image.open(p), dtype=np.float32) / 255.0)[..., :3]

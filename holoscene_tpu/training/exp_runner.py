@@ -17,7 +17,11 @@ from holoscene_tpu.training.stage1 import Stage1Runner
 def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--conf", type=str, required=True)
+    parser.add_argument("--expname", type=str, default="",
+                        help="suffix appended to train.expname")
     parser.add_argument("--exps_folder", type=str, default="exps")
+    parser.add_argument("--ft_folder", type=str, default=None,
+                        help="finetune: load checkpoints from this run dir")
     parser.add_argument("--is_continue", action="store_true")
     parser.add_argument("--timestamp", type=str, default="latest")
     parser.add_argument("--checkpoint", type=str, default="latest")
@@ -47,6 +51,8 @@ def main(argv=None):
         quiet=args.quiet,
         use_wandb=args.wandb,
         use_tensorboard=args.tensorboard,
+        expname_suffix=args.expname,
+        ft_folder=args.ft_folder,
     )
     runner.run()
     return runner

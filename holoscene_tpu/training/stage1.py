@@ -209,10 +209,14 @@ class Stage1Runner:
         quiet: bool = False,
         use_wandb: bool = False,
         use_tensorboard: bool = False,
+        expname_suffix: str = "",
+        ft_folder: str | None = None,
     ):
         self.conf = conf
         self.quiet = quiet
-        self.expname = conf.get_string("train.expname", "holoscene")
+        # reference appends the CLI --expname to the conf name
+        # (holoscene_train.py:56)
+        self.expname = conf.get_string("train.expname", "holoscene") + expname_suffix
         self.exps_folder = exps_folder
 
         dataset_conf = conf.get_config("dataset").as_plain_dict()
@@ -266,9 +270,16 @@ class Stage1Runner:
         self.opt_state = self.optimizer.init(self.params)
         self.start_iter = 0
 
-        if is_continue:
+        if is_continue or ft_folder is not None:
+            # --ft_folder resumes model/optimizer from a FOREIGN run dir into
+            # this fresh run (holoscene_train.py:174-199)
+            load_dir = (
+                os.path.join(ft_folder, "checkpoints")
+                if ft_folder is not None
+                else self.checkpoints_path
+            )
             self.params, opt_state, meta = ckpt_lib.load_checkpoint(
-                self.checkpoints_path, self.params, self.opt_state, checkpoint
+                load_dir, self.params, self.opt_state, checkpoint
             )
             if opt_state is not None:
                 self.opt_state = opt_state
@@ -403,14 +414,20 @@ class Stage1Runner:
         n_steps = end - self.start_iter
 
         def producer():
-            for _ in range(n_steps):
-                batch_q.put(self.dataset.sample_rays(self.num_pixels))
+            try:
+                for _ in range(n_steps):
+                    batch_q.put(self.dataset.sample_rays(self.num_pixels))
+            except BaseException as exc:  # surface in the consumer, not hang
+                batch_q.put(exc)
 
         if n_steps > 0:
             threading.Thread(target=producer, daemon=True).start()
 
         for it in range(self.start_iter, end):
-            _, sample, gt = batch_q.get()
+            item = batch_q.get()
+            if isinstance(item, BaseException):
+                raise RuntimeError("ray-batch producer thread died") from item
+            _, sample, gt = item
             batch = self._device_batch(sample, gt)
             self.key, k_step = jax.random.split(self.key)
             call_reg = it >= self.add_objectvio_iter
