@@ -42,7 +42,7 @@ class FreeGaussianConfig:
     n_split_samples: int = 2
     tile_size: int = 16
     max_per_tile: int = 512
-    use_pallas: bool = False  # fused Pallas compositing (fwd+bwd kernels)
+    use_pallas: bool | None = None  # fused Pallas kernels; None = auto (TPU)
 
 
 def init_free_gaussians(

@@ -63,7 +63,7 @@ class GoMConfig:
     background_color: str = "random"
     tile_size: int = 16
     max_per_tile: int = 512
-    use_pallas: bool = False  # fused Pallas compositing (fwd+bwd kernels)
+    use_pallas: bool | None = None  # fused Pallas kernels; None = auto (TPU)
 
 
 # ---------------------------------------------------------------------------

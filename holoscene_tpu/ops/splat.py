@@ -51,15 +51,19 @@ def render_gaussians(
     max_per_tile: int = 512,
     sh_degree: int | None = None,
     background: jnp.ndarray | None = None,
-    use_pallas: bool = False,
+    use_pallas: bool | None = None,
     ortho: bool = False,
 ):
     """Returns dict(rgb [H,W,3], depth [H,W] alpha-normalized expected depth,
     alpha [H,W]).
 
-    use_pallas=True composites through the fused Pallas tile kernel
-    (ops/splat_pallas.py), differentiable via its custom-VJP backward
-    kernel — usable for both training and inference on TPU."""
+    use_pallas composites through the fused Pallas tile kernels
+    (ops/splat_pallas.py), differentiable via the custom-VJP backward
+    kernel. Default None = auto: enabled on TPU (measured 1.76x faster
+    fwd+bwd at 512^2/100k gaussians/K=512, gradients matching to ~1e-6),
+    JAX compositor elsewhere."""
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
     n = means.shape[0]
     tiles_x = -(-width // tile_size)
     tiles_y = -(-height // tile_size)
@@ -151,8 +155,12 @@ def render_gaussians(
         )
         w = alpha * trans  # [Tc, K, P]
 
-        rgb_tile = jnp.einsum("tkp,tkc->tpc", w, g_rgb)
-        depth_tile = jnp.einsum("tkp,tk->tp", w, g_z)
+        # HIGHEST: the MXU's default bf16 rounding costs ~1e-3 rgb error;
+        # these contractions are bandwidth-bound, so exactness is ~free.
+        rgb_tile = jnp.einsum("tkp,tkc->tpc", w, g_rgb,
+                              precision=jax.lax.Precision.HIGHEST)
+        depth_tile = jnp.einsum("tkp,tk->tp", w, g_z,
+                                precision=jax.lax.Precision.HIGHEST)
         alpha_tile = w.sum(axis=1)
         return carry, (rgb_tile, depth_tile, alpha_tile)
 

@@ -85,10 +85,14 @@ def _composite_tile_kernel(xy_ref, conic_ref, rgbz_ref, op_ref, origin_ref,
         a = jnp.where(a >= 1.0 / 255.0, a, 0.0)  # [P, C]
 
         log1m = jnp.log1p(-a)
-        cums = jnp.dot(log1m, lower, preferred_element_type=jnp.float32)
+        # HIGHEST: the MXU's default bf16 rounding costs ~1e-3 in the
+        # accumulated transmittance; these matmuls are not the bottleneck.
+        cums = jnp.dot(log1m, lower, preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
         w = a * jnp.exp(cums) * trans  # [P, C]
 
-        acc = acc + jnp.dot(w, rgbz, preferred_element_type=jnp.float32)
+        acc = acc + jnp.dot(w, rgbz, preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
         trans = trans * jnp.exp(
             jnp.sum(log1m, axis=1, keepdims=True)
         )
@@ -170,14 +174,17 @@ def _composite_bwd_kernel(xy_ref, conic_ref, op_ref, u_ref, v_ref, origin_ref,
         chunk_sum = jnp.sum(log1m, axis=1, keepdims=True)
         prefix = total - suffix_log - chunk_sum  # log T at chunk entry
         log_t = prefix + jnp.dot(
-            log1m, lower, preferred_element_type=jnp.float32
+            log1m, lower, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
         tr = jnp.exp(log_t)  # [P, C] transmittance in front of each gaussian
         w = a * tr
 
-        s = jnp.dot(v, u, preferred_element_type=jnp.float32)  # [P, C]
+        s = jnp.dot(v, u, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)  # [P, C]
         ws = w * s
-        s_k = jnp.dot(ws, upper, preferred_element_type=jnp.float32) + s_after
+        s_k = jnp.dot(ws, upper, preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST) + s_after
 
         da = tr * s - s_k / (1.0 - a)
         da = jnp.where(keep & (a_pre < 0.999), da, 0.0)

@@ -29,8 +29,8 @@ def main(argv=None):
     parser.add_argument("--area_to_subdivide", type=float, default=1e-5)
     parser.add_argument("--quiet", action="store_true")
     parser.add_argument(
-        "--use_pallas", action="store_true",
-        help="composite through the fused Pallas tile kernels (TPU)",
+        "--use_pallas", default=None, action="store_true",
+        help="force the fused Pallas tile kernels (default: auto on TPU)",
     )
     args = parser.parse_args(argv)
 
