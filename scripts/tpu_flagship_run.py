@@ -19,7 +19,7 @@ conf.put("dataset.data_dir", "scene_0")
 conf.put("dataset.img_res", [192, 192])
 conf.put("dataset.fix_length", 0)
 conf.put("train.expname", "flagship_synth")
-conf.put("train.checkpoint_freq", 5000)
+conf.put("train.checkpoint_freq", int(os.environ.get("FLAGSHIP_CKPT_FREQ", 400)))
 
 runner = Stage1Runner(conf, exps_folder="exps", data_root_override="data",
                       use_mesh=False, quiet=False)
@@ -30,7 +30,7 @@ runner.train_step = make_train_step(runner.model_cfg, runner.loss_cfg, runner.op
 runner.render_frame = make_eval_render(runner.model_cfg)
 
 t0 = time.time()
-runner.run(n_iters=2200, log_every=200)
+runner.run(n_iters=int(os.environ.get("FLAGSHIP_ITERS", 2200)), log_every=100)
 print(f"train wall: {time.time()-t0:.0f}s", flush=True)
-out = runner.plot(it=2200)
+out = runner.plot(it=runner.start_iter)
 print(f"FLAGSHIP FINAL eval psnr: {out['psnr']:.2f}", flush=True)
