@@ -368,11 +368,12 @@ def implicit_get_outputs_jvp(params, cfg, x):
     forward-mode JVPs over the batched forward instead of an inner reverse
     pass. The outer training backward then differentiates a jvp-augmented
     graph (one reverse pass) instead of reverse-over-reverse; the hash
-    gathers of primal and tangents share indices and CSE. Uses the unpacked
-    gather path (custom_vjp has no JVP rule)."""
+    gathers of primal and tangents share indices and CSE. The gather is a
+    linear_call, so the packed-pair path works under jvp (the x-tangent
+    flows through the interpolation weights; the table is a constant)."""
 
     def f(pts):
-        raw, feats = implicit_forward(params, cfg, pts, packed=False)
+        raw, feats = implicit_forward(params, cfg, pts)
         return raw.min(axis=-1), (raw, feats)
 
     cols = []
@@ -397,8 +398,8 @@ def implicit_all_gradients(params, cfg, x):
     """
 
     def f(pts):
-        # forward-mode path: custom_vjp (packed gather) has no JVP rule
-        raw = implicit_sdf_raw(params, cfg, pts, packed=False)
+        # forward-mode path: gather is a linear_call, so packed works here
+        raw = implicit_sdf_raw(params, cfg, pts)
         return jnp.concatenate([raw, raw.min(axis=-1, keepdims=True)], axis=-1)
 
     # one JVP per input dimension over the BATCHED function (points are

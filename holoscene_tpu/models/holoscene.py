@@ -39,7 +39,11 @@ from holoscene_tpu.models.fields import (
     rendering_forward,
 )
 from holoscene_tpu.ops.density import laplace_beta, laplace_density
-from holoscene_tpu.ops.sampler import SamplerConfig, error_bound_sample
+from holoscene_tpu.ops.sampler import (
+    SamplerConfig,
+    error_bound_sample,
+    estimate_weights_from_buffer,
+)
 from holoscene_tpu.ops.volrend import (
     composite,
     composite_depth,
@@ -70,6 +74,15 @@ class HoloSceneConfig:
     # reference-equivalent) or "jvp" (3 forward-mode passes whose gathers CSE
     # with the primal — often cheaper under the outer training backward)
     forward_grad_mode: str = "vjp"
+    # Top-M render-sample pruning (training only). 0 = exact reference
+    # semantics (all n_final samples through the full network). M > 0 keeps
+    # the M samples with the highest sampler-estimated compositing weight
+    # (plus both endpoints) and runs the expensive second-order network pass
+    # on those only. The kept subset spans [near, far], so transmittance
+    # still integrates the full ray — this is a coarser quadrature of the
+    # same integral, not dropped opacity mass; the samples dropped are the
+    # ones the error-bound sampler already resolved as ~zero-weight.
+    render_top_m: int = 0
 
     @property
     def num_semantic(self) -> int:
@@ -155,11 +168,27 @@ def render_rays(
     R = rays_o.shape[0]
     k_sampler, k_eik, k_nei = jax.random.split(key, 3)
 
-    z_vals, z_eik = error_bound_sample(
-        k_sampler, rays_o, rays_d, scene_sdf_nograd(params, cfg),
-        jax.lax.stop_gradient(get_beta(params, cfg)), cfg.sampler,
-        training=training,
-    )
+    prune_m = cfg.render_top_m if training else 0
+    if prune_m > 0:
+        z_vals, z_eik, (z_buf, sdf_buf, beta_buf) = error_bound_sample(
+            k_sampler, rays_o, rays_d, scene_sdf_nograd(params, cfg),
+            jax.lax.stop_gradient(get_beta(params, cfg)), cfg.sampler,
+            training=training, return_aux=True,
+        )
+        if prune_m < z_vals.shape[-1]:
+            est_w = estimate_weights_from_buffer(z_vals, z_buf, sdf_buf,
+                                                 beta_buf)
+            # force-keep both endpoints so the kept set spans [near, far]
+            score = est_w.at[:, 0].set(jnp.inf).at[:, -1].set(jnp.inf)
+            _, keep = jax.lax.top_k(score, prune_m)
+            keep = jnp.sort(keep, axis=-1)
+            z_vals = jnp.take_along_axis(z_vals, keep, axis=-1)
+    else:
+        z_vals, z_eik = error_bound_sample(
+            k_sampler, rays_o, rays_d, scene_sdf_nograd(params, cfg),
+            jax.lax.stop_gradient(get_beta(params, cfg)), cfg.sampler,
+            training=training,
+        )
     S = z_vals.shape[-1]
 
     points = rays_o[:, None, :] + z_vals[..., None] * rays_d[:, None, :]

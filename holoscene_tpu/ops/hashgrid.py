@@ -100,12 +100,17 @@ def _smoothstep(t):
 # regardless of table size (measured flat ~96M elem/s from 8k-row to 12M-row
 # tables), so fetching both feature channels in one f32 halves the dominant
 # cost of every hash-grid evaluation. The two bf16 channels are packed into
-# the 32 bits of one f32 row; the custom VJP scatters exact f32 gradients
+# the 32 bits of one f32 row; the transpose scatters exact f32 gradients
 # back to the [rows, 2] master table. Forward values are bf16-rounded (hash
 # features are learned quantities; NGP-style grids train fine in fp16).
 #
-# custom_vjp has no JVP rule, so forward-mode callers (the eikonal jacobians
-# in implicit_all_gradients) use hash_encode(..., packed=False).
+# The gather is LINEAR in the table (treating the bf16 pack as the identity,
+# the usual straight-through choice), so it is registered as a first-class
+# JAX primitive with linear jvp + transpose rules: (gather, scatter) form a
+# transpose pair, and JAX derives every higher-order combination. This is
+# what lets BOTH the reverse-mode training backward and the forward-mode
+# eikonal jacobians (implicit_all_gradients' 3 JVP passes) ride the packed
+# path — a custom_vjp here would reject any jvp trace.
 # ---------------------------------------------------------------------------
 
 
@@ -128,29 +133,80 @@ def _unpack_pairs(g: jnp.ndarray):
     return c0, c1
 
 
-@jax.custom_vjp
-def gather_pairs(emb: jnp.ndarray, idx: jnp.ndarray):
-    """emb [rows, 2] f32, idx int32 [...] -> (c0, c1) f32 of idx's shape."""
-    return _unpack_pairs(jnp.take(_pack_pairs(emb), idx, axis=0))
+from jax.extend.core import Primitive as _Primitive
+from jax.interpreters import ad as _ad, batching as _batching, mlir as _mlir
+
+_gather_pairs_p = _Primitive("hashgrid_gather_pairs")
 
 
-def _gather_pairs_fwd(emb, idx):
-    return gather_pairs(emb, idx), (idx, emb.shape[0])
+def _gather_pairs_math(emb, idx):
+    c0, c1 = _unpack_pairs(jnp.take(_pack_pairs(emb), idx, axis=0))
+    return jnp.stack([c0, c1])
 
 
-def _gather_pairs_bwd(res, bars):
-    idx, rows = res
-    b0, b1 = bars
+def _gather_pairs_abstract(emb, idx):
+    return jax.core.ShapedArray((2,) + idx.shape, jnp.float32)
+
+
+def _gather_pairs_jvp(primals, tangents):
+    emb, idx = primals
+    demb, _ = tangents
+    out = _gather_pairs_p.bind(emb, idx)
+    if type(demb) is _ad.Zero:
+        return out, _ad.Zero.from_primal_value(out)
+    return out, _gather_pairs_p.bind(_ad.instantiate_zeros(demb), idx)
+
+
+def _gather_pairs_transpose(ct, emb, idx):
+    assert _ad.is_undefined_primal(emb) and not _ad.is_undefined_primal(idx)
+    rows = emb.aval.shape[0]
+    if type(ct) is _ad.Zero:
+        return _ad.Zero(emb.aval), None
+    # one fused ELEMENT scatter into a flat view: row-shaped [M, 2] scatters
+    # pad the 2-wide minor dim to 128 lanes (measured 2x slower end-to-end)
     flat_idx = idx.reshape(-1)
-    # two ELEMENT scatters into a flat view: row-shaped [M, 2] scatters pad
-    # the 2-wide minor dim to 128 lanes (measured 2x slower end-to-end)
+    both = jnp.concatenate([flat_idx * 2, flat_idx * 2 + 1])
     flat = jnp.zeros((rows * 2,), dtype=jnp.float32)
-    flat = flat.at[flat_idx * 2].add(b0.reshape(-1))
-    flat = flat.at[flat_idx * 2 + 1].add(b1.reshape(-1))
+    flat = flat.at[both].add(ct.reshape(-1))
     return flat.reshape(rows, 2), None
 
 
-gather_pairs.defvjp(_gather_pairs_fwd, _gather_pairs_bwd)
+def _gather_pairs_batch(args, dims):
+    emb, idx = args
+    d_emb, d_idx = dims
+    if d_emb is _batching.not_mapped:
+        # gather accepts any idx rank; the mapped axis just rides along,
+        # shifted by the stacked channel axis the primitive prepends
+        out = _gather_pairs_p.bind(emb, idx)
+        return out, d_idx + 1
+    # batched tables: unroll (rare; only reached by explicit vmap over
+    # parameter sets)
+    emb = jnp.moveaxis(emb, d_emb, 0)
+    if d_idx is _batching.not_mapped:
+        out = jnp.stack([_gather_pairs_p.bind(e, idx) for e in emb])
+    else:
+        idx = jnp.moveaxis(idx, d_idx, 0)
+        out = jnp.stack([
+            _gather_pairs_p.bind(e, i) for e, i in zip(emb, idx)
+        ])
+    return out, 0
+
+
+_gather_pairs_p.def_impl(_gather_pairs_math)
+_gather_pairs_p.def_abstract_eval(_gather_pairs_abstract)
+_ad.primitive_jvps[_gather_pairs_p] = _gather_pairs_jvp
+_ad.primitive_transposes[_gather_pairs_p] = _gather_pairs_transpose
+_batching.primitive_batchers[_gather_pairs_p] = _gather_pairs_batch
+_mlir.register_lowering(
+    _gather_pairs_p,
+    _mlir.lower_fun(_gather_pairs_math, multiple_results=False),
+)
+
+
+def gather_pairs(emb: jnp.ndarray, idx: jnp.ndarray):
+    """emb [rows, 2] f32, idx int32 [...] -> (c0, c1) f32 of idx's shape."""
+    out = _gather_pairs_p.bind(emb, idx)
+    return out[0], out[1]
 
 
 def _corner_indices(meta: HashGridMeta):

@@ -140,6 +140,7 @@ def error_bound_sample(
     training: bool = True,
     near: jnp.ndarray | None = None,
     far: jnp.ndarray | None = None,
+    return_aux: bool = False,
 ):
     """Sample z values along each ray with VolSDF's error-bounded scheme.
 
@@ -147,6 +148,9 @@ def error_bound_sample(
     gradient flow — callers pass a stop_gradient'ed closure, matching the
     reference's torch.no_grad at ray_sampler.py:150).
     Returns (z_vals [R, n_final] sorted, z_eik [R, 1] random near-surface z).
+    With return_aux=True additionally returns (z_buf [R,W], sdf_buf [R,W],
+    beta [R]) — the refined probe buffer, which renderers can use to estimate
+    per-sample compositing weights without extra SDF evaluations.
     """
     R = rays_o.shape[0]
     E = cfg.N_samples_eval
@@ -335,7 +339,47 @@ def error_bound_sample(
     # random near-surface z for eikonal sampling (ray_sampler.py:279-280)
     eik_idx = jax.random.randint(k_eik, (R, 1), 0, z_final.shape[-1])
     z_eik = jnp.take_along_axis(z_final, eik_idx, axis=-1)
+    if return_aux:
+        return z_final, z_eik, (z_vals, sdf, beta)
     return z_final, z_eik
+
+
+def estimate_weights_from_buffer(
+    z_query: jnp.ndarray,
+    z_buf: jnp.ndarray,
+    sdf_buf: jnp.ndarray,
+    beta: jnp.ndarray,
+):
+    """Estimate compositing weights at z_query from the sampler's refined
+    probe buffer — zero extra SDF evaluations.
+
+    z_query [R,S] sorted, z_buf [R,W] sorted, sdf_buf [R,W], beta [R].
+    Linearly interpolates the probe SDF at z_query, converts to Laplace
+    density at the sampler's per-ray beta, and integrates transmittance on
+    the query set. Good only for RANKING samples (top-M pruning); the exact
+    render recomputes everything on the kept subset.
+    """
+    inds = jax.vmap(partial(jnp.searchsorted, side="right"))(z_buf, z_query)
+    below = jnp.maximum(inds - 1, 0)
+    above = jnp.minimum(inds, z_buf.shape[-1] - 1)
+    z_lo = jnp.take_along_axis(z_buf, below, axis=-1)
+    z_hi = jnp.take_along_axis(z_buf, above, axis=-1)
+    s_lo = jnp.take_along_axis(sdf_buf, below, axis=-1)
+    s_hi = jnp.take_along_axis(sdf_buf, above, axis=-1)
+    t = (z_query - z_lo) / jnp.where(z_hi - z_lo < 1e-9, 1.0, z_hi - z_lo)
+    sdf_est = s_lo + jnp.clip(t, 0.0, 1.0) * (s_hi - s_lo)
+
+    density = laplace_density(sdf_est, beta[:, None])
+    dists = z_query[:, 1:] - z_query[:, :-1]
+    free_energy = jnp.concatenate(
+        [dists * density[:, :-1], jnp.full_like(dists[:, :1], 1e10)], axis=-1
+    )
+    shifted = jnp.concatenate(
+        [jnp.zeros_like(free_energy[:, :1]), free_energy[:, :-1]], axis=-1
+    )
+    alpha = 1.0 - jnp.exp(-free_energy)
+    transmittance = jnp.exp(-jnp.cumsum(shifted, axis=-1))
+    return alpha * transmittance
 
 
 def ray_marching_surface(

@@ -140,3 +140,57 @@ def test_overfit_single_batch_decreases_loss():
         params, opt_state, loss = step(params, opt_state, jax.random.PRNGKey(i))
         losses.append(float(loss))
     assert losses[-1] < losses[0], f"loss did not decrease: {losses}"
+
+
+def test_render_top_m_pruning_close_to_full():
+    """Top-M pruning keeps the render close to the full-sample render: the
+    dropped samples are exactly the ones the sampler resolved as ~zero
+    weight, and the kept set still spans [near, far]."""
+    import dataclasses
+
+    cfg = tiny_config()
+    params = init_holoscene(jax.random.PRNGKey(0), cfg)
+    o, d, scale, rot = _ray_batch()
+    key = jax.random.PRNGKey(7)
+
+    full = render_rays(params, cfg, key, o, d, scale, rot, training=True)
+    n_final = cfg.sampler.n_final
+    cfg_p = dataclasses.replace(cfg, render_top_m=n_final - 4)
+    pruned = render_rays(params, cfg_p, key, o, d, scale, rot, training=True)
+
+    assert pruned["sdf"].shape == (8, n_final - 4)
+    np.testing.assert_allclose(
+        np.asarray(pruned["rgb_values"]), np.asarray(full["rgb_values"]),
+        atol=0.05,
+    )
+    np.testing.assert_allclose(
+        np.asarray(pruned["depth_values"]), np.asarray(full["depth_values"]),
+        atol=0.08,
+    )
+    # kept z set spans the full ray: endpoints force-kept
+    np.testing.assert_allclose(
+        np.asarray(pruned["z_vals"][:, 0]), np.asarray(full["z_vals"][:, 0]),
+        atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(pruned["z_vals"][:, -1]), np.asarray(full["z_vals"][:, -1]),
+        atol=1e-6,
+    )
+
+    # eval path ignores pruning entirely (exact renders for metrics)
+    ev_full = render_rays(params, cfg, key, o, d, scale, rot, training=False)
+    ev_pruned = render_rays(params, cfg_p, key, o, d, scale, rot,
+                            training=False)
+    np.testing.assert_allclose(
+        np.asarray(ev_pruned["rgb_values"]), np.asarray(ev_full["rgb_values"]),
+        atol=1e-6,
+    )
+
+    # gradients stay finite through the pruned path
+    def loss_fn(p):
+        out = render_rays(p, cfg_p, key, o, d, scale, rot, training=True)
+        return (out["rgb_values"] ** 2).sum() + (out["grad_theta"] ** 2).sum()
+
+    g = jax.grad(loss_fn)(params)
+    flat, _ = jax.flatten_util.ravel_pytree(g)
+    assert bool(jnp.all(jnp.isfinite(flat)))
