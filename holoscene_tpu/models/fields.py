@@ -34,6 +34,7 @@ from holoscene_tpu.ops.embedder import positional_encoding, embedder_out_dim
 from holoscene_tpu.ops.hashgrid import (
     HashGridMeta,
     hash_encode,
+    hash_encode_dual,
     init_hash_embeddings,
 )
 
@@ -96,6 +97,11 @@ class ImplicitNetworkConfig:
     logmap: int = 19
     num_levels: int = 16
     level_dim: int = 2
+    # Fetch the SDF and color grids with ONE width-2 row gather per corner
+    # (they share identical (level, corner, hash) indices). Measured on v5e:
+    # a width-2 row gather costs 0.7x of one width-1 gather instead of 2x
+    # (scripts/probe_row_ops.py). Only affects with_features=True forwards.
+    fused_dual_grid: bool = False
 
     @property
     def grid_meta(self) -> HashGridMeta:
@@ -218,9 +224,18 @@ def implicit_forward(
     """
     xn = x / cfg.divide_factor
     grid_dim = cfg.num_levels * cfg.level_dim
+    color_feature_pre = None
     if cfg.use_grid_feature:
         # HashEncoder maps [-1,1] -> [0,1] internally (hashgrid.py:158)
-        if grid_levels is not None and grid_levels < cfg.num_levels:
+        if (
+            cfg.fused_dual_grid and cfg.color_grid_feature and with_features
+            and packed and grid_levels is None and cfg.level_dim == 2
+        ):
+            feature, color_feature_pre = hash_encode_dual(
+                (xn + 1.0) * 0.5, params["grid"], params["color_grid"],
+                cfg.grid_meta,
+            )
+        elif grid_levels is not None and grid_levels < cfg.num_levels:
             # NOTE: keep the FULL grid's per-level scale (desired_resolution
             # would re-derive a different scale for fewer levels)
             full_meta = cfg.grid_meta
@@ -266,8 +281,11 @@ def implicit_forward(
         sdf_raw = h
         if not with_features:
             return sdf_raw, None
-        cf = hash_encode((xn + 1.0) * 0.5, params["color_grid"], cfg.grid_meta,
-                         packed=packed)
+        if color_feature_pre is not None:
+            cf = color_feature_pre
+        else:
+            cf = hash_encode((xn + 1.0) * 0.5, params["color_grid"],
+                             cfg.grid_meta, packed=packed)
         cf = _plain_linear_apply(params["color_map_mlp"]["lin0"], cf)
         cf = jax.nn.relu(cf)
         cf = _plain_linear_apply(params["color_map_mlp"]["lin1"], cf)
@@ -349,17 +367,24 @@ def implicit_get_outputs(params, cfg, x):
     network including hash grids (JAX supplies the second-order path the
     reference needed custom CUDA for).
     """
-    sdf_raw, feature_vectors = implicit_forward(params, cfg, x)
+    # ONE forward under jax.vjp: the scene-SDF gradient is the pullback of
+    # the min-select cotangent through the SAME application of the forward
+    # (not a second forward relying on CSE). Consequences on TPU: the hash
+    # gathers appear once in the traced graph, so the OUTER training
+    # backward accumulates every embedding cotangent (main path + the
+    # second-order path through these gradients) before the transpose runs —
+    # ONE scatter pass per table instead of one per use.
+    (sdf_raw, feature_vectors), pullback = jax.vjp(
+        lambda pts: implicit_forward(params, cfg, pts), x
+    )
     semantic = semantic_from_sdf(sdf_raw, cfg.sigmoid)
     sdf = sdf_raw.min(axis=-1)
 
-    # per-point scene-SDF gradient: points are independent, so the gradient
-    # of the SUM w.r.t. the batched input IS the per-point gradient — one
-    # reverse pass over the batched graph instead of a vmapped per-point
-    # grad (far smaller HLO, same values).
-    gradients = jax.grad(
-        lambda pts: implicit_scene_sdf(params, cfg, pts).sum()
-    )(x)
+    # cotangent of sum(min(sdf_raw, axis=-1)) — ties share equally, matching
+    # jnp.min's gradient
+    eq = (sdf_raw == sdf[:, None]).astype(sdf_raw.dtype)
+    ct_sdf = eq / eq.sum(axis=-1, keepdims=True)
+    (gradients,) = pullback((ct_sdf, jnp.zeros_like(feature_vectors)))
     return sdf, feature_vectors, gradients, semantic, sdf_raw
 
 

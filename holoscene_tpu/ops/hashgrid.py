@@ -209,6 +209,94 @@ def gather_pairs(emb: jnp.ndarray, idx: jnp.ndarray):
     return out[0], out[1]
 
 
+# ---------------------------------------------------------------------------
+# quad gather: two grids (SDF + color) share identical (level, corner, hash)
+# indices, so one width-2 row gather of a fused [rows, 2] packed table
+# fetches all four channels. Measured on v5e: width-2 row gathers run at
+# ~95M rows/s vs ~135M for width-1 (scripts/probe_row_ops.py) — the fused
+# fetch costs 0.7x of one grid's gather instead of 2x.
+# ---------------------------------------------------------------------------
+
+_gather_quad_p = _Primitive("hashgrid_gather_quad")
+
+
+def _gather_quad_math(emb_a, emb_b, idx):
+    fused = jnp.stack([_pack_pairs(emb_a), _pack_pairs(emb_b)], axis=-1)
+    g = jnp.take(fused, idx, axis=0)          # [..., 2]
+    a0, a1 = _unpack_pairs(g[..., 0])
+    b0, b1 = _unpack_pairs(g[..., 1])
+    return jnp.stack([a0, a1, b0, b1])
+
+
+def _gather_quad_abstract(emb_a, emb_b, idx):
+    return jax.core.ShapedArray((4,) + idx.shape, jnp.float32)
+
+
+def _gather_quad_jvp(primals, tangents):
+    emb_a, emb_b, idx = primals
+    da, db, _ = tangents
+    out = _gather_quad_p.bind(emb_a, emb_b, idx)
+    if type(da) is _ad.Zero and type(db) is _ad.Zero:
+        return out, _ad.Zero.from_primal_value(out)
+    return out, _gather_quad_p.bind(
+        _ad.instantiate_zeros(da), _ad.instantiate_zeros(db), idx
+    )
+
+
+def _scatter_pair_flat(rows, idx_flat, c0, c1):
+    both = jnp.concatenate([idx_flat * 2, idx_flat * 2 + 1])
+    flat = jnp.zeros((rows * 2,), dtype=jnp.float32)
+    flat = flat.at[both].add(jnp.concatenate([c0, c1]))
+    return flat.reshape(rows, 2)
+
+
+def _gather_quad_transpose(ct, emb_a, emb_b, idx):
+    assert not _ad.is_undefined_primal(idx)
+    if type(ct) is _ad.Zero:
+        za = _ad.Zero(emb_a.aval) if _ad.is_undefined_primal(emb_a) else None
+        zb = _ad.Zero(emb_b.aval) if _ad.is_undefined_primal(emb_b) else None
+        return za, zb, None
+    flat_idx = idx.reshape(-1)
+    c = ct.reshape(4, -1)
+    ga = (
+        _scatter_pair_flat(emb_a.aval.shape[0], flat_idx, c[0], c[1])
+        if _ad.is_undefined_primal(emb_a) else None
+    )
+    gb = (
+        _scatter_pair_flat(emb_b.aval.shape[0], flat_idx, c[2], c[3])
+        if _ad.is_undefined_primal(emb_b) else None
+    )
+    return ga, gb, None
+
+
+def _gather_quad_batch(args, dims):
+    emb_a, emb_b, idx = args
+    d_a, d_b, d_idx = dims
+    if d_a is _batching.not_mapped and d_b is _batching.not_mapped:
+        out = _gather_quad_p.bind(emb_a, emb_b, idx)
+        return out, d_idx + 1
+    raise NotImplementedError(
+        "vmap over hash tables is not supported for the quad gather"
+    )
+
+
+_gather_quad_p.def_impl(_gather_quad_math)
+_gather_quad_p.def_abstract_eval(_gather_quad_abstract)
+_ad.primitive_jvps[_gather_quad_p] = _gather_quad_jvp
+_ad.primitive_transposes[_gather_quad_p] = _gather_quad_transpose
+_batching.primitive_batchers[_gather_quad_p] = _gather_quad_batch
+_mlir.register_lowering(
+    _gather_quad_p,
+    _mlir.lower_fun(_gather_quad_math, multiple_results=False),
+)
+
+
+def gather_quad(emb_a, emb_b, idx):
+    """Fused two-table gather: returns (a0, a1, b0, b1), each idx-shaped."""
+    out = _gather_quad_p.bind(emb_a, emb_b, idx)
+    return out[0], out[1], out[2], out[3]
+
+
 def _corner_indices(meta: HashGridMeta):
     """[2^D, D] corner offset bits, matching the CUDA corner enumeration."""
     d = meta.input_dim
@@ -216,27 +304,12 @@ def _corner_indices(meta: HashGridMeta):
     return np.stack([(idx >> k) & 1 for k in range(d)], axis=-1).astype(np.uint32)
 
 
-@partial(jax.jit, static_argnames=("meta", "packed", "level_range"))
-def hash_encode(inputs: jnp.ndarray, embeddings: jnp.ndarray,
-                meta: HashGridMeta, packed: bool = True,
-                level_range: tuple[int, int] | None = None):
-    """Encode points.
-
-    inputs:     [N, D] in [0, 1] (out-of-range rows produce zero features)
-    embeddings: [table_rows, C]
-    Returns [N, L*C] features ordered level-major per point (level0 ch0,
-    level0 ch1, level1 ch0, ... — matches reference output permute
-    hashgrid.py:44).
-
-    TPU layout note: every intermediate keeps the POINT axis minor ([L, D, N]
-    / [L, N] / flat-[L*8, N] gathers). TPU tiles pad the minor dimension to
-    128 lanes, so the naive [L, N, 8, C] formulation (minor dim C=2) would
-    materialize 64x more HBM traffic than needed — this layout is the
-    difference between ~245 and >>1k rays/s end-to-end.
-    """
+def _encode_core(inputs: jnp.ndarray, meta: HashGridMeta,
+                 level_range: tuple[int, int] | None):
+    """Shared index/weight computation: returns (row [L,2^D,N] int32,
+    cw [L,2^D,N] f32 corner weights, oob [N] bool, L)."""
     n, d = inputs.shape
     assert d == meta.input_dim
-    C = meta.level_dim
 
     res_np, sizes_np, offsets_np = meta.level_tables()
     scales = (
@@ -303,6 +376,30 @@ def hash_encode(inputs: jnp.ndarray, embeddings: jnp.ndarray,
         corners_j[None, :, :, None] == 1, w[:, None, :, :], 1.0 - w[:, None, :, :]
     )
     cw = jnp.prod(wsel, axis=2)
+    return row, cw, oob, L
+
+
+@partial(jax.jit, static_argnames=("meta", "packed", "level_range"))
+def hash_encode(inputs: jnp.ndarray, embeddings: jnp.ndarray,
+                meta: HashGridMeta, packed: bool = True,
+                level_range: tuple[int, int] | None = None):
+    """Encode points.
+
+    inputs:     [N, D] in [0, 1] (out-of-range rows produce zero features)
+    embeddings: [table_rows, C]
+    Returns [N, L*C] features ordered level-major per point (level0 ch0,
+    level0 ch1, level1 ch0, ... — matches reference output permute
+    hashgrid.py:44).
+
+    TPU layout note: every intermediate keeps the POINT axis minor ([L, D, N]
+    / [L, N] / flat-[L*8, N] gathers). TPU tiles pad the minor dimension to
+    128 lanes, so the naive [L, N, 8, C] formulation (minor dim C=2) would
+    materialize 64x more HBM traffic than needed — this layout is the
+    difference between ~245 and >>1k rays/s end-to-end.
+    """
+    n = inputs.shape[0]
+    C = meta.level_dim
+    row, cw, oob, L = _encode_core(inputs, meta, level_range)
 
     if packed and C == 2:
         c0, c1 = gather_pairs(embeddings, row)  # each [L, 2^D, N]
@@ -317,6 +414,31 @@ def hash_encode(inputs: jnp.ndarray, embeddings: jnp.ndarray,
     feats = jnp.stack(feats_c, axis=1)  # [L, C, N]
     feats = jnp.where(oob[None, None, :], 0.0, feats)
     return feats.reshape(L * C, n).T
+
+
+@partial(jax.jit, static_argnames=("meta",))
+def hash_encode_dual(inputs: jnp.ndarray, emb_a: jnp.ndarray,
+                     emb_b: jnp.ndarray, meta: HashGridMeta):
+    """Encode points against TWO tables with identical metadata in one pass.
+
+    The (level, corner, hash) indices and interpolation weights are computed
+    once and both tables are fetched with a single width-2 row gather
+    (gather_quad). Returns (feats_a [N, L*2], feats_b [N, L*2]) — each equal
+    to hash_encode(inputs, emb, meta, packed=True).
+    """
+    assert meta.level_dim == 2
+    n = inputs.shape[0]
+    row, cw, oob, L = _encode_core(inputs, meta, None)
+    a0, a1, b0, b1 = gather_quad(emb_a, emb_b, row)   # each [L, 2^D, N]
+
+    def assemble(c0, c1):
+        feats = jnp.stack(
+            [jnp.sum(cw * c0, axis=1), jnp.sum(cw * c1, axis=1)], axis=1
+        )  # [L, 2, N]
+        feats = jnp.where(oob[None, None, :], 0.0, feats)
+        return feats.reshape(L * 2, n).T
+
+    return assemble(a0, a1), assemble(b0, b1)
 
 
 def dense_level_count(meta: HashGridMeta) -> int:

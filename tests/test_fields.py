@@ -134,3 +134,79 @@ def test_jvp_get_outputs_matches_vjp():
     b = implicit_get_outputs_jvp(params, CFG, x)
     for u, v in zip(a, b):
         np.testing.assert_allclose(np.asarray(u), np.asarray(v), atol=1e-5)
+
+
+def test_fused_dual_grid_matches_separate():
+    """hash_encode_dual + fused_dual_grid forward must match the two-call
+    path exactly (same packed bf16 rounding), including under the training
+    backward and the scene-SDF gradient."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from holoscene_tpu.models.fields import (
+        ImplicitNetworkConfig,
+        implicit_forward,
+        implicit_get_outputs,
+        init_implicit_network,
+    )
+    from holoscene_tpu.ops.hashgrid import hash_encode, hash_encode_dual
+
+    cfg = ImplicitNetworkConfig(
+        feature_vector_size=32, d_out=4, dims=(32, 32), multires=2,
+        num_levels=4, level_dim=2, base_size=4, end_size=32, logmap=10,
+        color_grid_feature=True,
+    )
+    cfg_dual = dataclasses.replace(cfg, fused_dual_grid=True)
+    params = init_implicit_network(jax.random.PRNGKey(0), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (33, 3), minval=-0.9,
+                           maxval=0.9)
+
+    # raw encoder parity
+    fa, fb = hash_encode_dual((x + 1) * 0.5, params["grid"],
+                              params["color_grid"], cfg.grid_meta)
+    np.testing.assert_array_equal(
+        np.asarray(fa),
+        np.asarray(hash_encode((x + 1) * 0.5, params["grid"], cfg.grid_meta)),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(fb),
+        np.asarray(
+            hash_encode((x + 1) * 0.5, params["color_grid"], cfg.grid_meta)
+        ),
+    )
+
+    # full forward parity
+    s1, f1 = implicit_forward(params, cfg, x)
+    s2, f2 = implicit_forward(params, cfg_dual, x)
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+    np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
+
+    # get_outputs (vjp-structured gradient) parity across both configs and
+    # vs. a plain jax.grad of the min-SDF
+    o1 = implicit_get_outputs(params, cfg, x)
+    o2 = implicit_get_outputs(params, cfg_dual, x)
+    for a, b in zip(o1, o2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    g_ref = jax.grad(
+        lambda pts: implicit_forward(params, cfg, pts)[0].min(-1).sum()
+    )(x)
+    np.testing.assert_allclose(np.asarray(o1[2]), np.asarray(g_ref),
+                               atol=1e-6)
+
+    # training backward parity (grads w.r.t. params through the whole thing)
+    def loss(p, c):
+        sdf, feats, grads, sem, raw = implicit_get_outputs(p, c, x)
+        return (
+            (sdf ** 2).sum() + (feats ** 2).sum()
+            + ((jnp.linalg.norm(grads, axis=-1) - 1.0) ** 2).sum()
+        )
+
+    g1 = jax.grad(lambda p: loss(p, cfg))(params)
+    g2 = jax.grad(lambda p: loss(p, cfg_dual))(params)
+    fl1 = jax.flatten_util.ravel_pytree(g1)[0]
+    fl2 = jax.flatten_util.ravel_pytree(g2)[0]
+    np.testing.assert_allclose(np.asarray(fl1), np.asarray(fl2), atol=2e-5)
+    assert bool(jnp.all(jnp.isfinite(fl1)))
