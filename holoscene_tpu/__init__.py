@@ -21,3 +21,18 @@ Layer map:
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+if _os.environ.get("HOLOSCENE_NO_COMPILE_CACHE", "0") != "1":
+    # Stage-1 train steps take minutes to AOT-compile through the remote
+    # TPU relay; the persistent cache makes every re-run (and crash-resume
+    # restart under scripts/tpu_supervise.py) start in seconds.
+    import jax as _jax
+
+    _jax.config.update(
+        "jax_compilation_cache_dir",
+        _os.environ.get("HOLOSCENE_COMPILE_CACHE",
+                        _os.path.expanduser("~/.cache/jax_comp_cache")),
+    )
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
