@@ -55,6 +55,7 @@ def flagship_config() -> HoloSceneConfig:
             num_levels=16, level_dim=2, base_size=16, end_size=2048, logmap=19,
             color_grid_feature=True, divide_factor=1.0, sigmoid=10.0,
             fused_dual_grid=os.environ.get("BENCH_DUAL", "0") == "1",
+            grid_interp=os.environ.get("BENCH_INTERP", "trilinear"),
         ),
         rendering=RenderingNetworkConfig(
             feature_vector_size=256, dims=(256, 256), multires_view=4,

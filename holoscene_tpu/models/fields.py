@@ -102,6 +102,11 @@ class ImplicitNetworkConfig:
     # a width-2 row gather costs 0.7x of one width-1 gather instead of 2x
     # (scripts/probe_row_ops.py). Only affects with_features=True forwards.
     fused_dual_grid: bool = False
+    # "trilinear" = reference smoothstep trilerp (8 corners);
+    # "tetrahedral" = Kuhn-simplex barycentric (4 corners, half the
+    # gather/scatter traffic; quality-gated opt-in). Sampler probes always
+    # stay trilinear (they only place samples).
+    grid_interp: str = "trilinear"
 
     @property
     def grid_meta(self) -> HashGridMeta:
@@ -233,7 +238,7 @@ def implicit_forward(
         ):
             feature, color_feature_pre = hash_encode_dual(
                 (xn + 1.0) * 0.5, params["grid"], params["color_grid"],
-                cfg.grid_meta,
+                cfg.grid_meta, interp=cfg.grid_interp,
             )
         elif grid_levels is not None and grid_levels < cfg.num_levels:
             # NOTE: keep the FULL grid's per-level scale (desired_resolution
@@ -258,7 +263,8 @@ def implicit_forward(
             )
         else:
             feature = hash_encode((xn + 1.0) * 0.5, params["grid"],
-                                  cfg.grid_meta, packed=packed)
+                                  cfg.grid_meta, packed=packed,
+                                  interp=cfg.grid_interp)
     else:
         feature = jnp.zeros(x.shape[:-1] + (grid_dim,), dtype=x.dtype)
 
@@ -285,7 +291,8 @@ def implicit_forward(
             cf = color_feature_pre
         else:
             cf = hash_encode((xn + 1.0) * 0.5, params["color_grid"],
-                             cfg.grid_meta, packed=packed)
+                             cfg.grid_meta, packed=packed,
+                             interp=cfg.grid_interp)
         cf = _plain_linear_apply(params["color_map_mlp"]["lin0"], cf)
         cf = jax.nn.relu(cf)
         cf = _plain_linear_apply(params["color_map_mlp"]["lin1"], cf)

@@ -379,10 +379,11 @@ def _encode_core(inputs: jnp.ndarray, meta: HashGridMeta,
     return row, cw, oob, L
 
 
-@partial(jax.jit, static_argnames=("meta", "packed", "level_range"))
+@partial(jax.jit, static_argnames=("meta", "packed", "level_range", "interp"))
 def hash_encode(inputs: jnp.ndarray, embeddings: jnp.ndarray,
                 meta: HashGridMeta, packed: bool = True,
-                level_range: tuple[int, int] | None = None):
+                level_range: tuple[int, int] | None = None,
+                interp: str = "trilinear"):
     """Encode points.
 
     inputs:     [N, D] in [0, 1] (out-of-range rows produce zero features)
@@ -390,6 +391,10 @@ def hash_encode(inputs: jnp.ndarray, embeddings: jnp.ndarray,
     Returns [N, L*C] features ordered level-major per point (level0 ch0,
     level0 ch1, level1 ch0, ... — matches reference output permute
     hashgrid.py:44).
+
+    interp: "trilinear" (reference smoothstep trilerp, 8 corners) or
+    "tetrahedral" (Kuhn-simplex, 4 corners — half the gather/scatter
+    traffic; see _encode_core_tet).
 
     TPU layout note: every intermediate keeps the POINT axis minor ([L, D, N]
     / [L, N] / flat-[L*8, N] gathers). TPU tiles pad the minor dimension to
@@ -399,7 +404,11 @@ def hash_encode(inputs: jnp.ndarray, embeddings: jnp.ndarray,
     """
     n = inputs.shape[0]
     C = meta.level_dim
-    row, cw, oob, L = _encode_core(inputs, meta, level_range)
+    if interp == "tetrahedral":
+        assert level_range is None
+        row, cw, oob, L = _encode_core_tet(inputs, meta)
+    else:
+        row, cw, oob, L = _encode_core(inputs, meta, level_range)
 
     if packed and C == 2:
         c0, c1 = gather_pairs(embeddings, row)  # each [L, 2^D, N]
@@ -416,9 +425,86 @@ def hash_encode(inputs: jnp.ndarray, embeddings: jnp.ndarray,
     return feats.reshape(L * C, n).T
 
 
-@partial(jax.jit, static_argnames=("meta",))
+def _encode_core_tet(inputs: jnp.ndarray, meta: HashGridMeta):
+    """Kuhn-simplex (tetrahedral) index/weight computation: 4 corners per
+    point-level instead of 2^3 — halves gather AND scatter traffic.
+
+    Each grid cell splits into 6 tetrahedra by the coordinate ordering of
+    the fractional position (Kuhn triangulation); the value is the
+    barycentric blend of the tet's 4 vertices:
+      vertices  v_0 = floor(p), v_k = v_{k-1} + e_{pi(k)}  (pi = descending
+      order of frac), weights [1-g_1, g_1-g_2, g_2-g_3, g_3] for sorted
+      frac g_1 >= g_2 >= g_3.
+    This is continuous everywhere (piecewise-linear on the Kuhn subdivision)
+    and exact on linear fields. The same per-corner hashing as the trilinear
+    path keeps parameters canonical — only the interpolation stencil
+    changes. Quality-gated opt-in (grid_interp="tetrahedral"): the simplex
+    family is the PermutoSDF design point, known to train eikonal SDFs well.
+
+    Returns (row [L,4,N] int32, cw [L,4,N] f32, oob [N], L).
+    """
+    n, d = inputs.shape
+    assert d == 3, "tetrahedral interpolation is 3D-only"
+
+    res_np, sizes_np, offsets_np = meta.level_tables()
+    scales = (
+        np.exp2(np.arange(meta.num_levels) * np.log2(meta.per_level_scale))
+        * meta.base_resolution
+        - 1.0
+    ).astype(np.float32)
+    dense_np = (res_np.astype(np.int64) ** d) <= sizes_np.astype(np.int64)
+    L = meta.num_levels
+
+    scales_j = jnp.asarray(scales)[:, None, None]
+    res_j = jnp.asarray(res_np.astype(np.uint32))[:, None]
+    sizes_j = jnp.asarray(sizes_np.astype(np.uint32))[:, None]
+    offsets_j = jnp.asarray(offsets_np.astype(np.int32))[:, None]
+    dense_j = jnp.asarray(dense_np)[:, None]
+
+    x_t = inputs.T                        # [3, N]
+    oob = jnp.any((x_t < 0.0) | (x_t > 1.0), axis=0)
+
+    pos = scales_j * x_t[None, :, :]      # [L, 3, N]
+    pos_floor = jnp.floor(pos)
+    frac = pos - pos_floor                # [L, 3, N]
+    pg = pos_floor.astype(jnp.uint32)
+
+    # rank of each dim among the 3 fracs, descending (stable by dim index)
+    f = frac
+    gt01 = (f[:, 0] > f[:, 1])
+    gt02 = (f[:, 0] > f[:, 2])
+    gt12 = (f[:, 1] > f[:, 2])
+    r0 = (~gt01).astype(jnp.int32) + (~gt02).astype(jnp.int32)
+    r1 = gt01.astype(jnp.int32) + (~gt12).astype(jnp.int32)
+    r2 = gt02.astype(jnp.int32) + gt12.astype(jnp.int32)
+    rank = jnp.stack([r0, r1, r2], axis=1)          # [L, 3, N] in {0,1,2}
+
+    # vertex k includes +e_dim iff rank(dim) < k  (k = 0..3)
+    ks = jnp.arange(4, dtype=jnp.int32)[None, :, None, None]   # [1,4,1,1]
+    inc = (rank[:, None, :, :] < ks).astype(jnp.uint32)        # [L,4,3,N]
+    cg = pg[:, None, :, :] + inc                               # [L,4,3,N]
+
+    # sorted fracs descending: g1 >= g2 >= g3
+    g = jnp.sort(f, axis=1)[:, ::-1, :]                        # [L,3,N]
+    cw = jnp.stack(
+        [1.0 - g[:, 0], g[:, 0] - g[:, 1], g[:, 1] - g[:, 2], g[:, 2]],
+        axis=1,
+    )                                                          # [L,4,N]
+
+    r2_ = res_j[:, None, :]
+    dense_idx = cg[:, :, 0] + r2_ * (cg[:, :, 1] + r2_ * cg[:, :, 2])
+    hash_idx = cg[:, :, 0] * np.uint32(_PRIMES[0])
+    for k in range(1, 3):
+        hash_idx = hash_idx ^ (cg[:, :, k] * np.uint32(_PRIMES[k]))
+    idx = jnp.where(dense_j[:, None], dense_idx, hash_idx) % sizes_j[:, None]
+    row = idx.astype(jnp.int32) + offsets_j[:, None]           # [L,4,N]
+    return row, cw, oob, L
+
+
+@partial(jax.jit, static_argnames=("meta", "interp"))
 def hash_encode_dual(inputs: jnp.ndarray, emb_a: jnp.ndarray,
-                     emb_b: jnp.ndarray, meta: HashGridMeta):
+                     emb_b: jnp.ndarray, meta: HashGridMeta,
+                     interp: str = "trilinear"):
     """Encode points against TWO tables with identical metadata in one pass.
 
     The (level, corner, hash) indices and interpolation weights are computed
@@ -428,8 +514,11 @@ def hash_encode_dual(inputs: jnp.ndarray, emb_a: jnp.ndarray,
     """
     assert meta.level_dim == 2
     n = inputs.shape[0]
-    row, cw, oob, L = _encode_core(inputs, meta, None)
-    a0, a1, b0, b1 = gather_quad(emb_a, emb_b, row)   # each [L, 2^D, N]
+    if interp == "tetrahedral":
+        row, cw, oob, L = _encode_core_tet(inputs, meta)
+    else:
+        row, cw, oob, L = _encode_core(inputs, meta, None)
+    a0, a1, b0, b1 = gather_quad(emb_a, emb_b, row)   # each [L, K, N]
 
     def assemble(c0, c1):
         feats = jnp.stack(

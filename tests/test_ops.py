@@ -217,3 +217,88 @@ def test_hashgrid_second_order_gradients():
     assert g2.shape == emb.shape
     assert bool(jnp.all(jnp.isfinite(g2)))
     assert float(jnp.abs(g2).sum()) > 0
+
+
+def test_tetrahedral_interp_properties():
+    """Kuhn-simplex encoding: partition of unity, exactness on linear
+    fields, continuity across cell faces and tet boundaries, and parity
+    between hash_encode(interp=...) and hash_encode_dual."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from holoscene_tpu.ops.hashgrid import (
+        HashGridMeta,
+        _encode_core_tet,
+        hash_encode,
+        hash_encode_dual,
+        init_hash_embeddings,
+    )
+
+    META = HashGridMeta(num_levels=3, level_dim=2, base_resolution=4,
+                        log2_hashmap_size=8, per_level_scale=2.0)
+    key = jax.random.PRNGKey(0)
+    x = jax.random.uniform(key, (257, 3))
+
+    row, cw, oob, L = _encode_core_tet(x, META)
+    assert row.shape == (3, 4, 257) and cw.shape == (3, 4, 257)
+    # partition of unity, nonnegative weights
+    np.testing.assert_allclose(np.asarray(cw.sum(axis=1)), 1.0, atol=1e-5)
+    assert float(cw.min()) >= -1e-6
+
+    # exactness on a linear field: build a DENSE level-0-only grid whose
+    # value at grid point (i,j,k) is a + b.(i,j,k); simplex interp of a
+    # linear field is exact
+    META1 = HashGridMeta(num_levels=1, level_dim=2, base_resolution=4,
+                         log2_hashmap_size=10, per_level_scale=2.0)
+    res = 4  # scale = 3, resolution 4 -> dense (64 <= 1024)
+    ii, jj, kk = np.meshgrid(range(res), range(res), range(res),
+                             indexing="ij")
+    lin = 0.25 + 0.1 * ii + 0.2 * jj - 0.05 * kk  # value at (i,j,k)
+    emb = np.zeros((META1.table_rows, 2), np.float32)
+    # dense row-major index: x + r*(y + r*z)
+    for i in range(res):
+        for j in range(res):
+            for k in range(res):
+                emb[i + res * (j + res * k)] = lin[i, j, k]
+    emb = jnp.asarray(emb)
+    xs = jax.random.uniform(jax.random.PRNGKey(1), (64, 3), minval=0.01,
+                            maxval=0.95)
+    out = hash_encode(xs, emb, META1, interp="tetrahedral")
+    pos = xs * 3.0  # scale = base_res - 1
+    expect = 0.25 + 0.1 * pos[:, 0] + 0.2 * pos[:, 1] - 0.05 * pos[:, 2]
+    # bf16 packing quantizes the table: tolerance ~1e-2 relative
+    np.testing.assert_allclose(np.asarray(out[:, 0]), np.asarray(expect),
+                               atol=2e-2)
+
+    # continuity: approach a cell face and a tet boundary from both sides
+    emb_r = init_hash_embeddings(jax.random.PRNGKey(2), META)
+    eps = 1e-5
+    probes = jnp.asarray([
+        [0.25 - eps, 0.4, 0.6], [0.25 + eps, 0.4, 0.6],   # cell face x
+        [0.3, 0.3 - eps, 0.7], [0.3, 0.3 + eps, 0.7],     # tet boundary
+    ])
+    vals = hash_encode(probes, emb_r, META, interp="tetrahedral")
+    np.testing.assert_allclose(np.asarray(vals[0]), np.asarray(vals[1]),
+                               atol=1e-3)
+    np.testing.assert_allclose(np.asarray(vals[2]), np.asarray(vals[3]),
+                               atol=1e-3)
+
+    # dual parity + gradients flow
+    emb_b = init_hash_embeddings(jax.random.PRNGKey(3), META)
+    fa, fb = hash_encode_dual(x, emb_r, emb_b, META, interp="tetrahedral")
+    np.testing.assert_array_equal(
+        np.asarray(fa),
+        np.asarray(hash_encode(x, emb_r, META, interp="tetrahedral")),
+    )
+    g = jax.grad(lambda e: (hash_encode(x, e, META,
+                                        interp="tetrahedral") ** 2).sum())(
+        emb_r)
+    assert bool(jnp.all(jnp.isfinite(g)))
+    # second order (eikonal-style): grad wrt x of sum, then grad of its norm
+    def grad_norm(pts):
+        gx = jax.grad(lambda p: hash_encode(p, emb_r, META,
+                                            interp="tetrahedral").sum())(pts)
+        return (gx ** 2).sum()
+    g2 = jax.grad(grad_norm)(x)
+    assert bool(jnp.all(jnp.isfinite(g2)))
