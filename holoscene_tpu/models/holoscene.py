@@ -251,14 +251,20 @@ def render_rays(
         eik_pts = jnp.concatenate([eik_uniform, eik_near], axis=0)
         nei_pts = eik_pts + (jax.random.uniform(k_nei, eik_pts.shape) - 0.5) * 0.01
 
-        grad_theta = implicit_all_gradients(params["implicit"], cfg.implicit, eik_pts)
-        grad_theta_nei = implicit_all_gradients(
-            params["implicit"], cfg.implicit, nei_pts
-        )
-        out["grad_theta"] = grad_theta        # [M, K+1, 3]
-        out["grad_theta_nei"] = grad_theta_nei
+        # one batched jacobian call for eik + neighbour points: same math,
+        # but the encode/gather/scatter work merges into single passes
+        both = jnp.concatenate([eik_pts, nei_pts], axis=0)
+        grads_both = implicit_all_gradients(params["implicit"], cfg.implicit,
+                                            both)
+        M = eik_pts.shape[0]
+        out["grad_theta"] = grads_both[:M]        # [M, K+1, 3]
+        out["grad_theta_nei"] = grads_both[M:]
 
-        sample_raw, _ = implicit_forward(params["implicit"], cfg.implicit, eik_pts)
+        # SDF only — the reference uses get_sdf_raw here (network.py:83),
+        # which skips the color grid
+        sample_raw, _ = implicit_forward(
+            params["implicit"], cfg.implicit, eik_pts, with_features=False
+        )
         out["sample_sdf"] = sample_raw                     # [M, K]
         out["sample_minsdf"] = sample_raw.min(axis=-1)     # [M]
 
