@@ -54,7 +54,7 @@ def flagship_config() -> HoloSceneConfig:
             feature_vector_size=256, d_out=32, dims=(256, 256), multires=6,
             num_levels=16, level_dim=2, base_size=16, end_size=2048, logmap=19,
             color_grid_feature=True, divide_factor=1.0, sigmoid=10.0,
-            fused_dual_grid=os.environ.get("BENCH_DUAL", "0") == "1",
+            fused_dual_grid=os.environ.get("BENCH_DUAL", "1") == "1",
             grid_interp=os.environ.get("BENCH_INTERP", "trilinear"),
         ),
         rendering=RenderingNetworkConfig(
@@ -72,7 +72,9 @@ def flagship_config() -> HoloSceneConfig:
         # env overrides for A/B profiling (bench defaults are the shipped
         # fast path)
         forward_grad_mode=os.environ.get("BENCH_GRAD_MODE", "vjp"),
-        render_top_m=int(os.environ.get("BENCH_TOP_M", "0")),
+        # top-64 of 98 = the sample-keep ratio quality-validated on hardware
+        # (eval PSNR 35.78 vs 35.8 dB unpruned; scripts/tpu_quality_run.py)
+        render_top_m=int(os.environ.get("BENCH_TOP_M", "64")),
     )
 
 
