@@ -43,7 +43,7 @@ from holoscene_tpu.training.stage1 import make_optimizer, make_train_step
 
 A100_REFERENCE_RAYS_PER_SEC = 6000.0  # estimated reference Stage-1 rate
 TARGET_MULTIPLIER = 2.0
-NUM_RAYS = 1024
+NUM_RAYS = int(os.environ.get("BENCH_RAYS", "1024"))
 WARMUP_STEPS = 3
 TIMED_STEPS = 20
 

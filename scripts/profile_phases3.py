@@ -134,3 +134,13 @@ def lossfn(p, k):
 timed("render fwd+loss+FULL grad", lambda k: sum(
     jnp.sum(x) for x in jax.tree_util.tree_leaves(
         jax.grad(lossfn)(params, k))))
+
+# 8. searchsorted method comparison at sampler shapes (vmapped scan vs
+# one-shot compare_all)
+from functools import partial as _partial
+cdf = jnp.sort(jax.random.uniform(jax.random.PRNGKey(5), (1024, 641)), axis=-1)
+u = jax.random.uniform(jax.random.PRNGKey(6), (1024, 128))
+for method in ("scan", "compare_all", "sort"):
+    timed(f"searchsorted[{method}] 1024x641 q128", lambda k, m=method: jnp.sum(
+        jax.vmap(_partial(jnp.searchsorted, side="right", method=m))(cdf, u)
+        .astype(jnp.float32)))
