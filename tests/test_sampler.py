@@ -90,3 +90,41 @@ def test_jit_compiles_once_and_matches_eager():
     eager = run(jax.random.PRNGKey(0))
     jitted = jax.jit(run)(jax.random.PRNGKey(0))
     np.testing.assert_allclose(np.asarray(eager), np.asarray(jitted), atol=1e-5)
+
+
+def test_merge_sorted_matches_argsort():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from holoscene_tpu.ops.sampler import _merge_sorted
+
+    key = jax.random.PRNGKey(0)
+    R, W, E = 7, 33, 12
+    z_a = jnp.sort(jax.random.randint(key, (R, W), 0, 40).astype(jnp.float32))
+    z_b = jnp.sort(
+        jax.random.randint(jax.random.PRNGKey(1), (R, E), 0, 40)
+        .astype(jnp.float32)
+    )  # integer values force many cross/within duplicates
+    s_a = jax.random.normal(jax.random.PRNGKey(2), (R, W))
+    s_b = jax.random.normal(jax.random.PRNGKey(3), (R, E))
+
+    z_m, s_m = _merge_sorted(z_a, s_a, z_b, s_b)
+    # merged z is ascending and is a permutation of the concat
+    assert bool(jnp.all(z_m[:, 1:] >= z_m[:, :-1]))
+    np.testing.assert_array_equal(
+        np.sort(np.asarray(jnp.concatenate([z_a, z_b], -1)), axis=-1),
+        np.asarray(z_m),
+    )
+    # the (z, sdf) pairing is preserved
+    pairs_in = set()
+    za, zb = np.asarray(z_a), np.asarray(z_b)
+    sa, sb = np.asarray(s_a), np.asarray(s_b)
+    for r in range(R):
+        pairs_in = {(za[r, i], sa[r, i]) for i in range(W)} | {
+            (zb[r, j], sb[r, j]) for j in range(E)
+        }
+        pairs_out = {
+            (float(z_m[r, k]), float(s_m[r, k])) for k in range(W + E)
+        }
+        assert pairs_out == pairs_in
