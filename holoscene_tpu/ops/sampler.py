@@ -72,9 +72,18 @@ class SamplerConfig:
         )
 
 
-def _searchsorted_batched(cdf: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
-    """Per-row searchsorted(cdf[i], u[i], side='right'). cdf [R,S], u [R,N]."""
-    return jax.vmap(partial(jnp.searchsorted, side="right"))(cdf, u)
+def _searchsorted_batched(cdf: jnp.ndarray, u: jnp.ndarray,
+                          side: str = "right") -> jnp.ndarray:
+    """Per-row searchsorted(cdf[i], u[i]). cdf [R,S], u [R,N].
+
+    method="compare_all" — at sampler shapes ([1024, ~640] x ~128 queries)
+    the one-shot broadcast compare measured 100x faster on v5e than the
+    default sequential-gather "scan" method (23.8 ms -> 0.2 ms,
+    scripts/profile_phases3.py).
+    """
+    return jax.vmap(
+        partial(jnp.searchsorted, side=side, method="compare_all")
+    )(cdf, u)
 
 
 def _sample_pdf(bins: jnp.ndarray, cdf: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
@@ -105,14 +114,8 @@ def _merge_sorted(z_a, s_a, z_b, s_b):
     """
     R, W = z_a.shape
     E = z_b.shape[1]
-    pos_a = (
-        jnp.arange(W)[None, :]
-        + jax.vmap(partial(jnp.searchsorted, side="left"))(z_b, z_a)
-    )
-    pos_b = (
-        jnp.arange(E)[None, :]
-        + jax.vmap(partial(jnp.searchsorted, side="right"))(z_a, z_b)
-    )
+    pos_a = jnp.arange(W)[None, :] + _searchsorted_batched(z_b, z_a, "left")
+    pos_b = jnp.arange(E)[None, :] + _searchsorted_batched(z_a, z_b, "right")
     rows = jnp.arange(R)[:, None]
     z_m = jnp.zeros((R, W + E), z_a.dtype)
     z_m = z_m.at[rows, pos_a].set(z_a).at[rows, pos_b].set(z_b)
@@ -381,7 +384,7 @@ def estimate_weights_from_buffer(
     the query set. Good only for RANKING samples (top-M pruning); the exact
     render recomputes everything on the kept subset.
     """
-    inds = jax.vmap(partial(jnp.searchsorted, side="right"))(z_buf, z_query)
+    inds = _searchsorted_batched(z_buf, z_query)
     below = jnp.maximum(inds - 1, 0)
     above = jnp.minimum(inds, z_buf.shape[-1] - 1)
     z_lo = jnp.take_along_axis(z_buf, below, axis=-1)
