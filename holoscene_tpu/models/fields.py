@@ -152,6 +152,8 @@ class ImplicitNetworkConfig:
             logmap=conf.get_int("logmap", 19),
             num_levels=conf.get_int("num_levels", 16),
             level_dim=conf.get_int("level_dim", 2),
+            fused_dual_grid=conf.get_bool("fused_dual_grid", False),
+            grid_interp=conf.get_string("grid_interp", "trilinear"),
         )
 
 

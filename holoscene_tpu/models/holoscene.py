@@ -108,6 +108,16 @@ class HoloSceneConfig:
             render_bg_iter=conf.get_int("render_bg_iter", 10),
             beta_init=conf.get_float("density.params_init.beta", 0.1),
             beta_min=conf.get_float("density.beta_min", 1e-4),
+            # TPU fast-path knobs (each quality-validated; see PERF.md):
+            # sampler_grid_levels=8 halves sampler gather traffic,
+            # render_top_m prunes the second-order render pass,
+            # forward_grad_mode picks the scene-SDF gradient construction
+            sampler_grid_levels=(
+                conf.get_int("sampler_grid_levels")
+                if "sampler_grid_levels" in conf else None
+            ),
+            render_top_m=conf.get_int("render_top_m", 0),
+            forward_grad_mode=conf.get_string("forward_grad_mode", "vjp"),
         )
 
 

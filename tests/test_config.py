@@ -70,3 +70,57 @@ def test_parse_reference_conf_if_present():
     assert conf.get_float("train.learning_rate") == 5.0e-4
     assert conf.get_int("model.ray_sampler.N_samples") == 64
     assert conf.get_bool("model.implicit_network.color_grid_feature") is True
+
+
+def test_perf_knobs_from_conf():
+    from holoscene_tpu.config import ConfigFactory
+    from holoscene_tpu.models.holoscene import HoloSceneConfig
+
+    conf = ConfigFactory.parse_string(
+        """
+model {
+  feature_vector_size = 64
+  sampler_grid_levels = 8
+  render_top_m = 56
+  implicit_network {
+    d_out = 4
+    dims = [32,32]
+    num_levels = 4
+    base_size = 4
+    end_size = 32
+    logmap = 10
+    fused_dual_grid = true
+    grid_interp = tetrahedral
+  }
+  rendering_network { dims = [32,32] }
+  ray_sampler {
+    N_samples = 8
+    N_samples_eval = 12
+    N_samples_extra = 4
+  }
+  density { params_init { beta = 0.1 } }
+}
+"""
+    )
+    cfg = HoloSceneConfig.from_conf(conf.get_config("model"))
+    assert cfg.sampler_grid_levels == 8
+    assert cfg.render_top_m == 56
+    assert cfg.implicit.fused_dual_grid
+    assert cfg.implicit.grid_interp == "tetrahedral"
+
+    # defaults stay reference-exact when keys are absent
+    conf2 = ConfigFactory.parse_string(
+        """
+model {
+  implicit_network { d_out = 4 }
+  rendering_network { dims = [32,32] }
+  ray_sampler { N_samples = 8 }
+  density { params_init { beta = 0.1 } }
+}
+"""
+    )
+    cfg2 = HoloSceneConfig.from_conf(conf2.get_config("model"))
+    assert cfg2.sampler_grid_levels is None
+    assert cfg2.render_top_m == 0
+    assert not cfg2.implicit.fused_dual_grid
+    assert cfg2.implicit.grid_interp == "trilinear"
