@@ -28,7 +28,7 @@ conf.put("model.ray_sampler.N_samples", 48)
 conf.put("model.ray_sampler.N_samples_eval", 96)
 conf.put("model.ray_sampler.N_samples_extra", 24)
 conf.put("model.ray_sampler.max_total_iters", 4)
-conf.put("train.checkpoint_freq", 2000)
+conf.put("train.checkpoint_freq", 500)  # wedge-restart resume granularity
 
 runner = Stage1Runner(conf, exps_folder="exps", data_root_override="data",
                       use_mesh=False, quiet=False)
