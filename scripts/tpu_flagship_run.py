@@ -24,8 +24,18 @@ conf.put("train.checkpoint_freq", int(os.environ.get("FLAGSHIP_CKPT_FREQ", 400))
 runner = Stage1Runner(conf, exps_folder="exps", data_root_override="data",
                       use_mesh=False, quiet=False)
 import dataclasses
-runner.model_cfg = dataclasses.replace(runner.model_cfg, sampler_grid_levels=8,
-                                       use_bg_reg=False)
+runner.model_cfg = dataclasses.replace(
+    runner.model_cfg, sampler_grid_levels=8, use_bg_reg=False,
+    render_top_m=int(os.environ.get("FLAGSHIP_TOP_M", "64")),
+    implicit=dataclasses.replace(
+        runner.model_cfg.implicit,
+        fused_dual_grid=os.environ.get("FLAGSHIP_DUAL", "1") == "1",
+        grid_interp=os.environ.get("FLAGSHIP_INTERP", "trilinear"),
+    ),
+)
+print(f"flagship cfg: top_m={runner.model_cfg.render_top_m} "
+      f"dual={runner.model_cfg.implicit.fused_dual_grid} "
+      f"interp={runner.model_cfg.implicit.grid_interp}", flush=True)
 runner.train_step = make_train_step(runner.model_cfg, runner.loss_cfg, runner.optimizer)
 runner.render_frame = make_eval_render(runner.model_cfg)
 
