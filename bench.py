@@ -72,9 +72,10 @@ def flagship_config() -> HoloSceneConfig:
         # env overrides for A/B profiling (bench defaults are the shipped
         # fast path)
         forward_grad_mode=os.environ.get("BENCH_GRAD_MODE", "vjp"),
-        # top-64 of 98 = the sample-keep ratio quality-validated on hardware
-        # (eval PSNR 35.78 vs 35.8 dB unpruned; scripts/tpu_quality_run.py)
-        render_top_m=int(os.environ.get("BENCH_TOP_M", "64")),
+        # top-56 of 98: both this keep ratio (0.57) and 0.65 are
+        # quality-validated on hardware (eval PSNR 35.60 / 35.78 vs 35.8 dB
+        # unpruned, chamfer parity; scripts/tpu_quality_run.py)
+        render_top_m=int(os.environ.get("BENCH_TOP_M", "56")),
     )
 
 
