@@ -42,6 +42,10 @@ from jax.experimental.pallas import tpu as pltpu
 K_CHUNK = 128
 
 
+TERM_EPS = 1e-4  # stop a tile once every pixel's transmittance is below this
+# (gsplat terminates per pixel at 1e-4; per-tile max is the SIMD analog)
+
+
 def _composite_tile_kernel(xy_ref, conic_ref, rgbz_ref, op_ref, origin_ref,
                            out_ref, *, tile_size: int):
     """One program = one tile.
@@ -52,7 +56,9 @@ def _composite_tile_kernel(xy_ref, conic_ref, rgbz_ref, op_ref, origin_ref,
       rgbz   [1, K, 4]    (r, g, b, depth)
       op     [1, 1, K]    (opacity * live)
       origin [1, 1, 2]    (SMEM)
-      out    [1, P, 8]    (r, g, b, depth_sum, alpha, pad...)
+      out    [1, P, 8]    (r, g, b, depth_sum, alpha, used, pad, pad —
+                           channel 5 carries the number of chunks walked
+                           before saturation, broadcast over pixels)
     """
     p = tile_size * tile_size
     k_total = op_ref.shape[2]
@@ -67,8 +73,14 @@ def _composite_tile_kernel(xy_ref, conic_ref, rgbz_ref, op_ref, origin_ref,
     col = jax.lax.broadcasted_iota(jnp.int32, (K_CHUNK, K_CHUNK), 1)
     lower = (row < col).astype(jnp.float32)
 
-    def body(kc, carry):
-        trans, acc = carry  # [P, 1], [P, 4]
+    def cond(carry):
+        kc, trans, _ = carry
+        # chunks are depth-sorted front-to-back: once the whole tile is
+        # saturated nothing behind can contribute above TERM_EPS
+        return (kc < n_chunks) & (jnp.max(trans) > TERM_EPS)
+
+    def body(carry):
+        kc, trans, acc = carry  # [P, 1], [P, 4]
         lo = pl.multiple_of(kc * K_CHUNK, K_CHUNK)
         gx = xy_ref[0, 0:1, pl.ds(lo, K_CHUNK)]  # [1, C]
         gy = xy_ref[0, 1:2, pl.ds(lo, K_CHUNK)]
@@ -96,33 +108,41 @@ def _composite_tile_kernel(xy_ref, conic_ref, rgbz_ref, op_ref, origin_ref,
         trans = trans * jnp.exp(
             jnp.sum(log1m, axis=1, keepdims=True)
         )
-        return trans, acc
+        return kc + 1, trans, acc
 
     trans0 = jnp.ones((p, 1), jnp.float32)
     acc0 = jnp.zeros((p, 4), jnp.float32)
-    trans, acc = jax.lax.fori_loop(0, n_chunks, body, (trans0, acc0))
+    kc, trans, acc = jax.lax.while_loop(cond, body, (0, trans0, acc0))
 
+    used_col = jnp.full((p, 1), 1.0, jnp.float32) * kc.astype(jnp.float32)
     out = jnp.concatenate(
-        [acc, 1.0 - trans, jnp.zeros((p, 3), jnp.float32)], axis=1
+        [acc, 1.0 - trans, used_col, jnp.zeros((p, 2), jnp.float32)], axis=1
     )
     out_ref[0, :, :] = out
 
 
 def _composite_bwd_kernel(xy_ref, conic_ref, op_ref, u_ref, v_ref, origin_ref,
-                          dgeom_ref, du_ref, *, tile_size: int):
-    """One program = one tile, reverse chunk walk.
+                          used_ref, dgeom_ref, du_ref, *, tile_size: int):
+    """One program = one tile, reverse chunk walk over the chunks the
+    forward actually composited (used_ref; gaussians behind the saturation
+    point carry < TERM_EPS of weight — gsplat truncates them identically).
 
     Block shapes:
       xy     [1, 2, K]   conic [1, 4, K]   op [1, 1, K]
       u      [1, 8, K]   (rows r, g, b, z, 1, 0, 0, 0 — per-gaussian payload)
       v      [1, P, 8]   (cols = cotangents of rgb(3), depth_acc, alpha, pad)
       origin [1, 1, 2]   (SMEM)
+      used   [1, 1, 2]   (SMEM int32, value duplicated)
       dgeom  [1, 8, K]   (rows dgx, dgy, dca, dcb, dcc, dop, 0, 0)
       du     [1, 8, K]   (rows drgb(3), dz, d<ones> (ignored), pad)
     """
     p = tile_size * tile_size
     k_total = op_ref.shape[2]
-    n_chunks = k_total // K_CHUNK
+    n_chunks = used_ref[0, 0, 0]
+
+    # zero everything first; only the walked chunks get real gradients
+    dgeom_ref[0, :, :] = jnp.zeros((8, k_total), jnp.float32)
+    du_ref[0, :, :] = jnp.zeros((8, k_total), jnp.float32)
 
     pix_id = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0).astype(jnp.float32)
     px = origin_ref[0, 0, 0] + (pix_id % tile_size) + 0.5  # [P, 1]
@@ -244,7 +264,8 @@ def _core_fwd_impl(g_xy, g_conic, g_rgb, g_op, g_z, origins, tile_size,
         ),
         interpret=interpret,
     )(xy_t, conic_t, rgbz, op, origins[:, None, :])
-    return out[:, :, :3], out[:, :, 3], out[:, :, 4]
+    used = out[:, 0:1, 5].astype(jnp.int32)  # [T, 1]
+    return out[:, :, :3], out[:, :, 3], out[:, :, 4], used
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(6, 7))
@@ -253,18 +274,22 @@ def _composite_core(g_xy, g_conic, g_rgb, g_op, g_z, origins, tile_size,
     """Fused tile compositing; returns (rgb [T,P,3], depth_acc [T,P],
     alpha [T,P]) — depth is UNNORMALIZED. K must be a K_CHUNK multiple;
     g_op is the effective (live-masked) opacity."""
-    return _core_fwd_impl(g_xy, g_conic, g_rgb, g_op, g_z, origins,
-                          tile_size, interpret)
+    rgb, depth_acc, alpha, _ = _core_fwd_impl(
+        g_xy, g_conic, g_rgb, g_op, g_z, origins, tile_size, interpret
+    )
+    return rgb, depth_acc, alpha
 
 
 def _core_fwd(g_xy, g_conic, g_rgb, g_op, g_z, origins, tile_size, interpret):
-    out = _core_fwd_impl(g_xy, g_conic, g_rgb, g_op, g_z, origins,
-                         tile_size, interpret)
-    return out, (g_xy, g_conic, g_rgb, g_op, g_z, origins)
+    rgb, depth_acc, alpha, used = _core_fwd_impl(
+        g_xy, g_conic, g_rgb, g_op, g_z, origins, tile_size, interpret
+    )
+    return (rgb, depth_acc, alpha), (g_xy, g_conic, g_rgb, g_op, g_z, origins,
+                                     used)
 
 
 def _core_bwd(tile_size, interpret, res, cts):
-    g_xy, g_conic, g_rgb, g_op, g_z, origins = res
+    g_xy, g_conic, g_rgb, g_op, g_z, origins, used = res
     ct_rgb, ct_depth, ct_alpha = cts
     t, k = g_op.shape
     p = tile_size * tile_size
@@ -301,13 +326,16 @@ def _core_bwd(tile_size, interpret, res, cts):
             pl.BlockSpec((1, 8, k), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, p, 8), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 2), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 2), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
         ],
         out_specs=(
             pl.BlockSpec((1, 8, k), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 8, k), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ),
         interpret=interpret,
-    )(xy_t, conic_t, op, u_t, v, origins[:, None, :])
+    )(xy_t, conic_t, op, u_t, v, origins[:, None, :],
+      jnp.concatenate([used, used], axis=-1)[:, None, :])
 
     d_xy = jnp.stack([dgeom[:, 0, :], dgeom[:, 1, :]], axis=-1)
     d_conic = jnp.stack(

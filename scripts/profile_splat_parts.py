@@ -77,3 +77,55 @@ def train_loss(m):
 
 
 timed("train fwd+grad K=512", lambda m: jnp.sum(jax.grad(train_loss)(m)))
+
+# --- surface-like scene (stage-4 regime): opaque surfels tiling a wall;
+# tiles saturate after the first depth layer, exercising early exit ---
+side = int(np.sqrt(N))
+gx, gy = np.meshgrid(np.linspace(-0.9, 0.9, side), np.linspace(-0.9, 0.9, side))
+means_s = jnp.asarray(np.stack(
+    [gx.ravel(), gy.ravel(), np.zeros(side * side)], -1).astype(np.float32))
+ns = means_s.shape[0]
+scales_s = jnp.full((ns, 3), 2.0 / side, jnp.float32)
+opac_s = jnp.full((ns,), 0.9, jnp.float32)
+colors_s = jnp.asarray(rng.uniform(0, 1, (ns, 3)).astype(np.float32))
+quats_s = jnp.asarray(np.tile([1.0, 0, 0, 0], (ns, 1)).astype(np.float32))
+tgt_s = tgt
+
+
+def timed_s(name, fn):
+    def runner(kk):
+        @jax.jit
+        def go(m):
+            def body(acc, _):
+                return acc + fn(m + acc * 1e-20), None
+            acc, _ = jax.lax.scan(body, 0.0, None, length=kk)
+            return acc
+        return go
+    lo, hi = runner(1), runner(9)
+    _ = float(lo(means_s)); _ = float(hi(means_s))
+
+    def t(g, iters=4):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            _ = float(g(means_s))
+        return (time.perf_counter() - t0) / iters
+
+    dt = (t(hi) - t(lo)) / 8.0
+    print(f"{name:44s} {dt*1e3:8.1f} ms", flush=True)
+
+
+timed_s("SURFACE full fwd K=512", lambda m: jnp.sum(render_gaussians(
+    m, quats_s, scales_s, opac_s, colors_s, viewmat, intr, width=RES,
+    height=RES, tile_size=16, max_per_tile=K)["rgb"]))
+
+
+def train_loss_s(m):
+    out = render_gaussians(
+        m, quats_s, scales_s, opac_s, colors_s, viewmat, intr,
+        width=RES, height=RES, tile_size=16, max_per_tile=K,
+    )
+    return jnp.mean((out["rgb"] - tgt_s) ** 2)
+
+
+timed_s("SURFACE train fwd+grad K=512",
+        lambda m: jnp.sum(jax.grad(train_loss_s)(m)))

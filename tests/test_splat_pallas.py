@@ -136,3 +136,62 @@ def test_pallas_composite_matches_reference():
     np.testing.assert_allclose(
         np.asarray(depth)[cover], ref_depth[cover], atol=1e-3
     )
+
+
+def test_early_termination_saturated_tile():
+    """With many near-opaque gaussians the tile saturates after a few
+    chunks; the early-terminated composite must match the full JAX
+    compositor to ~TERM_EPS, and gradients must stay finite with zeros
+    for the truncated tail."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from holoscene_tpu.ops.splat_pallas import composite_tiles_pallas
+
+    T, K, ts = 2, 384, 8
+    rng = np.random.default_rng(3)
+    g_xy = jnp.asarray(rng.uniform(1.0, 7.0, (T, K, 2)).astype(np.float32))
+    g_conic = jnp.asarray(
+        np.tile(np.array([0.5, 0.0, 0.5], np.float32), (T, K, 1))
+    )
+    g_rgb = jnp.asarray(rng.uniform(0, 1, (T, K, 3)).astype(np.float32))
+    g_op = jnp.full((T, K), 0.95, jnp.float32)  # saturates in ~handfuls
+    g_z = jnp.asarray(
+        np.sort(rng.uniform(1, 5, (T, K)).astype(np.float32), axis=1)
+    )
+    live = jnp.ones((T, K), jnp.float32)
+    origins = jnp.zeros((T, 2), jnp.float32)
+
+    rgb_p, depth_p, alpha_p = composite_tiles_pallas(
+        g_xy, g_conic, g_rgb, g_op, g_z, live, origins, tile_size=ts,
+        interpret=True,
+    )
+    # reference: plain front-to-back compositing over ALL K
+    py, px = jnp.mgrid[0:ts, 0:ts]
+    pix = jnp.stack([px.reshape(-1) + 0.5, py.reshape(-1) + 0.5], -1)  # [P,2]
+    d = pix[None, :, None, :] - g_xy[:, None, :, :]   # [T,P,K,2]
+    power = -0.5 * (
+        g_conic[:, None, :, 0] * d[..., 0] ** 2
+        + 2 * g_conic[:, None, :, 1] * d[..., 0] * d[..., 1]
+        + g_conic[:, None, :, 2] * d[..., 1] ** 2
+    )
+    a = jnp.minimum(0.999, g_op[:, None, :] * jnp.exp(jnp.minimum(power, 0)))
+    a = jnp.where(a >= 1 / 255.0, a, 0.0)
+    trans = jnp.cumprod(1 - a + 1e-12, axis=-1) / (1 - a + 1e-12)
+    w = a * trans
+    rgb_ref = jnp.einsum("tpk,tkc->tpc", w, g_rgb)
+    np.testing.assert_allclose(np.asarray(rgb_p), np.asarray(rgb_ref),
+                               atol=5e-3)
+
+    def loss(op):
+        r, dd, al = composite_tiles_pallas(
+            g_xy, g_conic, g_rgb, op, g_z, live, origins, tile_size=ts,
+            interpret=True,
+        )
+        return (r ** 2).sum() + (al ** 2).sum()
+
+    g = jax.grad(loss)(g_op)
+    assert bool(jnp.all(jnp.isfinite(g)))
+    # the far tail (behind saturation) must carry ~zero gradient
+    assert float(jnp.abs(g[:, -32:]).max()) < 1e-3
