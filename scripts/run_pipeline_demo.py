@@ -51,6 +51,7 @@ def main():
     from holoscene_tpu.utils.mesh import read_obj
 
     work = args.workdir or tempfile.mkdtemp(prefix="holoscene_demo_")
+    os.makedirs(work, exist_ok=True)
     os.chdir(work)
     print(f"== workdir {work}")
 
