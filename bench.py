@@ -29,8 +29,9 @@ import numpy as np
 
 # the full train step takes minutes to AOT-compile through the remote
 # relay; the persistent cache makes every subsequent bench run start fast
-jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+import holoscene_tpu
+
+holoscene_tpu.setup_compile_cache()
 
 from holoscene_tpu.losses.holoscene_loss import LossConfig
 from holoscene_tpu.models.fields import (

@@ -22,17 +22,26 @@ Layer map:
 
 __version__ = "0.1.0"
 
-import os as _os
 
-if _os.environ.get("HOLOSCENE_NO_COMPILE_CACHE", "0") != "1":
-    # Stage-1 train steps take minutes to AOT-compile through the remote
-    # TPU relay; the persistent cache makes every re-run (and crash-resume
-    # restart under scripts/tpu_supervise.py) start in seconds.
-    import jax as _jax
+def setup_compile_cache() -> None:
+    """Enable JAX's persistent compilation cache for this process.
 
-    _jax.config.update(
+    Stage-1 train steps take minutes to AOT-compile through the remote TPU
+    relay; the persistent cache makes every re-run (and crash-resume restart
+    under scripts/tpu_supervise.py) start in seconds. Called explicitly by
+    the entry-point CLIs and bench.py — importing the package has no side
+    effects. Honors HOLOSCENE_COMPILE_CACHE (dir) and
+    HOLOSCENE_NO_COMPILE_CACHE=1 (disable).
+    """
+    import os
+
+    if os.environ.get("HOLOSCENE_NO_COMPILE_CACHE", "0") == "1":
+        return
+    import jax
+
+    jax.config.update(
         "jax_compilation_cache_dir",
-        _os.environ.get("HOLOSCENE_COMPILE_CACHE",
-                        _os.path.expanduser("~/.cache/jax_comp_cache")),
+        os.environ.get("HOLOSCENE_COMPILE_CACHE",
+                       os.path.expanduser("~/.cache/jax_comp_cache")),
     )
-    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)

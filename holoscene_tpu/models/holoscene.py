@@ -84,6 +84,15 @@ class HoloSceneConfig:
     # ones the error-bound sampler already resolved as ~zero-weight.
     render_top_m: int = 0
 
+    def __post_init__(self):
+        # the pruned kept-set must be able to span [near, far]: both
+        # endpoints are force-kept, so M < 2 would silently break the
+        # documented invariant (ADVICE r1)
+        if not (self.render_top_m == 0 or self.render_top_m >= 2):
+            raise ValueError(
+                f"render_top_m must be 0 (off) or >= 2, got {self.render_top_m}"
+            )
+
     @property
     def num_semantic(self) -> int:
         return self.implicit.d_out

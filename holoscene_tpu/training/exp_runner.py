@@ -15,6 +15,9 @@ from holoscene_tpu.training.stage1 import Stage1Runner
 
 
 def main(argv=None):
+    import holoscene_tpu
+
+    holoscene_tpu.setup_compile_cache()
     parser = argparse.ArgumentParser()
     parser.add_argument("--conf", type=str, required=True)
     parser.add_argument("--expname", type=str, default="",

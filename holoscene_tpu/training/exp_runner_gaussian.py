@@ -20,6 +20,9 @@ from holoscene_tpu.utils.mesh import read_obj, read_ply
 
 
 def main(argv=None):
+    import holoscene_tpu
+
+    holoscene_tpu.setup_compile_cache()
     parser = argparse.ArgumentParser()
     parser.add_argument("--conf", type=str, required=True)
     parser.add_argument("--exps_folder", type=str, default="exps")

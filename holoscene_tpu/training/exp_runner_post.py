@@ -23,6 +23,9 @@ from holoscene_tpu.training import checkpoints as ckpt_lib
 
 
 def main(argv=None):
+    import holoscene_tpu
+
+    holoscene_tpu.setup_compile_cache()
     parser = argparse.ArgumentParser()
     parser.add_argument("--conf", type=str, required=True)
     parser.add_argument("--exps_folder", type=str, default="exps")

@@ -41,9 +41,18 @@ def run_once(cmd: list[str], stall_sec: float, log):
                 line, buf = buf.split(b"\n", 1)
                 log(line.decode(errors="replace"))
         if rc is not None:
+            # drain to EOF: data written between the read above and process
+            # exit would otherwise be lost (ADVICE r1)
+            os.set_blocking(proc.stdout.fileno(), True)
+            while True:
+                chunk = proc.stdout.read()
+                if not chunk:
+                    break
+                buf += chunk
             rest = buf.decode(errors="replace").strip()
             if rest:
-                log(rest)
+                for line in rest.split("\n"):
+                    log(line)
             return rc, False
         if time.time() - last_output > stall_sec:
             log(f"[supervise] no output for {stall_sec:.0f}s -> killing "

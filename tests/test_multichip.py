@@ -1,0 +1,128 @@
+"""Multi-chip correctness: hermetic dryrun + dp-vs-single-device equivalence.
+
+Round-1 failed the driver's `dryrun_multichip` because an un-pinned
+`jax.random.PRNGKey` committed to the default (broken-TPU) backend before the
+CPU mesh was built (MULTICHIP_r01.json: libtpu version mismatch from inside
+`jax.device_put`). These tests guard both properties:
+
+  * hermeticity — `dryrun_multichip` run in a fresh process WITHOUT any
+    external platform pinning must never initialize a non-CPU backend;
+  * numerics — a dp-sharded training step must match the single-device step
+    on the same batch (loss and updated params) to float32 tolerance.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_dryrun_multichip_is_hermetic():
+    """Run the driver entry point in a subprocess with no JAX_PLATFORMS
+    pinning (the driver environment) and assert only CPU backends were
+    initialized — i.e. a broken accelerator runtime could not be touched."""
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    flags = [
+        f for f in env.get("XLA_FLAGS", "").split()
+        if "xla_force_host_platform_device_count" not in f
+    ]
+    env["XLA_FLAGS"] = " ".join(
+        flags + ["--xla_force_host_platform_device_count=8"]
+    )
+    code = (
+        "import __graft_entry__ as g\n"
+        "g.dryrun_multichip(8)\n"
+        "from jax._src import xla_bridge\n"
+        "plats = sorted(xla_bridge._backends.keys())\n"
+        "assert plats and all(p == 'cpu' for p in plats), (\n"
+        "    f'non-CPU backend initialized: {plats}')\n"
+        "print('HERMETIC', plats)\n"
+    )
+    res = subprocess.run(
+        [sys.executable, "-c", code], cwd=REPO, env=env,
+        capture_output=True, text=True, timeout=900,
+    )
+    assert res.returncode == 0, f"stdout={res.stdout}\nstderr={res.stderr}"
+    assert "dryrun_multichip OK" in res.stdout, res.stdout
+    assert "HERMETIC ['cpu']" in res.stdout, res.stdout
+
+
+def test_dp_step_matches_single_device():
+    """Same batch through the single-device step and the 8-way dp-sharded
+    step -> same loss/psnr and same updated params (VERDICT.md next-round
+    item #1)."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    import __graft_entry__ as entrymod
+    from holoscene_tpu.losses.holoscene_loss import LossConfig
+    from holoscene_tpu.models.holoscene import init_holoscene
+    from holoscene_tpu.training.stage1 import make_optimizer, make_train_step
+
+    cfg = entrymod._flagship_cfg(tiny=True)
+    lcfg = LossConfig()
+    params = init_holoscene(jax.random.PRNGKey(0), cfg)
+    optimizer = make_optimizer(5e-4, 20.0, 1000)
+    opt_state = optimizer.init(params)
+    step = make_train_step(cfg, lcfg, optimizer)
+
+    n_rays = 64
+    rng = np.random.default_rng(0)
+    batch_np = {
+        "uv": rng.uniform(0, 32, (n_rays, 2)).astype(np.float32),
+        "pose": np.eye(4, dtype=np.float32),
+        "intrinsics": np.array(
+            [[16.0, 0, 16], [0, 16.0, 16], [0, 0, 1]], dtype=np.float32
+        ),
+        "rgb": rng.uniform(0, 1, (n_rays, 3)).astype(np.float32),
+        "depth": np.ones((n_rays, 1), np.float32),
+        "normal": np.tile(np.array([[0, 0, -1]], np.float32), (n_rays, 1)),
+        "segs": np.zeros((n_rays,), np.int32),
+        "mask": np.ones((n_rays, 1), np.float32),
+    }
+    key = jax.random.PRNGKey(7)
+
+    # single device (donation copies params first so we can reuse them)
+    p1 = jax.tree_util.tree_map(jnp.array, params)
+    o1 = jax.tree_util.tree_map(jnp.array, opt_state)
+    batch1 = {k: jnp.asarray(v) for k, v in batch_np.items()}
+    p1, o1, m1 = step(p1, o1, key, batch1, 0, call_reg=True, with_bg=False)
+    m1 = jax.tree_util.tree_map(np.asarray, m1)
+
+    # 8-way dp mesh
+    devs = jax.devices()[:8]
+    mesh = Mesh(np.array(devs).reshape(8, 1), ("data", "model"))
+    dp = NamedSharding(mesh, P("data"))
+    rep = NamedSharding(mesh, P())
+    p2 = jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), params)
+    o2 = jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, rep) if hasattr(x, "shape") else x,
+        opt_state,
+    )
+    batch2 = {
+        k: jax.device_put(
+            v, dp if np.asarray(v).ndim and np.asarray(v).shape[0] == n_rays
+            else rep
+        )
+        for k, v in batch_np.items()
+    }
+    p2, o2, m2 = step(
+        p2, o2, jax.device_put(key, rep), batch2, 0,
+        call_reg=True, with_bg=False,
+    )
+    m2 = jax.tree_util.tree_map(np.asarray, m2)
+
+    np.testing.assert_allclose(m1["loss"], m2["loss"], rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(m1["psnr"], m2["psnr"], rtol=2e-5, atol=2e-6)
+
+    flat1 = jax.tree_util.tree_leaves(jax.tree_util.tree_map(np.asarray, p1))
+    flat2 = jax.tree_util.tree_leaves(jax.tree_util.tree_map(np.asarray, p2))
+    for a, b in zip(flat1, flat2):
+        np.testing.assert_allclose(a, b, rtol=5e-4, atol=5e-6)
