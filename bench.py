@@ -57,6 +57,9 @@ def flagship_config() -> HoloSceneConfig:
             color_grid_feature=True, divide_factor=1.0, sigmoid=10.0,
             fused_dual_grid=os.environ.get("BENCH_DUAL", "1") == "1",
             grid_interp=os.environ.get("BENCH_INTERP", "trilinear"),
+            # levels with resolution <= this store full dense tables and ride
+            # the one-row-per-cell block gather path (ops/hashgrid.py)
+            dense_max_res=int(os.environ.get("BENCH_DENSE_MAX_RES", "0")),
         ),
         rendering=RenderingNetworkConfig(
             feature_vector_size=256, dims=(256, 256), multires_view=4,

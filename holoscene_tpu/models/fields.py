@@ -107,6 +107,10 @@ class ImplicitNetworkConfig:
     # gather/scatter traffic; quality-gated opt-in). Sampler probes always
     # stay trilinear (they only place samples).
     grid_interp: str = "trilinear"
+    # Capacity reshaping: levels with resolution <= dense_max_res store the
+    # full r^3 dense table (no hash collisions) and become one-row-gatherable
+    # cell blocks on TPU (ops/hashgrid.py). 0 = reference table sizing.
+    dense_max_res: int = 0
 
     @property
     def grid_meta(self) -> HashGridMeta:
@@ -117,6 +121,7 @@ class ImplicitNetworkConfig:
             base_resolution=self.base_size,
             log2_hashmap_size=self.logmap,
             desired_resolution=self.end_size,
+            dense_max_res=self.dense_max_res,
         )
 
     @property
@@ -154,6 +159,7 @@ class ImplicitNetworkConfig:
             level_dim=conf.get_int("level_dim", 2),
             fused_dual_grid=conf.get_bool("fused_dual_grid", False),
             grid_interp=conf.get_string("grid_interp", "trilinear"),
+            dense_max_res=conf.get_int("dense_max_res", 0),
         )
 
 
@@ -209,6 +215,26 @@ def _kaiming_linear(key: jax.Array, in_dim: int, out_dim: int) -> Params:
     bound_b = math.sqrt(1.0 / in_dim)
     b = jax.random.uniform(k2, (out_dim,), minval=-bound_b, maxval=bound_b)
     return {"w": w, "b": b}
+
+
+def _implicit_mlp(params: Params, cfg: ImplicitNetworkConfig,
+                  x: jnp.ndarray, feature: jnp.ndarray) -> jnp.ndarray:
+    """Shared MLP trunk: positional-embed x, concat grid features, run the
+    weight-norm softplus layers. Returns the raw head output."""
+    if cfg.multires > 0:
+        embed = positional_encoding(x, cfg.multires)
+        h = jnp.concatenate([embed, feature], axis=-1)
+    else:
+        h = jnp.concatenate([x, feature], axis=-1)
+    inp = h
+    n_layers = len(cfg.layer_dims) - 1
+    for layer_i in range(n_layers):
+        if layer_i in cfg.skip_in:
+            h = jnp.concatenate([h, inp], axis=-1) / np.sqrt(2)
+        h = _weight_norm_apply(params["mlp"][f"lin{layer_i}"], h)
+        if layer_i < n_layers - 1:
+            h = softplus100(h)
+    return h
 
 
 def implicit_forward(
@@ -420,6 +446,53 @@ def implicit_get_outputs_jvp(params, cfg, x):
     sdf = sdf_raw.min(axis=-1)
     gradients = jnp.stack(cols, axis=-1)  # [N, 3]
     semantic = semantic_from_sdf(sdf_raw, cfg.sigmoid)
+    return sdf, feature_vectors, gradients, semantic, sdf_raw
+
+
+def implicit_get_outputs_fused(params, cfg, x):
+    """implicit_get_outputs via the fused encode-with-jacobian custom VJP
+    (ops/hashgrid.py hash_encode_fused_dual) — the TPU hot path.
+
+    The hash-grid features AND their analytic spatial jacobian come out of
+    one primitive whose backward emits ONE fused scatter per table (primal +
+    second-order normal-path cotangents combined per corner — the TPU analog
+    of reference hashencoder.cu:376-596 kernel_grid_second_backward). The
+    scene-SDF spatial gradient is assembled by chain rule: a vjp through the
+    (cheap) MLP trunk pulled back onto the grid jacobian, plus the direct
+    positional-embedding term. Requires color_grid_feature, level_dim=2,
+    trilinear interpolation, use_grid_feature.
+    """
+    from holoscene_tpu.ops.hashgrid import hash_encode_fused_dual
+
+    assert cfg.color_grid_feature and cfg.level_dim == 2
+    assert cfg.use_grid_feature and cfg.grid_interp == "trilinear"
+
+    xn = x / cfg.divide_factor
+    x01 = (xn + 1.0) * 0.5
+    feats, J, cf = hash_encode_fused_dual(
+        x01, params["grid"], params["color_grid"], cfg.grid_meta
+    )  # feats [N,F], J [F,3,N] (d feats / d x01), cf [N,F]
+
+    def head(feature, pts):
+        return _implicit_mlp(params, cfg, pts, feature)
+
+    sdf_raw, pullback = jax.vjp(head, feats, x)
+    semantic = semantic_from_sdf(sdf_raw, cfg.sigmoid)
+    sdf = sdf_raw.min(axis=-1)
+
+    eq = (sdf_raw == sdf[:, None]).astype(sdf_raw.dtype)
+    ct_sdf = eq / eq.sum(axis=-1, keepdims=True)
+    ct_feat, ct_x_direct = pullback(ct_sdf)
+
+    # d x01 / d x = 1 / (2 * divide_factor)
+    dx01_dx = 1.0 / (2.0 * cfg.divide_factor)
+    gradients = (
+        jnp.einsum("nf,fdn->nd", ct_feat, J) * dx01_dx + ct_x_direct
+    )
+
+    cf = _plain_linear_apply(params["color_map_mlp"]["lin0"], cf)
+    cf = jax.nn.relu(cf)
+    feature_vectors = _plain_linear_apply(params["color_map_mlp"]["lin1"], cf)
     return sdf, feature_vectors, gradients, semantic, sdf_raw
 
 

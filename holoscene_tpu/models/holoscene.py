@@ -32,6 +32,7 @@ from holoscene_tpu.models.fields import (
     RenderingNetworkConfig,
     implicit_forward,
     implicit_get_outputs,
+    implicit_get_outputs_fused,
     implicit_get_outputs_jvp,
     implicit_all_gradients,
     init_implicit_network,
@@ -152,8 +153,10 @@ def scene_sdf_nograd(params: Params, cfg: HoloSceneConfig, obj_idxs=None):
 
     frozen = jax.lax.stop_gradient(params["implicit"])
     # dense-level block tables: built once per traced step, hoisted out of
-    # the sampler's scan by XLA (loop-invariant)
-    blocks = build_dense_block_tables(frozen["grid"], cfg.implicit.grid_meta)
+    # the sampler's scan by XLA (loop-invariant). Capped at the probe level
+    # count so a large dense_max_res doesn't build unused fine-level blocks.
+    blocks = build_dense_block_tables(frozen["grid"], cfg.implicit.grid_meta,
+                                      max_levels=cfg.sampler_grid_levels)
 
     def fn(pts: jnp.ndarray) -> jnp.ndarray:
         raw = implicit_sdf_raw_sampler(
@@ -214,10 +217,17 @@ def render_rays(
     points_flat = points.reshape(-1, 3)
     dirs_flat = jnp.broadcast_to(rays_d[:, None, :], points.shape).reshape(-1, 3)
 
-    get_outputs = (
-        implicit_get_outputs_jvp if cfg.forward_grad_mode == "jvp"
-        else implicit_get_outputs
+    ic = cfg.implicit
+    fused_ok = (
+        ic.color_grid_feature and ic.level_dim == 2 and ic.use_grid_feature
+        and ic.grid_interp == "trilinear"
     )
+    if cfg.forward_grad_mode == "fused" and fused_ok:
+        get_outputs = implicit_get_outputs_fused
+    elif cfg.forward_grad_mode == "jvp":
+        get_outputs = implicit_get_outputs_jvp
+    else:
+        get_outputs = implicit_get_outputs
     sdf, feature_vectors, gradients, semantic, sdf_raw = get_outputs(
         params["implicit"], cfg.implicit, points_flat
     )

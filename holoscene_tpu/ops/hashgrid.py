@@ -46,6 +46,12 @@ class HashGridMeta:
     log2_hashmap_size: int = 19
     per_level_scale: float = 2.0
     desired_resolution: int | None = None
+    # Capacity reshaping for TPU block gathers: levels whose resolution is
+    # <= dense_max_res allocate the FULL r^D dense table even when r^D
+    # exceeds 2^logmap (no hash collisions; cells become one-row-gatherable
+    # blocks). 0 = reference semantics (dense only when r^D fits the
+    # hashed-table budget). Changes table_rows, i.e. the parameter count.
+    dense_max_res: int = 0
 
     def __post_init__(self):
         if self.desired_resolution is not None:
@@ -66,7 +72,10 @@ class HashGridMeta:
         offset = 0
         for lvl in range(self.num_levels):
             r = int(np.ceil(self.base_resolution * self.per_level_scale ** lvl))
-            n = min(max_params, r ** self.input_dim)
+            if r <= self.dense_max_res:
+                n = r ** self.input_dim
+            else:
+                n = min(max_params, r ** self.input_dim)
             res.append(r)
             sizes.append(n)
             offsets.append(offset)
@@ -544,7 +553,8 @@ def dense_level_count(meta: HashGridMeta) -> int:
     return n
 
 
-def build_dense_block_tables(embeddings: jnp.ndarray, meta: HashGridMeta):
+def build_dense_block_tables(embeddings: jnp.ndarray, meta: HashGridMeta,
+                             max_levels: int | None = None):
     """Per-CELL corner blocks for the dense levels.
 
     TPU gathers cost ~10 cycles per ROW regardless of row width (measured:
@@ -560,6 +570,8 @@ def build_dense_block_tables(embeddings: jnp.ndarray, meta: HashGridMeta):
     assert meta.input_dim == 3 and meta.level_dim == 2
     res_np, _, offsets_np = meta.level_tables()
     n_dense = dense_level_count(meta)
+    if max_levels is not None:
+        n_dense = min(n_dense, max_levels)
     blocks = []
     cell_offsets = []
     cell_res = []
@@ -663,6 +675,400 @@ def hash_encode_sampler(
     out = jnp.concatenate(feats, axis=0)  # [L, 2, N]
     out = jnp.where(oob[None, None, :], 0.0, out)
     return out.reshape(L * 2, n).T
+
+
+# ---------------------------------------------------------------------------
+# fused dual encode-with-jacobian (the Stage-1 render-pass hot op)
+#
+# The TPU analog of the reference's hand-written second-order CUDA kernels
+# (hashencoder/src/hashencoder.cu:258-596 kernel_grid_backward +
+# kernel_grid_second_backward_{grad,embedding}): one custom_vjp computes, for
+# two tables sharing (level, corner, hash) indices,
+#     feats_a [N, L*2],  J_a = d feats_a / d x01  [L*2, 3, N],  feats_b
+# and its backward emits ONE fused scatter per table — the primal cotangent
+# (cw * ct_f) and the second-order normal-path cotangent (dcw/dx * ct_J) are
+# combined per corner BEFORE scattering, halving the step's dominant
+# scatter traffic vs. AD through a vjp-of-the-forward (PERF.md round-2
+# candidate #2).
+#
+# Dense levels (resolution <= meta.dense_max_res or r^3 <= table budget) are
+# fetched as per-CELL block rows: the 8 corners x 2 grids x 2 channels pack
+# into one 16-wide f32 row (bf16 pairs), so a (point, level) costs ONE row
+# gather instead of 8 — and their gradient scatter is a 32-wide row scatter
+# into a cell-grad table folded back onto the canonical rows by pure
+# slice-adds (zero gathers). Hashed levels use the packed width-2 quad rows.
+# ---------------------------------------------------------------------------
+
+
+def _fused_level_split(meta: HashGridMeta):
+    """Static metadata for the fused path. Dense levels form a prefix
+    (resolutions are monotone). Returns (res, sizes, offsets, scales,
+    n_dense, cell_offsets, cell_res, total_cells)."""
+    res_np, sizes_np, offsets_np = meta.level_tables()
+    d = meta.input_dim
+    dense = (res_np.astype(np.int64) ** d) <= sizes_np.astype(np.int64)
+    n_dense = 0
+    for flag in dense:
+        if not flag:
+            break
+        n_dense += 1
+    scales = (
+        np.exp2(np.arange(meta.num_levels) * np.log2(meta.per_level_scale))
+        * meta.base_resolution
+        - 1.0
+    ).astype(np.float32)
+    cell_offsets, cell_res = [], []
+    total = 0
+    for lvl in range(n_dense):
+        c = int(res_np[lvl]) - 1
+        cell_offsets.append(total)
+        cell_res.append(c)
+        total += c ** 3
+    return (
+        res_np, sizes_np, offsets_np, scales, n_dense,
+        np.asarray(cell_offsets, dtype=np.int64),
+        np.asarray(cell_res, dtype=np.int64), total,
+    )
+
+
+def build_quad_block_flat(emb_a, emb_b, meta: HashGridMeta):
+    """FLAT packed cell table for the dense levels: [total_cells * 16] f32
+    whose window of 16 at cell*16 is [c0_a, c0_b, c1_a, c1_b, ...] — ck_a is
+    the bf16-pair pack of grid a's two channels at corner k. Built from the
+    canonical tables by pure slicing (regular +1/+r/+r^2 neighborships —
+    zero gathers). Flat 1D on purpose: 2D [cells, 16] tensors invite XLA's
+    lane-padded T(8,128) layout (up to 8x HBM waste at flagship scale)."""
+    assert meta.input_dim == 3 and meta.level_dim == 2
+    res_np, _, offsets_np, _, n_dense, _, _, total = _fused_level_split(meta)
+    pa = _pack_pairs(emb_a)
+    pb = _pack_pairs(emb_b)
+    blocks = []
+    for lvl in range(n_dense):
+        r = int(res_np[lvl])
+        off = int(offsets_np[lvl])
+        # dense row-major index is x + r*(y + r*z) -> axes (z, y, x)
+        ga = pa[off : off + r ** 3].reshape(r, r, r)
+        gb = pb[off : off + r ** 3].reshape(r, r, r)
+        cols = []
+        for k in range(8):
+            dx, dy, dz = k & 1, (k >> 1) & 1, (k >> 2) & 1
+            cols.append(ga[dz : dz + r - 1, dy : dy + r - 1, dx : dx + r - 1])
+            cols.append(gb[dz : dz + r - 1, dy : dy + r - 1, dx : dx + r - 1])
+        blocks.append(jnp.stack(cols, axis=3).reshape(-1))
+    if not blocks:
+        return jnp.zeros((16,), dtype=jnp.float32)
+    return jnp.concatenate(blocks, axis=0)
+
+
+def _gather_windows(flat: jnp.ndarray, start: jnp.ndarray, width: int):
+    """Row gather of `width`-contiguous windows from a FLAT table:
+    out[i, :] = flat[start[i] : start[i] + width]."""
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1,), collapsed_slice_dims=(), start_index_map=(0,)
+    )
+    return jax.lax.gather(
+        flat, start[:, None], dn, slice_sizes=(width,),
+        mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+    )
+
+
+def _scatter_add_windows(flat: jnp.ndarray, start: jnp.ndarray,
+                         updates: jnp.ndarray):
+    """Row scatter-add of contiguous windows into a FLAT table:
+    flat[start[i] : start[i] + W] += updates[i, :]."""
+    dn = jax.lax.ScatterDimensionNumbers(
+        update_window_dims=(1,), inserted_window_dims=(),
+        scatter_dims_to_operand_dims=(0,),
+    )
+    return jax.lax.scatter_add(
+        flat, start[:, None], updates, dn,
+        mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+    )
+
+
+def _fused_weights(frac, scales_j, corners_b):
+    """frac [L,3,N] -> (wsel [3x(L,8,N)], cw [L,8,N], dcw [3x(L,8,N)],
+    helpers for second derivatives). scales_j [L,1,1]; dcw includes the
+    d pos / d x01 = scale chain factor."""
+    w = _smoothstep(frac)                      # [L,3,N]
+    dwdf = 6.0 * frac * (1.0 - frac)
+    ddwdf = 6.0 - 12.0 * frac
+    sgn = jnp.where(corners_b, 1.0, -1.0)      # [8,3]
+    ws, dws, dds = [], [], []
+    for d in range(3):
+        bit = corners_b[None, :, d, None]      # [1,8,1]
+        ws.append(jnp.where(bit, w[:, None, d], 1.0 - w[:, None, d]))
+        s = sgn[None, :, d, None]
+        dws.append(s * dwdf[:, None, d])
+        dds.append(s * ddwdf[:, None, d])
+    cw = ws[0] * ws[1] * ws[2]                 # [L,8,N]
+    dcw = [
+        scales_j * dws[0] * ws[1] * ws[2],
+        scales_j * ws[0] * dws[1] * ws[2],
+        scales_j * ws[0] * ws[1] * dws[2],
+    ]
+    return ws, cw, dcw, dws, dds
+
+
+def _fused_core(x01, emb_a, emb_b, meta: HashGridMeta):
+    """Shared forward work: returns (cell [Ld,N], row_h [Lh,8,N],
+    frac [L,3,N], gd [Ld,N,16], gh [Lh,8,N,2], oob [N], vals) where vals =
+    (va0, va1, vb0, vb1), each [L,8,N] point-minor f32."""
+    n = x01.shape[0]
+    (res_np, sizes_np, offsets_np, scales, Ld, cell_off, cell_res,
+     total_cells) = _fused_level_split(meta)
+    L = meta.num_levels
+    Lh = L - Ld
+    x_t = x01.T                                          # [3,N]
+    oob = jnp.any((x_t < 0.0) | (x_t > 1.0), axis=0)
+
+    fracs = []
+    if Ld:
+        sc = jnp.asarray(scales[:Ld])[:, None, None]
+        pos = sc * x_t[None]                             # [Ld,3,N]
+        crf = jnp.asarray(cell_res.astype(np.float32))[:, None, None]
+        cf = jnp.clip(jnp.floor(pos), 0.0, crf - 1.0)
+        fracs.append(pos - cf)
+        cfi = cf.astype(jnp.int32)
+        cri = jnp.asarray(cell_res.astype(np.int32))[:, None]
+        cell = cfi[:, 0] + cri * (cfi[:, 1] + cri * cfi[:, 2])
+        cell = cell + jnp.asarray(cell_off.astype(np.int32))[:, None]
+        blkq = build_quad_block_flat(emb_a, emb_b, meta)
+        gd = _gather_windows(blkq, cell.reshape(-1) * 16, 16).reshape(
+            Ld, n, 16
+        )
+    else:
+        cell = jnp.zeros((0, n), jnp.int32)
+        gd = jnp.zeros((0, n, 16), jnp.float32)
+
+    if Lh:
+        sc = jnp.asarray(scales[Ld:])[:, None, None]
+        pos = sc * x_t[None]
+        pf = jnp.floor(pos)
+        fracs.append(pos - pf)
+        pg = pf.astype(jnp.int32).astype(jnp.uint32)
+        corners_j = jnp.asarray(_corner_indices(meta), jnp.uint32)
+        cg = pg[:, None, :, :] + corners_j[None, :, :, None]  # [Lh,8,3,N]
+        h = cg[:, :, 0] * np.uint32(_PRIMES[0])
+        for k in (1, 2):
+            h = h ^ (cg[:, :, k] * np.uint32(_PRIMES[k]))
+        sizes_j = jnp.asarray(sizes_np[Ld:].astype(np.uint32))[:, None, None]
+        offs_j = jnp.asarray(offsets_np[Ld:].astype(np.int32))[:, None, None]
+        row_h = (h % sizes_j).astype(jnp.int32) + offs_j  # [Lh,8,N]
+        quad = jnp.stack([_pack_pairs(emb_a), _pack_pairs(emb_b)], axis=-1)
+        gh = jnp.take(quad, row_h, axis=0)               # [Lh,8,N,2]
+    else:
+        row_h = jnp.zeros((0, 8, n), jnp.int32)
+        gh = jnp.zeros((0, 8, n, 2), jnp.float32)
+
+    frac = jnp.concatenate(fracs, axis=0) if fracs else jnp.zeros((0, 3, n))
+
+    parts_a0, parts_a1, parts_b0, parts_b1 = [], [], [], []
+    if Ld:
+        gdr = gd.reshape(Ld, n, 8, 2)
+        a0, a1 = _unpack_pairs(jnp.transpose(gdr[..., 0], (0, 2, 1)))
+        b0, b1 = _unpack_pairs(jnp.transpose(gdr[..., 1], (0, 2, 1)))
+        parts_a0.append(a0); parts_a1.append(a1)
+        parts_b0.append(b0); parts_b1.append(b1)
+    if Lh:
+        a0, a1 = _unpack_pairs(gh[..., 0])
+        b0, b1 = _unpack_pairs(gh[..., 1])
+        parts_a0.append(a0); parts_a1.append(a1)
+        parts_b0.append(b0); parts_b1.append(b1)
+    va0 = jnp.concatenate(parts_a0, axis=0)              # [L,8,N]
+    va1 = jnp.concatenate(parts_a1, axis=0)
+    vb0 = jnp.concatenate(parts_b0, axis=0)
+    vb1 = jnp.concatenate(parts_b1, axis=0)
+    return cell, row_h, frac, gd, gh, oob, (va0, va1, vb0, vb1)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3,))
+def hash_encode_fused_dual(x01, emb_a, emb_b, meta: HashGridMeta):
+    """Dual-table encode + analytic jacobian of table a's features.
+
+    x01 [N,3] in [0,1]; emb_a/emb_b [table_rows, 2].
+    Returns (feats_a [N, L*2], J_a [L*2, 3, N], feats_b [N, L*2]) where
+    J_a[f, d, n] = d feats_a[n, f] / d x01[n, d]. J is returned point-minor
+    (contract with einsum "nf,fdn->nd"); feats match hash_encode(packed=True)
+    bit-for-bit on interior points.
+    """
+    out, _ = _hash_fused_fwd(x01, emb_a, emb_b, meta)
+    return out
+
+
+def _hash_fused_fwd(x01, emb_a, emb_b, meta: HashGridMeta):
+    n = x01.shape[0]
+    L = meta.num_levels
+    scales = _fused_level_split(meta)[3]
+    cell, row_h, frac, gd, gh, oob, vals = _fused_core(x01, emb_a, emb_b, meta)
+    va0, va1, vb0, vb1 = vals
+    corners_b = jnp.asarray(_corner_indices(meta).astype(bool))
+    scales_j = jnp.asarray(scales)[:, None, None]
+    ws, cw, dcw, _, _ = _fused_weights(frac, scales_j, corners_b)
+
+    valid = (~oob).astype(jnp.float32)[None, :]          # [1,N]
+    fa = jnp.stack(
+        [(cw * va0).sum(axis=1) * valid, (cw * va1).sum(axis=1) * valid],
+        axis=1,
+    )                                                    # [L,2,N]
+    fb = jnp.stack(
+        [(cw * vb0).sum(axis=1) * valid, (cw * vb1).sum(axis=1) * valid],
+        axis=1,
+    )
+    Ja = jnp.stack(
+        [
+            jnp.stack([(dcw[d] * va0).sum(axis=1) * valid for d in range(3)],
+                      axis=1),
+            jnp.stack([(dcw[d] * va1).sum(axis=1) * valid for d in range(3)],
+                      axis=1),
+        ],
+        axis=1,
+    )                                                    # [L,2,3,N]
+    out = (
+        fa.reshape(L * 2, n).T,
+        Ja.reshape(L * 2, 3, n),
+        fb.reshape(L * 2, n).T,
+    )
+    residuals = (cell, row_h, frac, gd, gh, oob)
+    return out, residuals
+
+
+def _hash_fused_bwd(meta: HashGridMeta, residuals, cts):
+    cell, row_h, frac, gd, gh, oob = residuals
+    ct_fa, ct_Ja, ct_fb = cts
+    n = oob.shape[0]
+    (res_np, sizes_np, offsets_np, scales, Ld, cell_off, cell_res,
+     total_cells) = _fused_level_split(meta)
+    L = meta.num_levels
+    Lh = L - Ld
+    rows = meta.table_rows
+
+    corners_b = jnp.asarray(_corner_indices(meta).astype(bool))
+    scales_j = jnp.asarray(scales)[:, None, None]
+    ws, cw, dcw, dws, dds = _fused_weights(frac, scales_j, corners_b)
+
+    valid = (~oob).astype(jnp.float32)
+    cfa = ct_fa.T.reshape(L, 2, n) * valid               # [L,2,N]
+    cJa = ct_Ja.reshape(L, 2, 3, n) * valid              # [L,2,3,N]
+    cfb = ct_fb.T.reshape(L, 2, n) * valid
+
+    # fused per-corner cotangents: primal + second-order terms in ONE pass
+    def corner_ct(ct_f_ch, ct_J_ch=None):
+        out = cw * ct_f_ch[:, None]
+        if ct_J_ch is not None:
+            for d in range(3):
+                out = out + dcw[d] * ct_J_ch[:, d][:, None]
+        return out                                       # [L,8,N]
+
+    ca0 = corner_ct(cfa[:, 0], cJa[:, 0])
+    ca1 = corner_ct(cfa[:, 1], cJa[:, 1])
+    cb0 = corner_ct(cfb[:, 0])
+    cb1 = corner_ct(cfb[:, 1])
+
+    # LAYOUT RULE (the v5e OOM lesson): never materialize [*, 2] or other
+    # narrow-minor 2D tensors at table scale — XLA can pick the lane-padded
+    # T(8,128) layout (64x HBM for [rows, 2]). Everything below accumulates
+    # in per-channel 1D buffers; the only [rows, 2] appears in the final
+    # stack, whose consumer-chosen layout matches the parameter table's.
+    dense_rows = int(offsets_np[Ld]) if Ld < L else rows
+    g_ch = {}  # (table, ch) -> [rows] flat gradient
+    if Ld:
+        # one fused 32-wide window scatter for BOTH tables into a flat
+        # cell-grad buffer; window layout = [corner (8), (a0, a1, b0, b1)]
+        upd = jnp.stack([ca0[:Ld], ca1[:Ld], cb0[:Ld], cb1[:Ld]], axis=2)
+        upd = jnp.transpose(upd, (0, 3, 1, 2)).reshape(Ld * n, 32)
+        bg = _scatter_add_windows(
+            jnp.zeros((total_cells * 32,), jnp.float32),
+            cell.reshape(-1) * 32, upd,
+        )
+        # fold cell-grads back onto canonical rows by pure slice-adds,
+        # per channel (3D arrays only — no narrow-minor shapes)
+        segs = {(t, ch): [] for t in "ab" for ch in range(2)}
+        for lvl in range(Ld):
+            r = int(res_np[lvl])
+            c = int(cell_res[lvl])
+            co = int(cell_off[lvl])
+            base = co * 32
+            end = base + c ** 3 * 32
+            for wi, (t, ch) in enumerate(
+                (("a", 0), ("a", 1), ("b", 0), ("b", 1))
+            ):
+                acc = jnp.zeros((r, r, r), jnp.float32)
+                for k in range(8):
+                    dx, dy, dz = k & 1, (k >> 1) & 1, (k >> 2) & 1
+                    sl = (slice(dz, dz + c), slice(dy, dy + c),
+                          slice(dx, dx + c))
+                    # strided 1D slice picks (corner k, channel wi) of every
+                    # cell — no [c,c,c,8,4] materialization (lane padding
+                    # would 32x it at flagship scale)
+                    vals = bg[base + k * 4 + wi : end : 32].reshape(c, c, c)
+                    acc = acc.at[sl].add(vals)
+                segs[(t, ch)].append(acc.reshape(-1))
+        pad = jnp.zeros((rows - dense_rows,), jnp.float32)
+        for key_, pieces in segs.items():
+            g_ch[key_] = jnp.concatenate(pieces + [pad])
+    else:
+        for t in "ab":
+            for ch in range(2):
+                g_ch[(t, ch)] = jnp.zeros((rows,), jnp.float32)
+
+    if Lh:
+        rh = row_h.reshape(-1)
+        for (t, ch), corner in ((("a", 0), ca0), (("a", 1), ca1),
+                                (("b", 0), cb0), (("b", 1), cb1)):
+            g_ch[(t, ch)] = g_ch[(t, ch)].at[rh].add(
+                corner[Ld:].reshape(-1)
+            )
+
+    grad_a = jnp.stack([g_ch[("a", 0)], g_ch[("a", 1)]], axis=-1)
+    grad_b = jnp.stack([g_ch[("b", 0)], g_ch[("b", 1)]], axis=-1)
+
+    # ---- ct_x01: first- and second-order weight derivatives against the
+    # gathered corner values (reference kernel_grid_second_backward_grad).
+    # Dead code under training (points are stop-gradient leaves) — XLA DCEs
+    # it — but exact for test parity and any differentiable-camera use.
+    parts = []
+    if Ld:
+        gdr = gd.reshape(Ld, n, 8, 2)
+        a0, a1 = _unpack_pairs(jnp.transpose(gdr[..., 0], (0, 2, 1)))
+        b0, b1 = _unpack_pairs(jnp.transpose(gdr[..., 1], (0, 2, 1)))
+        parts.append((a0, a1, b0, b1))
+    if Lh:
+        a0, a1 = _unpack_pairs(gh[..., 0])
+        b0, b1 = _unpack_pairs(gh[..., 1])
+        parts.append((a0, a1, b0, b1))
+    va0, va1, vb0, vb1 = (
+        jnp.concatenate([p[i] for p in parts], axis=0) for i in range(4)
+    )
+
+    v_dot_f = (
+        va0 * cfa[:, 0][:, None] + va1 * cfa[:, 1][:, None]
+        + vb0 * cfb[:, 0][:, None] + vb1 * cfb[:, 1][:, None]
+    )                                                    # [L,8,N]
+    v_dot_J = [
+        va0 * cJa[:, 0, e][:, None] + va1 * cJa[:, 1, e][:, None]
+        for e in range(3)
+    ]
+
+    sc2 = scales_j * scales_j
+    ct_cols = []
+    for d in range(3):
+        others = [e for e in range(3) if e != d]
+        acc = v_dot_f * dcw[d]
+        # d^2 cw / (dx_d dx_d)
+        acc = acc + v_dot_J[d] * (
+            sc2 * dds[d] * ws[others[0]] * ws[others[1]]
+        )
+        for e in others:
+            third = [f for f in range(3) if f != d and f != e][0]
+            acc = acc + v_dot_J[e] * (sc2 * dws[d] * dws[e] * ws[third])
+        ct_cols.append(acc.sum(axis=(0, 1)))             # [N]
+    ct_x01 = jnp.stack(ct_cols, axis=-1)                 # [N,3]
+
+    return ct_x01, grad_a, grad_b
+
+
+hash_encode_fused_dual.defvjp(_hash_fused_fwd, _hash_fused_bwd)
 
 
 def hash_encode_world(
