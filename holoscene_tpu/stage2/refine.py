@@ -92,12 +92,16 @@ def invisible_view_loss(
     gen_normal: jnp.ndarray,  # [M, 3] camera-frame
     gen_mask: jnp.ndarray,    # [M]
     uv_unit: jnp.ndarray,     # [M, 2] in [-1, 1]
+    gen_nm_mask: jnp.ndarray | None = None,  # [M] normal-validity mask
     rgb_weight: float = 1.0,
     normal_weight: float = 0.5,
     mask_weight: float = 0.5,
 ):
     """Supervise the object's isolated orthographic render against one
-    generated view (calculate_invisible_loss, holoscene_train_post.py:458)."""
+    generated view (calculate_invisible_loss, holoscene_train_post.py:458).
+    `gen_nm_mask` restricts the normal term to pixels whose inpainted
+    normals passed the consistency gate (reference nm_mask,
+    holoscene_train_post.py:1085-1112); defaults to gen_mask."""
     # orthographic rays with a traced half-extent (get_orthographic_rays
     # takes a static extent, so build them inline)
     rays_o = pose_c2w[:3, 3][None, :] + (
@@ -112,13 +116,14 @@ def invisible_view_loss(
         training=True, detach_rgb_geometry=True,
     )
     m = gen_mask.reshape(-1, 1)
+    mn = m if gen_nm_mask is None else gen_nm_mask.reshape(-1, 1)
     rgb_l = jnp.sum(jnp.abs(out["rgb_values"] - gen_rgb) * m) / (
         jnp.maximum(m.sum() * 3, 1.0)
     )
     n_pred = safe_normalize(out["normal_map"])
     n_gt = safe_normalize(gen_normal)
-    normal_l = jnp.sum((1.0 - jnp.sum(n_pred * n_gt, -1, keepdims=True)) * m) / (
-        jnp.maximum(m.sum(), 1.0)
+    normal_l = jnp.sum((1.0 - jnp.sum(n_pred * n_gt, -1, keepdims=True)) * mn) / (
+        jnp.maximum(mn.sum(), 1.0)
     )
     acc = jnp.clip(out["acc"], 1e-4, 1 - 1e-4)
     mask_l = jnp.mean(
@@ -176,6 +181,7 @@ def make_object_finetune_step(
                     p, cfg, k3, (obj_i,), gen_view["pose"],
                     gen_view["half_extent"], gen_view["rgb"],
                     gen_view["normal"], gen_view["mask"], gen_view["uv"],
+                    gen_nm_mask=gen_view.get("nm_mask"),
                 )
                 total = total + fcfg.invis_weight * invis_on * inv
                 losses = {**losses, "invis_loss": inv}

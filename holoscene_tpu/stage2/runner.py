@@ -248,6 +248,68 @@ class Stage2Runner:
             )
         return packs
 
+    def object_view_packs(
+        self,
+        obj_i: int,
+        meshes: list[Mesh | None],
+        best_views: list[tuple[np.ndarray, float]],
+        half_extent: float,
+    ) -> list[dict]:
+        """Render the object from its best views, inpaint the regions
+        occluded by other scene objects, and gate by depth->normal
+        consistency — the reference's core recover-the-unseen step
+        (holoscene_train_post.py:1013-1112). Returns vis_info-style packs
+        consumed by invisible_view_loss (with per-channel masks)."""
+        from holoscene_tpu.stage2.inpaint_views import (
+            inpaint_object_view,
+            occluded_region,
+        )
+
+        inpaint = self.providers.get("inpaint")
+        obj_mesh = meshes[obj_i]
+        occluders = [
+            m for j, m in enumerate(meshes) if j != obj_i and m is not None
+        ]
+        packs = []
+        for pose, weight in best_views:
+            view = self.render_object_view(obj_i, pose, half_extent)
+            occ, self_vis = occluded_region(
+                obj_mesh, occluders, pose, half_extent,
+                self.view_render_res,
+            )
+            if occ.sum() == 0 or inpaint is None:
+                gated = {
+                    "rgb": view["rgb"], "normal": view["normal"],
+                    "depth": view["depth"], "mask": view["mask"],
+                    "nm_mask": view["mask"], "depth_mask": view["mask"],
+                    "sm_mask": occ, "deviated": False,
+                }
+            else:
+                gated = inpaint_object_view(
+                    view, occ, self_vis, inpaint, half_extent
+                )
+            packs.append(
+                {
+                    "pose": np.asarray(pose, dtype=np.float32),
+                    "half_extent": float(half_extent),
+                    "rgb": gated["rgb"].astype(np.float32),
+                    "normal": gated["normal"].astype(np.float32),
+                    "depth": gated["depth"].astype(np.float32),
+                    "mask": gated["mask"].astype(bool),
+                    "nm_mask": gated["nm_mask"].astype(bool),
+                    "sm_mask": gated["sm_mask"].astype(bool),
+                    "weight": float(weight),
+                    "deviated": bool(gated.get("deviated", False)),
+                    "source": "inpaint",
+                }
+            )
+            if not self.quiet and occ.sum() > 0:
+                print(
+                    f"  [obj {obj_i}] inpainted view: {int(occ.sum())} px "
+                    f"occluded, deviated={gated.get('deviated', False)}"
+                )
+        return packs
+
     def background_packs(self, max_views: int = 4) -> list[dict]:
         """Inpaint background regions occluded by foreground objects in
         training views (background_inpainting_sampling,
@@ -338,6 +400,7 @@ class Stage2Runner:
                 "pose": jnp.eye(4), "half_extent": jnp.asarray(1.0),
                 "rgb": zero, "normal": zero,
                 "mask": jnp.zeros(self.fcfg.invis_pixels),
+                "nm_mask": jnp.zeros(self.fcfg.invis_pixels),
                 "uv": jnp.zeros((self.fcfg.invis_pixels, 2)),
             }
             coll_pts = jnp.zeros((self.fcfg.collision_pts, 3))
@@ -385,6 +448,7 @@ class Stage2Runner:
                     [(pix % res + 0.5) / res * 2 - 1,
                      (pix // res + 0.5) / res * 2 - 1], axis=-1
                 )
+                nm_mask = view.get("nm_mask", view["mask"])
                 gen_view = {
                     "pose": jnp.asarray(view["pose"]),
                     "half_extent": jnp.asarray(view["half_extent"]),
@@ -393,6 +457,10 @@ class Stage2Runner:
                     "mask": jnp.asarray(
                         view["mask"].reshape(-1)[pix], dtype=jnp.float32
                     ),
+                    "nm_mask": jnp.asarray(
+                        np.asarray(nm_mask).reshape(-1)[pix],
+                        dtype=jnp.float32,
+                    ),
                     "uv": jnp.asarray(uv_unit, dtype=jnp.float32),
                 }
             else:
@@ -400,7 +468,7 @@ class Stage2Runner:
                 gen_view = {
                     "pose": jnp.eye(4), "half_extent": jnp.asarray(1.0),
                     "rgb": zero, "normal": zero, "mask": jnp.zeros(m),
-                    "uv": jnp.zeros((m, 2)),
+                    "nm_mask": jnp.zeros(m), "uv": jnp.zeros((m, 2)),
                 }
             coll_pts, coll_sdf = sample_collision_points(
                 self.params, self.cfg, bbox_center, bbox_scale, parent_ids,
@@ -466,9 +534,16 @@ class Stage2Runner:
             if not self.quiet:
                 print(f"[obj {obj_i}] view coverage {coverage:.2f}")
 
-            gen_views = []
+            # occluder-inpainted + consistency-gated object views supervise
+            # the finetune ALWAYS (reference lama pass :1013-1112); Wonder3D
+            # hallucination is added only when view coverage is poor
+            gen_views = self.object_view_packs(
+                obj_i, meshes, best_views, half_extent
+            )
             if coverage < self.coverage_threshold and self.providers.get("novel_view"):
-                gen_views = self.generate_novel_views(obj_i, mesh, half_extent)
+                gen_views = gen_views + self.generate_novel_views(
+                    obj_i, mesh, half_extent
+                )
 
             parent = graph.get(obj_i, {}).get("parent", 0)
             parent_ids = (parent if parent >= 0 else 0,)
@@ -478,9 +553,11 @@ class Stage2Runner:
             )
 
             # mesh-from-generated-views fallback candidate (reference
-            # coarse_recon after Wonder3D, holoscene_train_post.py:1680)
+            # coarse_recon after Wonder3D, holoscene_train_post.py:1680) —
+            # only hallucinated views feed it, not the inpainted renders
             extra = []
-            if gen_views:
+            w3d_views = [v for v in gen_views if v.get("source") != "inpaint"]
+            if w3d_views:
                 try:
                     from holoscene_tpu.stage2.remesh import (
                         CoarseReconConfig,
@@ -489,7 +566,7 @@ class Stage2Runner:
 
                     extra.append(
                         coarse_recon(
-                            gen_views, center,
+                            w3d_views, center,
                             float(np.linalg.norm(b[1] - b[0]) / 2),
                             CoarseReconConfig(iters=120, img_res=64),
                         )
