@@ -81,16 +81,105 @@ class NullInpaintProvider(InpaintProvider):
 
 
 class TorchLamaProvider(InpaintProvider):
-    """Plug point for a real LaMa checkpoint (reference lama/utils.py)."""
+    """Real LaMa inpainting through a torch checkpoint (reference
+    lama/utils.py:18-56 load_model/inpaint semantics, CPU or GPU).
 
-    def __init__(self, checkpoint_dir: str):
-        raise NotImplementedError(
-            "LaMa checkpoints are not bundled; point this provider at a "
-            "big-lama checkpoint directory and wire its torch module here."
+    Accepts either
+      * a TorchScript archive (the widely distributed `big-lama.pt` JIT
+        export): called as model(image [1,3,H,W], mask [1,1,H,W]) ->
+        [1,3,H,W] in [0,1]; or
+      * the reference checkpoint directory layout (config.yaml +
+        models/<ckpt>), which needs the saicinpainting package — imported
+        lazily and only if present.
+
+    torch is imported lazily; constructing this provider without torch or
+    without a checkpoint raises with a clear message (no silent fallback —
+    callers choose NullInpaintProvider explicitly). Inputs are padded to
+    the FFC stride (multiple of 8) and unpadded after.
+    """
+
+    def __init__(self, checkpoint: str, device: str = "cpu"):
+        try:
+            import torch
+        except ImportError as e:  # pragma: no cover
+            raise RuntimeError(
+                "TorchLamaProvider needs torch; use NullInpaintProvider "
+                "or CachedArtifact* providers without it"
+            ) from e
+        self._torch = torch
+        self.device = device
+        self._kind = None
+        if os.path.isfile(checkpoint):
+            self.model = torch.jit.load(checkpoint, map_location=device)
+            self.model.eval()
+            self._kind = "jit"
+        elif os.path.isdir(checkpoint):
+            self.model = self._load_trainer_checkpoint(checkpoint, device)
+            self._kind = "module"
+        else:
+            raise FileNotFoundError(f"no LaMa checkpoint at {checkpoint}")
+
+    @staticmethod
+    def _load_trainer_checkpoint(ckpt_dir: str, device: str):
+        """Reference directory layout (lama/utils.py:18-36). Needs the
+        saicinpainting package on the path."""
+        try:
+            import yaml
+            from omegaconf import OmegaConf
+            from saicinpainting.training.trainers import load_checkpoint
+        except ImportError as e:  # pragma: no cover
+            raise RuntimeError(
+                "directory-style LaMa checkpoints need the saicinpainting "
+                "package; export the model to TorchScript instead"
+            ) from e
+        with open(os.path.join(ckpt_dir, "config.yaml")) as f:
+            train_config = OmegaConf.create(yaml.safe_load(f))
+        train_config.training_model.predict_only = True
+        train_config.visualizer.kind = "noop"
+        import glob
+
+        ckpts = sorted(glob.glob(os.path.join(ckpt_dir, "models", "*.ckpt")))
+        model = load_checkpoint(
+            train_config, ckpts[-1], strict=False, map_location="cpu"
         )
+        model.freeze()
+        return model.to(device)
 
-    def inpaint(self, image, mask):  # pragma: no cover
-        raise NotImplementedError
+    def inpaint(self, image: np.ndarray, mask: np.ndarray) -> np.ndarray:
+        torch = self._torch
+        img = np.asarray(image, dtype=np.float32)
+        squeeze = img.ndim == 3 and img.shape[-1] == 1
+        if img.ndim == 2:
+            img = img[..., None]
+            squeeze = True
+        if img.shape[-1] == 1:
+            img = np.repeat(img, 3, axis=-1)
+        h, w = img.shape[:2]
+        ph, pw = (-h) % 8, (-w) % 8
+        img_p = np.pad(img, ((0, ph), (0, pw), (0, 0)), mode="edge")
+        mask_p = np.pad(
+            mask.astype(np.float32), ((0, ph), (0, pw)), mode="edge"
+        )
+        with torch.no_grad():
+            t_img = (
+                torch.from_numpy(img_p).permute(2, 0, 1)[None].to(self.device)
+            )
+            t_mask = torch.from_numpy(mask_p)[None, None].to(self.device)
+            if self._kind == "jit":
+                out = self.model(t_img, t_mask)
+            else:
+                batch = {"image": t_img, "mask": t_mask}
+                out = self.model(batch)["inpainted"]
+            res = out[0].permute(1, 2, 0).cpu().numpy()[:h, :w]
+        if squeeze:
+            res = res.mean(axis=-1, keepdims=True)
+        # only the masked region is replaced (reference composites likewise)
+        keep = ~mask.astype(bool)
+        res3 = res if res.shape[-1] == image.reshape(h, w, -1).shape[-1] else res
+        out_img = np.asarray(image, dtype=np.float32).copy()
+        out_img_flat = out_img.reshape(h, w, -1)
+        out_img_flat[~keep] = res3[~keep]
+        return out_img_flat.reshape(np.asarray(image).shape)
 
 
 # ---------------------------------------------------------------------------
@@ -106,10 +195,12 @@ class NovelViewProvider(abc.ABC):
         front_mask: np.ndarray,
         poses: list[np.ndarray],
         seed: int = 42,
+        obj_i: int | None = None,
     ) -> list[dict]:
         """Returns per-pose dicts {rgb [H,W,3], normal [H,W,3] (camera
         frame), mask [H,W]} (the Wonder3D+ output contract,
-        run_mv_prediction.py:702-808)."""
+        run_mv_prediction.py:702-808). `obj_i` identifies the object for
+        providers replaying per-object artifacts."""
 
 
 class ModelRenderNovelViewProvider(NovelViewProvider):
@@ -121,7 +212,8 @@ class ModelRenderNovelViewProvider(NovelViewProvider):
         """render_fn(pose, seed) -> {rgb, normal, mask} in Wonder3D layout."""
         self.render_fn = render_fn
 
-    def generate_views(self, front_rgb, front_mask, poses, seed: int = 42):
+    def generate_views(self, front_rgb, front_mask, poses, seed: int = 42,
+                       obj_i: int | None = None):
         return [self.render_fn(pose, seed) for pose in poses]
 
 
@@ -197,15 +289,28 @@ def load_vis_info(path: str) -> list[dict]:
 
 
 class CachedArtifactNovelViewProvider(NovelViewProvider):
-    """Replays vis_info packs recorded by a previous (possibly GPU) run."""
+    """Replays vis_info packs recorded by a previous run — the first-class
+    path for using REAL hallucinated views (Wonder3D+ outputs produced on a
+    GPU box, or any other source) in the TPU pipeline: record them in the
+    vis_info_{i}.pkl convention and point this provider at the directory.
+    The pipeline behaves identically to having the generative model
+    in-process (reference artifact hand-off, holoscene_train_post.py:
+    1981-1989)."""
 
-    def __init__(self, cache_dir: str, obj_i: int):
-        self.views = load_vis_info(
-            os.path.join(cache_dir, f"vis_info_{obj_i}.pkl")
-        )
+    def __init__(self, cache_dir: str, obj_i: int | None = None):
+        self.cache_dir = cache_dir
+        self._fixed_obj = obj_i
 
-    def generate_views(self, front_rgb, front_mask, poses, seed: int = 42):
-        return self.views[: len(poses)]
+    def generate_views(self, front_rgb, front_mask, poses, seed: int = 42,
+                       obj_i: int | None = None):
+        oi = self._fixed_obj if self._fixed_obj is not None else obj_i
+        path = os.path.join(self.cache_dir, f"vis_info_{oi}.pkl")
+        if not os.path.exists(path):
+            raise FileNotFoundError(
+                f"no cached views for object {oi} ({path})"
+            )
+        views = load_vis_info(path)
+        return views[: len(poses)] if poses else views
 
 
 def default_providers(render_fn=None) -> dict:

@@ -227,7 +227,7 @@ class Stage2Runner:
         for seed in self.seeds:
             try:
                 views = provider.generate_views(
-                    front["rgb"], front["mask"], rig, seed=seed
+                    front["rgb"], front["mask"], rig, seed=seed, obj_i=obj_i
                 )
                 break
             except Exception as e:  # retry ladder
@@ -239,8 +239,10 @@ class Stage2Runner:
         for pose, v in zip(rig, views):
             packs.append(
                 {
-                    "pose": np.asarray(pose, dtype=np.float32),
-                    "half_extent": float(half_extent),
+                    # recorded packs (CachedArtifactNovelViewProvider) carry
+                    # their own camera; live providers inherit the rig pose
+                    "pose": np.asarray(v.get("pose", pose), dtype=np.float32),
+                    "half_extent": float(v.get("half_extent", half_extent)),
                     "rgb": np.asarray(v["rgb"], dtype=np.float32),
                     "normal": np.asarray(v["normal"], dtype=np.float32),
                     "mask": np.asarray(v["mask"], dtype=bool),

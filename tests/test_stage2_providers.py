@@ -1,0 +1,144 @@
+"""Stage-2 provider plumbing: the TorchScript LaMa plug and the
+first-class cached-generative-view path (VERDICT r1 #4)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from holoscene_tpu.stage2.providers import (
+    CachedArtifactNovelViewProvider,
+    TorchLamaProvider,
+    save_vis_info,
+)
+
+
+def _make_jit_lama(path):
+    """A tiny TorchScript module honoring the big-lama JIT contract:
+    (image [1,3,H,W], mask [1,1,H,W]) -> [1,3,H,W]. Fills the masked
+    region with the known-region mean (enough to verify the plumbing:
+    padding, permutes, composition)."""
+    torch = pytest.importorskip("torch")
+
+    class FakeLama(torch.nn.Module):
+        def forward(self, image, mask):
+            known = image * (1.0 - mask)
+            denom = torch.clamp((1.0 - mask).sum() * image.shape[1], min=1.0)
+            mean = known.sum(dim=(2, 3), keepdim=True) / torch.clamp(
+                (1.0 - mask).sum(), min=1.0
+            )
+            return image * (1.0 - mask) + mean * mask
+
+    scripted = torch.jit.script(FakeLama())
+    torch.jit.save(scripted, str(path))
+    return str(path)
+
+
+def test_torch_lama_provider_jit_checkpoint(tmp_path):
+    ckpt = _make_jit_lama(tmp_path / "big-lama.pt")
+    provider = TorchLamaProvider(ckpt)
+
+    img = np.full((31, 33, 3), 0.25, np.float32)  # odd dims exercise padding
+    img[5:10, 5:10] = 0.9
+    mask = np.zeros((31, 33), bool)
+    mask[5:10, 5:10] = True
+
+    out = provider.inpaint(img, mask)
+    assert out.shape == img.shape
+    # unmasked region untouched
+    np.testing.assert_allclose(out[~mask], img[~mask])
+    # masked region replaced by ~the known mean (0.25), not 0.9
+    assert np.abs(out[mask] - 0.25).max() < 0.05
+
+    # 1-channel image round-trips through the 3-channel model
+    d = np.linspace(0, 1, 31 * 33).reshape(31, 33, 1).astype(np.float32)
+    out_d = provider.inpaint(d, mask)
+    assert out_d.shape == d.shape
+    np.testing.assert_allclose(out_d[~mask], d[~mask])
+
+
+def test_torch_lama_provider_missing_checkpoint(tmp_path):
+    pytest.importorskip("torch")
+    with pytest.raises(FileNotFoundError):
+        TorchLamaProvider(str(tmp_path / "nope.pt"))
+
+
+def _fake_view_pack(res=16, seed=0):
+    rng = np.random.default_rng(seed)
+    pose = np.eye(4, dtype=np.float32)
+    pose[:3, 3] = [0, 0, -1]
+    return {
+        "pose": pose,
+        "half_extent": 0.7,
+        "rgb": rng.uniform(0, 1, (res, res, 3)).astype(np.float32),
+        "normal": np.tile(
+            np.array([0, 0, -1], np.float32), (res, res, 1)
+        ),
+        "mask": np.ones((res, res), bool),
+    }
+
+
+def test_cached_provider_replays_vis_info(tmp_path):
+    views = [_fake_view_pack(seed=i) for i in range(3)]
+    save_vis_info(str(tmp_path / "vis_info_2.pkl"), views)
+
+    provider = CachedArtifactNovelViewProvider(str(tmp_path))
+    out = provider.generate_views(None, None, [np.eye(4)] * 2, obj_i=2)
+    assert len(out) == 2
+    np.testing.assert_allclose(out[0]["rgb"], views[0]["rgb"])
+
+    with pytest.raises(FileNotFoundError):
+        provider.generate_views(None, None, [np.eye(4)], obj_i=5)
+
+
+def test_cached_provider_drives_runner_novel_view_path(tmp_path):
+    """End-to-end: a Stage2Runner whose novel-view provider replays
+    recorded vis_info packs — the pipeline consumes cached hallucinated
+    views exactly like live ones (VERDICT #4 'done' criterion)."""
+    import jax
+
+    from holoscene_tpu.datasets.ns_dataset import NSDataset
+    from holoscene_tpu.datasets.synthetic import generate_scene
+    from holoscene_tpu.losses.holoscene_loss import LossConfig
+    from holoscene_tpu.models.holoscene import init_holoscene
+    from holoscene_tpu.stage2.refine import FinetuneConfig
+    from holoscene_tpu.stage2.runner import Stage2Runner
+    from tests.test_stage2_runner import tiny_cfg
+
+    root = tmp_path / "data"
+    generate_scene(str(root / "scene_0"), n_images=5, img_res=(32, 32))
+    scene = NSDataset(str(root), "scene_0", img_res=(32, 32))
+
+    cfg = tiny_cfg(len(scene.label_mapping))
+    params = init_holoscene(jax.random.PRNGKey(0), cfg)
+
+    cache = tmp_path / "cache"
+    cache.mkdir()
+    for oi in range(1, len(scene.label_mapping)):
+        save_vis_info(
+            str(cache / f"vis_info_{oi}.pkl"),
+            [_fake_view_pack(res=24, seed=oi * 10 + k) for k in range(6)],
+        )
+
+    runner = Stage2Runner(
+        params, cfg, scene, out_dir=str(tmp_path / "s2"),
+        loss_cfg=LossConfig(depth_weight=0.1, semantic_weight=0.5),
+        finetune_cfg=FinetuneConfig(
+            iters=2, rays_per_step=64, invis_pixels=64, collision_pts=128,
+        ),
+        mesh_resolution=32, view_render_res=24,
+        candidate_levels=(0.0,),
+        coverage_threshold=2.0,  # force the novel-view path for every object
+        quiet=True,
+    )
+    runner.providers["novel_view"] = CachedArtifactNovelViewProvider(
+        str(cache)
+    )
+    result = runner.run(finetune_iters=2)
+    assert (tmp_path / "s2" / "translation_dict.pkl").exists()
+    # the cached views were consumed and re-emitted as this run's vis_info
+    emitted = [
+        p for p in (tmp_path / "s2").iterdir()
+        if p.name.startswith("vis_info_")
+    ]
+    assert emitted, "cached hallucinated views must flow through to artifacts"
