@@ -43,6 +43,10 @@ from holoscene_tpu.ops.sampler import SamplerConfig
 from holoscene_tpu.training.stage1 import make_optimizer, make_train_step
 
 A100_REFERENCE_RAYS_PER_SEC = 6000.0  # estimated reference Stage-1 rate
+# estimated gsplat fwd+bwd on A100 at the Stage-4 workload shapes (100k
+# mesh-anchored gaussians, 512^2 full-frame): ~10 ms/step => 10 M splats/s.
+# The reference publishes no number (BASELINE.md); target is >= 2x this.
+A100_REFERENCE_SPLATS_PER_SEC = 10e6
 TARGET_MULTIPLIER = 2.0
 NUM_RAYS = int(os.environ.get("BENCH_RAYS", "1024"))
 WARMUP_STEPS = 3
@@ -60,6 +64,7 @@ def flagship_config() -> HoloSceneConfig:
             # levels with resolution <= this store full dense tables and ride
             # the one-row-per-cell block gather path (ops/hashgrid.py)
             dense_max_res=int(os.environ.get("BENCH_DENSE_MAX_RES", "0")),
+            fused_fetch=os.environ.get("BENCH_FUSED_FETCH", "packed"),
         ),
         rendering=RenderingNetworkConfig(
             feature_vector_size=256, dims=(256, 256), multires_view=4,
@@ -75,7 +80,7 @@ def flagship_config() -> HoloSceneConfig:
         sampler_grid_levels=8,
         # env overrides for A/B profiling (bench defaults are the shipped
         # fast path)
-        forward_grad_mode=os.environ.get("BENCH_GRAD_MODE", "vjp"),
+        forward_grad_mode=os.environ.get("BENCH_GRAD_MODE", "fused"),
         # top-56 of 98: both this keep ratio (0.57) and 0.65 are
         # quality-validated on hardware (eval PSNR 35.60 / 35.78 vs 35.8 dB
         # unpruned, chamfer parity; scripts/tpu_quality_run.py)
@@ -102,6 +107,75 @@ def make_batch(key, n_rays: int, img_res: int = 512):
         "segs": jnp.zeros((n_rays,), dtype=jnp.int32),
         "mask": jnp.ones((n_rays, 1)),
     }
+
+
+def bench_stage4(n: int = 100_000, res: int = 512, timed_steps: int = 20):
+    """Stage-4 fused splat train-step throughput (splats/s) at the flagship
+    shapes: 100k mesh-anchored gaussians, 512^2 full-frame render, fwd+bwd
+    through the Pallas compositing kernels. The gaussians sit on surfaces
+    (floor plane + spheres) like GoM's mesh-anchored splats, and the
+    compositing depth K is auto-picked from the scene's p99 tile overlap
+    (ops/splat.py auto_max_per_tile) — the shipped Stage-4 default."""
+    from holoscene_tpu.ops.splat import (
+        auto_max_per_tile,
+        render_gaussians,
+        tile_overlap_counts,
+    )
+
+    rng = np.random.default_rng(0)
+    n_floor = n * 6 // 10
+    floor = np.stack(
+        [rng.uniform(-1, 1, n_floor), np.full(n_floor, 0.5),
+         rng.uniform(-1, 1, n_floor)], axis=-1,
+    )
+    n_sph = n - n_floor
+    u = rng.normal(size=(n_sph, 3))
+    u /= np.linalg.norm(u, axis=-1, keepdims=True)
+    centers = np.where(
+        (np.arange(n_sph) % 2 == 0)[:, None],
+        np.array([[-0.4, 0.2, 0.0]]), np.array([[0.45, 0.3, 0.2]]),
+    )
+    sph = centers + u * 0.28
+    means = np.concatenate([floor, sph]).astype(np.float32)
+    spacing = float(np.sqrt(8.0 / n))  # ~sqrt(total area / N)
+    params = {
+        "means": jnp.asarray(means),
+        "scales": jnp.asarray(
+            np.log(rng.uniform(0.8, 1.6, (n, 3)) * spacing).astype(np.float32)
+        ),
+        "opac": jnp.asarray(rng.normal(1.5, 0.5, n).astype(np.float32)),
+        "colors": jnp.asarray(rng.uniform(0, 1, (n, 3)).astype(np.float32)),
+    }
+    quats = jnp.asarray(np.tile([1.0, 0, 0, 0], (n, 1)).astype(np.float32))
+    viewmat = jnp.eye(4).at[2, 3].set(2.0)
+    intr = jnp.array(
+        [[res * 0.9, 0, res / 2], [0, res * 0.9, res / 2], [0, 0, 1.0]]
+    )
+    tgt = jnp.asarray(rng.uniform(0, 1, (res, res, 3)).astype(np.float32))
+
+    counts = tile_overlap_counts(
+        params["means"], quats, jnp.exp(params["scales"]), viewmat, intr,
+        res, res,
+    )
+    k = auto_max_per_tile(np.asarray(counts))
+
+    def loss(p):
+        out = render_gaussians(
+            p["means"], quats, jnp.exp(p["scales"]),
+            jax.nn.sigmoid(p["opac"]), p["colors"], viewmat, intr,
+            width=res, height=res, tile_size=16, max_per_tile=k,
+        )
+        return jnp.mean((out["rgb"] - tgt) ** 2)
+
+    step = jax.jit(jax.grad(loss))
+    g = step(params)
+    _ = float(g["means"][0, 0])  # force readback through the relay
+    t0 = time.perf_counter()
+    for _i in range(timed_steps):
+        g = step(params)
+    _ = float(g["means"][0, 0])
+    dt = time.perf_counter() - t0
+    return n * timed_steps / dt, k
 
 
 def main():
@@ -135,6 +209,24 @@ def main():
     dt = time.perf_counter() - t0
 
     rays_per_sec = NUM_RAYS * TIMED_STEPS / dt
+
+    extra = []
+    if os.environ.get("BENCH_SKIP_STAGE4", "0") != "1":
+        splats_per_sec, k_auto = bench_stage4()
+        extra.append(
+            {
+                "metric": "stage4_splats_per_sec",
+                "value": round(splats_per_sec, 1),
+                "unit": "splats/s",
+                "vs_baseline": round(
+                    splats_per_sec
+                    / (TARGET_MULTIPLIER * A100_REFERENCE_SPLATS_PER_SEC),
+                    4,
+                ),
+                "auto_max_per_tile": k_auto,
+            }
+        )
+
     print(
         json.dumps(
             {
@@ -144,6 +236,7 @@ def main():
                 "vs_baseline": round(
                     rays_per_sec / (TARGET_MULTIPLIER * A100_REFERENCE_RAYS_PER_SEC), 4
                 ),
+                "extra_metrics": extra,
             }
         )
     )

@@ -111,6 +111,11 @@ class ImplicitNetworkConfig:
     # full r^3 dense table (no hash collisions) and become one-row-gatherable
     # cell blocks on TPU (ops/hashgrid.py). 0 = reference table sizing.
     dense_max_res: int = 0
+    # gather style of the fused render path: "packed" (bf16 block/quad
+    # rows — half the gather rows, pays a per-step table build; the
+    # measured end-to-end winner on v5e) or "raw" (exact f32 width-2
+    # takes, zero build). See ops/hashgrid.py _fused_core.
+    fused_fetch: str = "packed"
 
     @property
     def grid_meta(self) -> HashGridMeta:
@@ -160,6 +165,7 @@ class ImplicitNetworkConfig:
             fused_dual_grid=conf.get_bool("fused_dual_grid", False),
             grid_interp=conf.get_string("grid_interp", "trilinear"),
             dense_max_res=conf.get_int("dense_max_res", 0),
+            fused_fetch=conf.get_string("fused_fetch", "packed"),
         )
 
 
@@ -375,6 +381,24 @@ def implicit_sdf_raw_sampler(params, cfg, x, blocks,
     return h if cfg.color_grid_feature else h[:, : cfg.d_out]
 
 
+def implicit_shift_sdf_raw(params, cfg, x, packed: bool = True):
+    """Disentangled per-object SDFs (reference get_shift_sdf_raw,
+    model/network.py:460-480): at points inside the scene (min SDF < 0),
+    every NON-winning object's SDF is clamped up to -min_sdf — pushed out of
+    the interior — while the winning object keeps the scene SDF. Per-object
+    mesh extraction through this selector cannot leak other objects'
+    interiors (used by the reference's plotting/extraction paths,
+    utils/plots.py:154, :240)."""
+    raw = implicit_sdf_raw(params, cfg, x, packed=packed)  # [N, K]
+    sdf = raw.min(axis=-1)
+    idx = raw.argmin(axis=-1)
+    inside = (sdf < 0.0)[:, None]
+    shifted = jnp.where(inside, jnp.maximum(raw, -sdf[:, None]), raw)
+    n = raw.shape[0]
+    shifted = shifted.at[jnp.arange(n), idx].set(sdf)
+    return shifted
+
+
 def implicit_scene_sdf(params, cfg, x):
     """Scene SDF = min over object SDFs (model/network.py:287 MaxPool trick)."""
     return implicit_sdf_raw(params, cfg, x).min(axis=-1)
@@ -470,7 +494,8 @@ def implicit_get_outputs_fused(params, cfg, x):
     xn = x / cfg.divide_factor
     x01 = (xn + 1.0) * 0.5
     feats, J, cf = hash_encode_fused_dual(
-        x01, params["grid"], params["color_grid"], cfg.grid_meta
+        x01, params["grid"], params["color_grid"], cfg.grid_meta,
+        cfg.fused_fetch,
     )  # feats [N,F], J [F,3,N] (d feats / d x01), cf [N,F]
 
     def head(feature, pts):

@@ -62,6 +62,9 @@ class GoMConfig:
     max_gauss_ratio: float = 10.0
     background_color: str = "random"
     tile_size: int = 16
+    # compositing depth K per tile; 0 = auto-pick from the scene's p99 tile
+    # overlap at trainer start (ops/splat.py auto_max_per_tile) — cost is
+    # linear in K, so scenes with shallow tiles train up to ~2x faster
     max_per_tile: int = 512
     use_pallas: bool | None = None  # fused Pallas kernels; None = auto (TPU)
 

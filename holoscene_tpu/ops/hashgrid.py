@@ -580,16 +580,16 @@ def build_dense_block_tables(embeddings: jnp.ndarray, meta: HashGridMeta,
         r = int(res_np[lvl])
         off = int(offsets_np[lvl])
         grid = embeddings[off : off + r ** 3].reshape(r, r, r, 2)
-        corners = []
+        cols = []
         for k in range(8):
             dx, dy, dz = k & 1, (k >> 1) & 1, (k >> 2) & 1
             # dense row-major index is x + r*(y + r*z) -> axis order (z, y, x)
             # when reshaped (r, r, r); slice accordingly
-            corners.append(
-                grid[dz : dz + r - 1, dy : dy + r - 1, dx : dx + r - 1]
-            )
-        blk = jnp.stack(corners, axis=3).reshape((r - 1) ** 3, 16)
-        blocks.append(blk)
+            sl = grid[dz : dz + r - 1, dy : dy + r - 1, dx : dx + r - 1]
+            cols.append(sl[..., 0].reshape(-1))
+            cols.append(sl[..., 1].reshape(-1))
+        # select_n interleave: a jnp.stack here relayouts at ~1.5 GB/s
+        blocks.append(_interleave_last(cols))
         cell_offsets.append(total)
         cell_res.append(r - 1)
         total += (r - 1) ** 3
@@ -731,13 +731,27 @@ def _fused_level_split(meta: HashGridMeta):
     )
 
 
-def build_quad_block_flat(emb_a, emb_b, meta: HashGridMeta):
-    """FLAT packed cell table for the dense levels: [total_cells * 16] f32
-    whose window of 16 at cell*16 is [c0_a, c0_b, c1_a, c1_b, ...] — ck_a is
-    the bf16-pair pack of grid a's two channels at corner k. Built from the
-    canonical tables by pure slicing (regular +1/+r/+r^2 neighborships —
-    zero gathers). Flat 1D on purpose: 2D [cells, 16] tensors invite XLA's
-    lane-padded T(8,128) layout (up to 8x HBM waste at flagship scale)."""
+def _interleave_last(cols: list[jnp.ndarray]) -> jnp.ndarray:
+    """[M]-shaped arrays -> [M, len(cols)] via one lax.select_n pass.
+
+    A bit-preserving interleave: plain `jnp.stack(..., -1)` lowers to a
+    concat whose narrow-lane relayout measured ~96 ms for a 6M-row pair on
+    v5e; select_n over index-broadcasts fuses into a single write. Values
+    may be bit-packed floats, so arithmetic constructions (masked adds /
+    multiplies) are NOT safe — select preserves bits."""
+    w = len(cols)
+    m = cols[0].shape[0]
+    idx = jax.lax.broadcasted_iota(jnp.int32, (m, w), 1)
+    return jax.lax.select_n(idx, *[
+        jnp.broadcast_to(c[:, None], (m, w)) for c in cols
+    ])
+
+
+def build_quad_block_tables(emb_a, emb_b, meta: HashGridMeta):
+    """Packed cell table for the dense levels: [total_cells, 16] f32 whose
+    row is [c0_a, c0_b, c1_a, c1_b, ...] — ck_a is the bf16-pair pack of
+    grid a's two channels at corner k. Built from the canonical tables by
+    pure slicing (regular +1/+r/+r^2 neighborships — zero gathers)."""
     assert meta.input_dim == 3 and meta.level_dim == 2
     res_np, _, offsets_np, _, n_dense, _, _, total = _fused_level_split(meta)
     pa = _pack_pairs(emb_a)
@@ -752,11 +766,17 @@ def build_quad_block_flat(emb_a, emb_b, meta: HashGridMeta):
         cols = []
         for k in range(8):
             dx, dy, dz = k & 1, (k >> 1) & 1, (k >> 2) & 1
-            cols.append(ga[dz : dz + r - 1, dy : dy + r - 1, dx : dx + r - 1])
-            cols.append(gb[dz : dz + r - 1, dy : dy + r - 1, dx : dx + r - 1])
-        blocks.append(jnp.stack(cols, axis=3).reshape(-1))
+            cols.append(
+                ga[dz : dz + r - 1, dy : dy + r - 1, dx : dx + r - 1]
+                .reshape(-1)
+            )
+            cols.append(
+                gb[dz : dz + r - 1, dy : dy + r - 1, dx : dx + r - 1]
+                .reshape(-1)
+            )
+        blocks.append(_interleave_last(cols))
     if not blocks:
-        return jnp.zeros((16,), dtype=jnp.float32)
+        return jnp.zeros((1, 16), dtype=jnp.float32)
     return jnp.concatenate(blocks, axis=0)
 
 
@@ -810,10 +830,21 @@ def _fused_weights(frac, scales_j, corners_b):
     return ws, cw, dcw, dws, dds
 
 
-def _fused_core(x01, emb_a, emb_b, meta: HashGridMeta):
-    """Shared forward work: returns (cell [Ld,N], row_h [Lh,8,N],
-    frac [L,3,N], gd [Ld,N,16], gh [Lh,8,N,2], oob [N], vals) where vals =
-    (va0, va1, vb0, vb1), each [L,8,N] point-minor f32."""
+def _fused_core(x01, emb_a, emb_b, meta: HashGridMeta, fetch: str = "raw"):
+    """Shared forward work. Returns (idx, frac [L,3,N], oob [N], vals)
+    where vals = (va0, va1, vb0, vb1) corner values, each [L,8,N] f32, and
+    idx is fetch-specific:
+
+      fetch="raw":    idx = row [L,8,N] canonical rows; values come from
+                      two plain width-2 `jnp.take` gathers of the f32
+                      tables (exact, zero build cost, 2x the gather rows);
+      fetch="packed": idx = (cell [Ld,N], row_h [Lh,8,N]); dense levels
+                      fetch ONE 16-wide row per (point, level) from a
+                      packed per-cell block table, hashed levels one
+                      width-2 row of the bf16-packed quad table (half the
+                      gather rows; pays a once-per-step table build, and
+                      values are bf16-rounded).
+    """
     n = x01.shape[0]
     (res_np, sizes_np, offsets_np, scales, Ld, cell_off, cell_res,
      total_cells) = _fused_level_split(meta)
@@ -822,7 +853,10 @@ def _fused_core(x01, emb_a, emb_b, meta: HashGridMeta):
     x_t = x01.T                                          # [3,N]
     oob = jnp.any((x_t < 0.0) | (x_t > 1.0), axis=0)
 
+    corners_j = jnp.asarray(_corner_indices(meta), jnp.uint32)  # [8,3]
     fracs = []
+    cell = jnp.zeros((0, n), jnp.int32)
+    cfi = None
     if Ld:
         sc = jnp.asarray(scales[:Ld])[:, None, None]
         pos = sc * x_t[None]                             # [Ld,3,N]
@@ -833,74 +867,86 @@ def _fused_core(x01, emb_a, emb_b, meta: HashGridMeta):
         cri = jnp.asarray(cell_res.astype(np.int32))[:, None]
         cell = cfi[:, 0] + cri * (cfi[:, 1] + cri * cfi[:, 2])
         cell = cell + jnp.asarray(cell_off.astype(np.int32))[:, None]
-        blkq = build_quad_block_flat(emb_a, emb_b, meta)
-        gd = _gather_windows(blkq, cell.reshape(-1) * 16, 16).reshape(
-            Ld, n, 16
-        )
-    else:
-        cell = jnp.zeros((0, n), jnp.int32)
-        gd = jnp.zeros((0, n, 16), jnp.float32)
-
+    row_h = jnp.zeros((0, 8, n), jnp.int32)
     if Lh:
         sc = jnp.asarray(scales[Ld:])[:, None, None]
         pos = sc * x_t[None]
         pf = jnp.floor(pos)
         fracs.append(pos - pf)
         pg = pf.astype(jnp.int32).astype(jnp.uint32)
-        corners_j = jnp.asarray(_corner_indices(meta), jnp.uint32)
         cg = pg[:, None, :, :] + corners_j[None, :, :, None]  # [Lh,8,3,N]
         h = cg[:, :, 0] * np.uint32(_PRIMES[0])
         for k in (1, 2):
             h = h ^ (cg[:, :, k] * np.uint32(_PRIMES[k]))
         sizes_j = jnp.asarray(sizes_np[Ld:].astype(np.uint32))[:, None, None]
         offs_j = jnp.asarray(offsets_np[Ld:].astype(np.int32))[:, None, None]
-        row_h = (h % sizes_j).astype(jnp.int32) + offs_j  # [Lh,8,N]
-        quad = jnp.stack([_pack_pairs(emb_a), _pack_pairs(emb_b)], axis=-1)
-        gh = jnp.take(quad, row_h, axis=0)               # [Lh,8,N,2]
-    else:
-        row_h = jnp.zeros((0, 8, n), jnp.int32)
-        gh = jnp.zeros((0, 8, n, 2), jnp.float32)
+        row_h = (h % sizes_j).astype(jnp.int32) + offs_j
+    frac = jnp.concatenate(fracs, axis=0)                # [L,3,N]
 
-    frac = jnp.concatenate(fracs, axis=0) if fracs else jnp.zeros((0, 3, n))
+    if fetch == "raw":
+        rows = []
+        if Ld:
+            cg = (
+                cfi[:, None, :, :]
+                + corners_j.astype(jnp.int32)[None, :, :, None]
+            )
+            r_j = jnp.asarray(res_np[:Ld].astype(np.int32))[:, None, None]
+            dense_idx = cg[:, :, 0] + r_j * (cg[:, :, 1] + r_j * cg[:, :, 2])
+            rows.append(
+                dense_idx
+                + jnp.asarray(offsets_np[:Ld].astype(np.int32))[:, None, None]
+            )
+        if Lh:
+            rows.append(row_h)
+        row = jnp.concatenate(rows, axis=0)              # [L,8,N]
+        ga = jnp.take(emb_a, row, axis=0)                # [L,8,N,2]
+        gb = jnp.take(emb_b, row, axis=0)
+        vals = (ga[..., 0], ga[..., 1], gb[..., 0], gb[..., 1])
+        return row, frac, oob, vals
 
-    parts_a0, parts_a1, parts_b0, parts_b1 = [], [], [], []
+    assert fetch == "packed", fetch
+    pa0 = pa1 = pb0 = pb1 = None
+    parts = []
     if Ld:
+        blkq = build_quad_block_tables(emb_a, emb_b, meta)
+        gd = jnp.take(blkq, cell, axis=0)                # [Ld,N,16]
         gdr = gd.reshape(Ld, n, 8, 2)
         a0, a1 = _unpack_pairs(jnp.transpose(gdr[..., 0], (0, 2, 1)))
         b0, b1 = _unpack_pairs(jnp.transpose(gdr[..., 1], (0, 2, 1)))
-        parts_a0.append(a0); parts_a1.append(a1)
-        parts_b0.append(b0); parts_b1.append(b1)
+        parts.append((a0, a1, b0, b1))
     if Lh:
+        quad = _interleave_last([_pack_pairs(emb_a), _pack_pairs(emb_b)])
+        gh = jnp.take(quad, row_h, axis=0)               # [Lh,8,N,2]
         a0, a1 = _unpack_pairs(gh[..., 0])
         b0, b1 = _unpack_pairs(gh[..., 1])
-        parts_a0.append(a0); parts_a1.append(a1)
-        parts_b0.append(b0); parts_b1.append(b1)
-    va0 = jnp.concatenate(parts_a0, axis=0)              # [L,8,N]
-    va1 = jnp.concatenate(parts_a1, axis=0)
-    vb0 = jnp.concatenate(parts_b0, axis=0)
-    vb1 = jnp.concatenate(parts_b1, axis=0)
-    return cell, row_h, frac, gd, gh, oob, (va0, va1, vb0, vb1)
+        parts.append((a0, a1, b0, b1))
+    vals = tuple(
+        jnp.concatenate([p[i] for p in parts], axis=0) for i in range(4)
+    )
+    return (cell, row_h), frac, oob, vals
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(3,))
-def hash_encode_fused_dual(x01, emb_a, emb_b, meta: HashGridMeta):
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def hash_encode_fused_dual(x01, emb_a, emb_b, meta: HashGridMeta,
+                           fetch: str = "raw"):
     """Dual-table encode + analytic jacobian of table a's features.
 
     x01 [N,3] in [0,1]; emb_a/emb_b [table_rows, 2].
     Returns (feats_a [N, L*2], J_a [L*2, 3, N], feats_b [N, L*2]) where
     J_a[f, d, n] = d feats_a[n, f] / d x01[n, d]. J is returned point-minor
-    (contract with einsum "nf,fdn->nd"); feats match hash_encode(packed=True)
-    bit-for-bit on interior points.
+    (contract with einsum "nf,fdn->nd"). fetch picks the gather style
+    (see _fused_core): "raw" is exact f32, "packed" bf16-rounds values.
     """
-    out, _ = _hash_fused_fwd(x01, emb_a, emb_b, meta)
+    out, _ = _hash_fused_fwd(x01, emb_a, emb_b, meta, fetch)
     return out
 
 
-def _hash_fused_fwd(x01, emb_a, emb_b, meta: HashGridMeta):
+def _hash_fused_fwd(x01, emb_a, emb_b, meta: HashGridMeta,
+                    fetch: str = "raw"):
     n = x01.shape[0]
     L = meta.num_levels
     scales = _fused_level_split(meta)[3]
-    cell, row_h, frac, gd, gh, oob, vals = _fused_core(x01, emb_a, emb_b, meta)
+    idx, frac, oob, vals = _fused_core(x01, emb_a, emb_b, meta, fetch)
     va0, va1, vb0, vb1 = vals
     corners_b = jnp.asarray(_corner_indices(meta).astype(bool))
     scales_j = jnp.asarray(scales)[:, None, None]
@@ -929,18 +975,17 @@ def _hash_fused_fwd(x01, emb_a, emb_b, meta: HashGridMeta):
         Ja.reshape(L * 2, 3, n),
         fb.reshape(L * 2, n).T,
     )
-    residuals = (cell, row_h, frac, gd, gh, oob)
+    residuals = (idx, frac, vals, oob)
     return out, residuals
 
 
-def _hash_fused_bwd(meta: HashGridMeta, residuals, cts):
-    cell, row_h, frac, gd, gh, oob = residuals
+def _hash_fused_bwd(meta: HashGridMeta, fetch: str, residuals, cts):
+    idx, frac, vals, oob = residuals
     ct_fa, ct_Ja, ct_fb = cts
     n = oob.shape[0]
     (res_np, sizes_np, offsets_np, scales, Ld, cell_off, cell_res,
      total_cells) = _fused_level_split(meta)
     L = meta.num_levels
-    Lh = L - Ld
     rows = meta.table_rows
 
     corners_b = jnp.asarray(_corner_indices(meta).astype(bool))
@@ -953,6 +998,8 @@ def _hash_fused_bwd(meta: HashGridMeta, residuals, cts):
     cfb = ct_fb.T.reshape(L, 2, n) * valid
 
     # fused per-corner cotangents: primal + second-order terms in ONE pass
+    # (the TPU analog of merging kernel_grid_backward with
+    # kernel_grid_second_backward_embedding)
     def corner_ct(ct_f_ch, ct_J_ch=None):
         out = cw * ct_f_ch[:, None]
         if ct_J_ch is not None:
@@ -965,81 +1012,79 @@ def _hash_fused_bwd(meta: HashGridMeta, residuals, cts):
     cb0 = corner_ct(cfb[:, 0])
     cb1 = corner_ct(cfb[:, 1])
 
-    # LAYOUT RULE (the v5e OOM lesson): never materialize [*, 2] or other
-    # narrow-minor 2D tensors at table scale — XLA can pick the lane-padded
-    # T(8,128) layout (64x HBM for [rows, 2]). Everything below accumulates
-    # in per-channel 1D buffers; the only [rows, 2] appears in the final
-    # stack, whose consumer-chosen layout matches the parameter table's.
-    dense_rows = int(offsets_np[Ld]) if Ld < L else rows
-    g_ch = {}  # (table, ch) -> [rows] flat gradient
-    if Ld:
-        # one fused 32-wide window scatter for BOTH tables into a flat
-        # cell-grad buffer; window layout = [corner (8), (a0, a1, b0, b1)]
-        upd = jnp.stack([ca0[:Ld], ca1[:Ld], cb0[:Ld], cb1[:Ld]], axis=2)
-        upd = jnp.transpose(upd, (0, 3, 1, 2)).reshape(Ld * n, 32)
-        bg = _scatter_add_windows(
-            jnp.zeros((total_cells * 32,), jnp.float32),
-            cell.reshape(-1) * 32, upd,
+    if fetch == "raw":
+        # ONE interleaved element scatter per table into a flat [rows*2]
+        # buffer (the final [rows, 2] reshape is a bitcast). The flat
+        # layout cannot hit the lane-padded [*, 2] T(8,128) trap.
+        row = idx
+        idx2 = row.reshape(-1) * 2
+        idx_all = jnp.concatenate([idx2, idx2 + 1])
+        grad_a = (
+            jnp.zeros((rows * 2,), jnp.float32)
+            .at[idx_all]
+            .add(jnp.concatenate([ca0.reshape(-1), ca1.reshape(-1)]))
+            .reshape(rows, 2)
         )
-        # fold cell-grads back onto canonical rows by pure slice-adds,
-        # per channel (3D arrays only — no narrow-minor shapes)
-        segs = {(t, ch): [] for t in "ab" for ch in range(2)}
-        for lvl in range(Ld):
-            r = int(res_np[lvl])
-            c = int(cell_res[lvl])
-            co = int(cell_off[lvl])
-            base = co * 32
-            end = base + c ** 3 * 32
-            for wi, (t, ch) in enumerate(
-                (("a", 0), ("a", 1), ("b", 0), ("b", 1))
-            ):
-                acc = jnp.zeros((r, r, r), jnp.float32)
-                for k in range(8):
-                    dx, dy, dz = k & 1, (k >> 1) & 1, (k >> 2) & 1
-                    sl = (slice(dz, dz + c), slice(dy, dy + c),
-                          slice(dx, dx + c))
-                    # strided 1D slice picks (corner k, channel wi) of every
-                    # cell — no [c,c,c,8,4] materialization (lane padding
-                    # would 32x it at flagship scale)
-                    vals = bg[base + k * 4 + wi : end : 32].reshape(c, c, c)
-                    acc = acc.at[sl].add(vals)
-                segs[(t, ch)].append(acc.reshape(-1))
-        pad = jnp.zeros((rows - dense_rows,), jnp.float32)
-        for key_, pieces in segs.items():
-            g_ch[key_] = jnp.concatenate(pieces + [pad])
+        grad_b = (
+            jnp.zeros((rows * 2,), jnp.float32)
+            .at[idx_all]
+            .add(jnp.concatenate([cb0.reshape(-1), cb1.reshape(-1)]))
+            .reshape(rows, 2)
+        )
     else:
-        for t in "ab":
-            for ch in range(2):
-                g_ch[(t, ch)] = jnp.zeros((rows,), jnp.float32)
-
-    if Lh:
-        rh = row_h.reshape(-1)
-        for (t, ch), corner in ((("a", 0), ca0), (("a", 1), ca1),
-                                (("b", 0), cb0), (("b", 1), cb1)):
-            g_ch[(t, ch)] = g_ch[(t, ch)].at[rh].add(
-                corner[Ld:].reshape(-1)
-            )
-
-    grad_a = jnp.stack([g_ch[("a", 0)], g_ch[("a", 1)]], axis=-1)
-    grad_b = jnp.stack([g_ch[("b", 0)], g_ch[("b", 1)]], axis=-1)
+        # packed: dense levels take ONE 32-wide row scatter for BOTH tables
+        # into a cell-grad table, folded back onto canonical rows by
+        # strided-slice adds; hashed levels scatter elements per channel.
+        cell, row_h = idx
+        dense_rows = int(offsets_np[Ld]) if Ld < L else rows
+        g_ch = {}
+        if Ld:
+            upd = jnp.stack(
+                [ca0[:Ld], ca1[:Ld], cb0[:Ld], cb1[:Ld]], axis=2
+            )                                            # [Ld,8,4,N]
+            upd = jnp.transpose(upd, (0, 3, 1, 2)).reshape(Ld * n, 32)
+            bg = jnp.zeros((total_cells, 32), jnp.float32).at[
+                cell.reshape(-1)
+            ].add(upd)
+            segs = {(t, ch): [] for t in "ab" for ch in range(2)}
+            for lvl in range(Ld):
+                r = int(res_np[lvl])
+                c = int(cell_res[lvl])
+                co = int(cell_off[lvl])
+                for wi, (t, ch) in enumerate(
+                    (("a", 0), ("a", 1), ("b", 0), ("b", 1))
+                ):
+                    acc = jnp.zeros((r, r, r), jnp.float32)
+                    for k in range(8):
+                        dx, dy, dz = k & 1, (k >> 1) & 1, (k >> 2) & 1
+                        sl = (slice(dz, dz + c), slice(dy, dy + c),
+                              slice(dx, dx + c))
+                        acc = acc.at[sl].add(
+                            bg[co : co + c ** 3, k * 4 + wi].reshape(c, c, c)
+                        )
+                    segs[(t, ch)].append(acc.reshape(-1))
+            pad = jnp.zeros((rows - dense_rows,), jnp.float32)
+            for key_, pieces in segs.items():
+                g_ch[key_] = jnp.concatenate(pieces + [pad])
+        else:
+            for t in "ab":
+                for ch in range(2):
+                    g_ch[(t, ch)] = jnp.zeros((rows,), jnp.float32)
+        if L - Ld:
+            rh = row_h.reshape(-1)
+            for (t, ch), corner in ((("a", 0), ca0), (("a", 1), ca1),
+                                    (("b", 0), cb0), (("b", 1), cb1)):
+                g_ch[(t, ch)] = g_ch[(t, ch)].at[rh].add(
+                    corner[Ld:].reshape(-1)
+                )
+        grad_a = _interleave_last([g_ch[("a", 0)], g_ch[("a", 1)]])
+        grad_b = _interleave_last([g_ch[("b", 0)], g_ch[("b", 1)]])
 
     # ---- ct_x01: first- and second-order weight derivatives against the
     # gathered corner values (reference kernel_grid_second_backward_grad).
     # Dead code under training (points are stop-gradient leaves) — XLA DCEs
     # it — but exact for test parity and any differentiable-camera use.
-    parts = []
-    if Ld:
-        gdr = gd.reshape(Ld, n, 8, 2)
-        a0, a1 = _unpack_pairs(jnp.transpose(gdr[..., 0], (0, 2, 1)))
-        b0, b1 = _unpack_pairs(jnp.transpose(gdr[..., 1], (0, 2, 1)))
-        parts.append((a0, a1, b0, b1))
-    if Lh:
-        a0, a1 = _unpack_pairs(gh[..., 0])
-        b0, b1 = _unpack_pairs(gh[..., 1])
-        parts.append((a0, a1, b0, b1))
-    va0, va1, vb0, vb1 = (
-        jnp.concatenate([p[i] for p in parts], axis=0) for i in range(4)
-    )
+    va0, va1, vb0, vb1 = vals
 
     v_dot_f = (
         va0 * cfa[:, 0][:, None] + va1 * cfa[:, 1][:, None]

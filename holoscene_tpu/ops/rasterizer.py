@@ -76,11 +76,13 @@ def _rasterize_core(xy, z, faces, height: int, width: int, grid_size: int,
                     cull_backfaces: bool):
     """xy [V,2], z [V], faces [F,3] -> (depth [H,W], face_id [H,W] int32
     (-1 = empty))."""
+    pad_face = faces[:, 0] < 0          # bucket padding (see rasterize_mesh)
+    faces = jnp.maximum(faces, 0)
     f_xy = xy[faces]  # [F, 3, 2]
     f_z = z[faces]  # [F, 3]
 
     # valid faces: all vertices in front of the camera
-    valid = jnp.all(f_z > 1e-6, axis=-1)
+    valid = jnp.all(f_z > 1e-6, axis=-1) & ~pad_face
     if cull_backfaces:
         e1 = f_xy[:, 1] - f_xy[:, 0]
         e2 = f_xy[:, 2] - f_xy[:, 0]
@@ -125,6 +127,7 @@ def _rasterize_core(xy, z, faces, height: int, width: int, grid_size: int,
 @partial(jax.jit, static_argnames=("height", "width"))
 def _pixel_barycentrics(xy, z, faces, face_id, height: int, width: int):
     """Exact screen-space barycentrics of every covered pixel center."""
+    faces = jnp.maximum(faces, 0)       # bucket padding rows never win
     fid = jnp.maximum(face_id.reshape(-1), 0)
     tri = faces[fid]  # [P, 3]
     p_xy = xy[tri]  # [P, 3, 2]
@@ -150,6 +153,94 @@ def _pixel_barycentrics(xy, z, faces, face_id, height: int, width: int):
     return bary.reshape(height, width, 3)
 
 
+def _screen_subdivide(vertices, faces, pose_c2w, intrinsics, img_res,
+                      grid_size, ortho_half_extent):
+    """Coverage guard: split faces until every screen-space edge fits the
+    fragment grid's coverage radius (~grid_size pixels), so large triangles
+    cannot leave holes (reference nvdiffrast has per-pixel coverage,
+    utils/general.py:370-430; our fragment scatter needs bounded screens).
+
+    Host-side numpy; returns (vertices, faces, parents) where parents maps
+    each (possibly split) face back to the caller's original face index.
+    """
+    vertices = np.asarray(vertices, dtype=np.float64)
+    faces = np.asarray(faces, dtype=np.int64)
+    parents = np.arange(len(faces), dtype=np.int64)
+    pose = np.asarray(pose_c2w, dtype=np.float64)
+    rot = pose[:3, :3].T
+    trans = -rot @ pose[:3, 3]
+    height, width = img_res
+    # fragments are spaced ~edge/grid_size apart; an edge under ~grid_size
+    # pixels guarantees >=1 fragment per pixel footprint
+    limit = float(grid_size)
+
+    # budget: perspective cameras can sit arbitrarily close to geometry, so
+    # exact coverage could demand unbounded splits; cap growth and accept
+    # residual under-coverage only on extreme near-camera slivers
+    max_faces = max(4 * len(faces), 200_000)
+    for _ in range(12):
+        cam = vertices @ rot.T + trans
+        z = cam[:, 2]
+        if ortho_half_extent is not None:
+            s = height / (2.0 * ortho_half_extent)
+            xy = cam[:, :2] * s
+        else:
+            intr = np.asarray(intrinsics, dtype=np.float64)
+            zs = np.where(np.abs(z) < 1e-6, 1e-6, z)
+            xy = np.stack(
+                [intr[0, 0] * cam[:, 0] / zs, intr[1, 1] * cam[:, 1] / zs],
+                axis=-1,
+            )
+        e = xy[faces]  # [F,3,2]
+        edge = np.maximum.reduce([
+            np.linalg.norm(e[:, 0] - e[:, 1], axis=1),
+            np.linalg.norm(e[:, 1] - e[:, 2], axis=1),
+            np.linalg.norm(e[:, 2] - e[:, 0], axis=1),
+        ])
+        # only faces in front of the camera can rasterize
+        front = np.all(z[faces] > 1e-6, axis=1) if ortho_half_extent is None \
+            else np.ones(len(faces), bool)
+        split = (edge > limit) & front
+        if not split.any() or len(faces) >= max_faces:
+            break
+        if split.sum() * 3 + len(faces) > max_faces:
+            # split only the worst offenders within budget
+            order = np.argsort(-edge)
+            allow = (max_faces - len(faces)) // 3
+            sel = order[: max(allow, 1)]
+            m = np.zeros(len(faces), bool)
+            m[sel] = True
+            split &= m
+            if not split.any():
+                break
+        keep = ~split
+        fs = faces[split]
+        ps = parents[split]
+        # vectorized midpoint split (4-way) with shared-edge dedup
+        edges = np.concatenate(
+            [fs[:, [0, 1]], fs[:, [1, 2]], fs[:, [2, 0]]], axis=0
+        )
+        edges = np.sort(edges, axis=1)
+        uniq, inv = np.unique(edges, axis=0, return_inverse=True)
+        mid_ids = len(vertices) + np.arange(len(uniq))
+        vertices = np.vstack(
+            [vertices, (vertices[uniq[:, 0]] + vertices[uniq[:, 1]]) / 2.0]
+        )
+        n_s = len(fs)
+        m01 = mid_ids[inv[:n_s]]
+        m12 = mid_ids[inv[n_s : 2 * n_s]]
+        m20 = mid_ids[inv[2 * n_s :]]
+        new_faces = np.concatenate([
+            np.stack([fs[:, 0], m01, m20], axis=1),
+            np.stack([m01, fs[:, 1], m12], axis=1),
+            np.stack([m20, m12, fs[:, 2]], axis=1),
+            np.stack([m01, m12, m20], axis=1),
+        ])
+        faces = np.vstack([faces[keep], new_faces])
+        parents = np.concatenate([parents[keep], np.tile(ps, 4)])
+    return vertices.astype(np.float32), faces, parents
+
+
 def rasterize_mesh(
     vertices,
     faces,
@@ -159,14 +250,57 @@ def rasterize_mesh(
     grid_size: int = 6,
     cull_backfaces: bool = False,
     ortho_half_extent: float | None = None,
+    auto_subdivide: bool = True,
 ):
     """Rasterize one mesh. Returns dict with:
        depth [H,W] (BIG_DEPTH where empty), face_id [H,W] int32 (-1 empty),
        mask [H,W] bool, bary [H,W,3], pix_verts [H,W,3,3] world-space
        triangle vertices (reference rasterize_mesh_return_pixel_vert_and_bary,
        utils/general.py:743).
+
+    auto_subdivide (default on) splits screen-oversized triangles before
+    scattering so coverage is hole-free for ANY input geometry; face_id is
+    remapped to the caller's original face indices.
     """
     height, width = img_res
+    parents = None
+    if auto_subdivide and any(
+        isinstance(a, jax.core.Tracer)
+        for a in (vertices, faces, pose_c2w, intrinsics)
+    ):
+        # inside jit the host-side guard cannot run; traced callers are the
+        # in-pipeline ones whose meshes are marching-cubes output (bounded
+        # triangle size by construction)
+        auto_subdivide = False
+    if auto_subdivide:
+        vertices, faces, parents = _screen_subdivide(
+            vertices, faces, pose_c2w, intrinsics, img_res, grid_size,
+            ortho_half_extent,
+        )
+        if np.array_equal(parents, np.arange(len(faces))):
+            parents = None
+    if not any(
+        isinstance(a, jax.core.Tracer) for a in (vertices, faces)
+    ):
+        # bucket V/F to powers of two so jit compiles are REUSED across the
+        # many distinct mesh sizes Stage 2 rasterizes (auto_subdivide makes
+        # counts view-dependent; without bucketing every call recompiled).
+        # Padding faces carry index -1 and are masked inside the core.
+        def _bucket(k):
+            return 1 << max(6, int(np.ceil(np.log2(max(int(k), 1)))))
+
+        v_np = np.asarray(vertices, dtype=np.float32)
+        f_np = np.asarray(faces, dtype=np.int64)
+        vp, fp = _bucket(len(v_np)), _bucket(len(f_np))
+        if vp > len(v_np):
+            v_np = np.concatenate(
+                [v_np, np.zeros((vp - len(v_np), 3), np.float32)]
+            )
+        if fp > len(f_np):
+            f_np = np.concatenate(
+                [f_np, np.full((fp - len(f_np), 3), -1, np.int64)]
+            )
+        vertices, faces = v_np, f_np
     vertices = jnp.asarray(vertices, dtype=jnp.float32)
     faces = jnp.asarray(faces, dtype=jnp.int32)
     pose_c2w = jnp.asarray(pose_c2w, dtype=jnp.float32)
@@ -191,6 +325,10 @@ def rasterize_mesh(
     # interpolated quantities
     depth_interp = jnp.einsum("hwk,hwk->hw", bary, z[tri])
     world_pos = jnp.einsum("hwk,hwkd->hwd", bary, pix_verts)
+    if parents is not None:
+        # report the caller's face indices, not the split ones
+        pmap = jnp.asarray(parents, dtype=jnp.int32)
+        face_id = jnp.where(mask, pmap[jnp.maximum(face_id, 0)], -1)
     return {
         "depth": jnp.where(mask, depth_interp, BIG_DEPTH),
         "face_id": face_id,
@@ -209,6 +347,7 @@ def rasterize_mesh_list(
     grid_size: int = 6,
     cull_backfaces: bool = False,
     ortho_half_extent: float | None = None,
+    auto_subdivide: bool = True,
 ):
     """Rasterize several meshes into one buffer with per-pixel instance ids
     (reference rasterize_mesh_list(_front_face), utils/general.py:542-567).
@@ -229,7 +368,7 @@ def rasterize_mesh_list(
 
     out = rasterize_mesh(
         vertices, faces, pose_c2w, intrinsics, img_res, grid_size,
-        cull_backfaces, ortho_half_extent,
+        cull_backfaces, ortho_half_extent, auto_subdivide,
     )
     fid = out["face_id"]
     out["instance_id"] = jnp.where(fid >= 0, face_owner[jnp.maximum(fid, 0)], -1)

@@ -32,6 +32,76 @@ from holoscene_tpu.ops.gaussians import covariance_3d, eval_sh, project_gaussian
 
 @partial(
     jax.jit,
+    static_argnames=("width", "height", "tile_size", "ortho"),
+)
+def tile_overlap_counts(
+    means, quats, scales, viewmat, intrinsics,
+    width: int, height: int, tile_size: int = 16, ortho: bool = False,
+):
+    """Per-tile overlapping-gaussian counts [n_tiles] int32 for one camera.
+    Host-side probe used to pick max_per_tile from the scene's actual tile
+    occupancy instead of a worst-case constant (compositing cost is linear
+    in K — PERF.md)."""
+    tiles_x = -(-width // tile_size)
+    tiles_y = -(-height // tile_size)
+    n_tiles = tiles_x * tiles_y
+    tile_chunk = min(64, n_tiles)
+
+    cov3d = covariance_3d(quats, scales)
+    xy, depth, conic, radius, valid = project_gaussians(
+        means, cov3d, viewmat, intrinsics, width, height, ortho=ortho
+    )
+    t_idx = jnp.arange(n_tiles)
+    tx0 = (t_idx % tiles_x) * tile_size
+    ty0 = (t_idx // tiles_x) * tile_size
+    n_chunks = -(-n_tiles // tile_chunk)
+    pad = n_chunks * tile_chunk - n_tiles
+    if pad:
+        tx0 = jnp.concatenate([tx0, jnp.zeros(pad, tx0.dtype)])
+        ty0 = jnp.concatenate([ty0, jnp.zeros(pad, ty0.dtype)])
+
+    def count_chunk(carry, chunk_idx):
+        x0 = jax.lax.dynamic_slice_in_dim(tx0, chunk_idx * tile_chunk,
+                                          tile_chunk)
+        y0 = jax.lax.dynamic_slice_in_dim(ty0, chunk_idx * tile_chunk,
+                                          tile_chunk)
+        gx = xy[None, :, 0]
+        gy = xy[None, :, 1]
+        r = jnp.where(valid, radius, -1.0)[None, :]
+        overlap = (
+            (gx + r >= x0[:, None])
+            & (gx - r <= x0[:, None] + tile_size)
+            & (gy + r >= y0[:, None])
+            & (gy - r <= y0[:, None] + tile_size)
+        )
+        return carry, overlap.sum(axis=1).astype(jnp.int32)
+
+    _, counts = jax.lax.scan(count_chunk, None, jnp.arange(n_chunks))
+    return counts.reshape(-1)[:n_tiles]
+
+
+def auto_max_per_tile(
+    counts, percentile: float = 99.0, lo: int = 64, hi: int = 1024
+) -> int:
+    """Pick the compositing depth K from tile-overlap statistics: the p99
+    tile occupancy rounded up to a power of two, clamped to [lo, hi].
+    Tiles deeper than K still terminate correctly (transmittance saturates);
+    K bounds the per-step cost, which is linear in it (K=256 measured 2x
+    faster than 512 at the flagship stage-4 shapes)."""
+    import numpy as np
+
+    c = np.asarray(counts).reshape(-1)
+    if c.size == 0:
+        return lo
+    p = float(np.percentile(c, percentile))
+    k = lo
+    while k < p and k < hi:
+        k *= 2
+    return int(min(max(k, lo), hi))
+
+
+@partial(
+    jax.jit,
     static_argnames=(
         "width", "height", "tile_size", "max_per_tile", "sh_degree",
         "use_pallas", "ortho",

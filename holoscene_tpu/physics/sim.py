@@ -151,27 +151,140 @@ class QuasiStaticProvider:
         return results
 
 
-class IsaacSimProvider:
-    """Delegates to Isaac Sim when available (reference utils/sim.py)."""
+class MuJoCoProvider:
+    """Dynamic rigid-body validation through MuJoCo (the in-image physics
+    engine; reference counterpart: Isaac Sim/PhysX `sim_validation`,
+    utils/sim.py:606-636 — all meshes static except the last, ~1 s settle,
+    max orientation drift in degrees + translation).
 
-    def __init__(self):
-        import isaacsim  # noqa: F401  (raises if unavailable)
-        raise NotImplementedError(
-            "Isaac Sim detected but the bridge is not wired in this build; "
-            "use QuasiStaticProvider"
+    Differences from PhysX worth knowing:
+      * collision geometry is the convex hull per mesh (MuJoCo convexifies
+        mesh geoms). A static mesh whose hull would SWALLOW the candidate
+        (the room/background) is replaced by a floor plane at the support
+        height under the candidate's footprint;
+      * unlike the quasi-static oracle this catches dynamic failures —
+        rolling, sliding, and multi-step tipping.
+    """
+
+    def __init__(self, sim_seconds: float = 1.0, timestep: float = 0.002):
+        import mujoco  # noqa: F401  (raises if unavailable)
+
+        self.sim_seconds = sim_seconds
+        self.timestep = timestep
+        self._fallback = QuasiStaticProvider()
+
+    def sim_validation(self, mesh_list: list[Mesh]) -> StabilityResult:
+        try:
+            return self._simulate(mesh_list)
+        except Exception:
+            # resilience: never block the Stage-2 ladder on solver issues
+            return self._fallback.sim_validation(mesh_list)
+
+    def _simulate(self, mesh_list: list[Mesh]) -> StabilityResult:
+        import mujoco
+
+        candidate = mesh_list[-1]
+        supports = [m for m in mesh_list[:-1] if m is not None]
+        if candidate is None or len(candidate.faces) == 0:
+            return StabilityResult(0.0, np.zeros(3), True, None)
+
+        cand_b = candidate.bounds
+        spec = mujoco.MjSpec()
+        spec.option.timestep = self.timestep
+        gravity = np.zeros(3)
+        gravity[GRAVITY_AXIS] = 9.81                 # down = +y
+        spec.option.gravity = gravity
+
+        floor_planes = 0
+        for i, sup in enumerate(supports):
+            sb = sup.bounds
+            encloses = np.all(sb[0] <= cand_b[0] + 1e-6) and np.all(
+                sb[1] >= cand_b[1] - 1e-6
+            )
+            if encloses:
+                # room-like support: its convex hull would swallow the
+                # candidate — use the floor height under the footprint
+                v = sup.vertices
+                in_xz = np.ones(len(v), bool)
+                for ax in range(3):
+                    if ax == GRAVITY_AXIS:
+                        continue
+                    in_xz &= (v[:, ax] >= cand_b[0][ax] - 0.1) & (
+                        v[:, ax] <= cand_b[1][ax] + 0.1
+                    )
+                vv = v[in_xz] if in_xz.any() else v
+                floor_h = float(vv[:, GRAVITY_AXIS].max())
+                zaxis = np.zeros(3)
+                zaxis[GRAVITY_AXIS] = -1.0
+                pos = np.zeros(3)
+                pos[GRAVITY_AXIS] = floor_h
+                spec.worldbody.add_geom(
+                    type=mujoco.mjtGeom.mjGEOM_PLANE, size=[10, 10, 0.1],
+                    pos=pos, zaxis=zaxis,
+                )
+                floor_planes += 1
+            else:
+                m = spec.add_mesh(name=f"sup{i}")
+                m.uservert = np.asarray(sup.vertices, np.float64).ravel()
+                m.userface = np.asarray(sup.faces, np.int32).ravel()
+                spec.worldbody.add_geom(
+                    type=mujoco.mjtGeom.mjGEOM_MESH, meshname=f"sup{i}",
+                )
+        if not supports:
+            return StabilityResult(90.0, np.zeros(3), False, None)
+
+        c = np.asarray(candidate.vertices, np.float64)
+        centroid = c.mean(axis=0)
+        m = spec.add_mesh(name="cand")
+        m.uservert = (c - centroid).ravel()
+        m.userface = np.asarray(candidate.faces, np.int32).ravel()
+        body = spec.worldbody.add_body(name="cand", pos=centroid)
+        body.add_geom(type=mujoco.mjtGeom.mjGEOM_MESH, meshname="cand")
+        body.add_freejoint()
+
+        model = spec.compile()
+        data = mujoco.MjData(model)
+        n_steps = int(self.sim_seconds / self.timestep)
+        mujoco.mj_step(model, data, nstep=n_steps)
+
+        quat = np.asarray(data.qpos[3:7])
+        quat = quat / max(np.linalg.norm(quat), 1e-12)
+        drift_deg = float(
+            2.0 * np.degrees(np.arccos(np.clip(abs(quat[0]), -1.0, 1.0)))
         )
+        translation = np.asarray(data.qpos[:3]) - centroid
+        if not np.isfinite(drift_deg) or not np.all(np.isfinite(translation)):
+            return self._fallback.sim_validation(mesh_list)
+        return StabilityResult(
+            drift_deg, translation.astype(np.float64), drift_deg < 8.0, None
+        )
+
+    def sim_scene(self, mesh_list: list[Mesh]) -> list[StabilityResult]:
+        results = []
+        for i in range(1, len(mesh_list)):
+            others = [m for j, m in enumerate(mesh_list) if j != i]
+            results.append(self.sim_validation([*others, mesh_list[i]]))
+        return results
 
 
 _PROVIDER = None
 
 
 def get_provider():
+    """MuJoCo dynamics when available; quasi-static oracle otherwise.
+    Override with HOLOSCENE_PHYSICS=quasistatic|mujoco."""
     global _PROVIDER
     if _PROVIDER is None:
-        try:
-            _PROVIDER = IsaacSimProvider()
-        except Exception:
+        import os
+
+        choice = os.environ.get("HOLOSCENE_PHYSICS", "auto")
+        if choice == "quasistatic":
             _PROVIDER = QuasiStaticProvider()
+        else:
+            try:
+                _PROVIDER = MuJoCoProvider()
+            except Exception:
+                _PROVIDER = QuasiStaticProvider()
     return _PROVIDER
 
 

@@ -229,6 +229,22 @@ class NormalEstimator(abc.ABC):
         """[H,W,3] camera-frame unit normals in [-1,1]."""
 
 
+class TorchScriptNormalEstimator(NormalEstimator):
+    """Real monocular normal net via a TorchScript checkpoint (export
+    Omnidata DPT once on a torch box; reference midas/omnidata.py:7-21).
+    Contract: model(image [1,3,H,W] in [0,1]) -> [1,3,H,W] in [-1,1]."""
+
+    def __init__(self, checkpoint: str, device: str = "cpu"):
+        from holoscene_tpu.stage0.priors import TorchScriptPriorProvider
+
+        self._p = TorchScriptPriorProvider(
+            normal_checkpoint=checkpoint, device=device
+        )
+
+    def infer_normal(self, image, depth=None):
+        return self._p.infer_normal(np.asarray(image, np.float32))
+
+
 class DepthGradientNormalEstimator(NormalEstimator):
     """Normals from the depth map's screen-space gradients (the geometric
     core of what the reference re-estimates with Omnidata on inpainted

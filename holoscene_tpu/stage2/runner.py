@@ -98,10 +98,19 @@ class Stage2Runner:
         self.key = jax.random.PRNGKey(seed)
         self.failed_object_list: list[int] = []
 
-        from holoscene_tpu.models.fields import implicit_sdf_raw
+        from holoscene_tpu.models.fields import (
+            implicit_sdf_raw,
+            implicit_shift_sdf_raw,
+        )
 
         self._sdf_raw = jax.jit(
             lambda p, pts: implicit_sdf_raw(p, self.cfg.implicit, pts)
+        )
+        # disentangled selector for mesh extraction (reference
+        # get_shift_sdf_raw via utils/plots.py:154,:240): other objects'
+        # interiors cannot leak into an object's extracted surface
+        self._shift_sdf_raw = jax.jit(
+            lambda p, pts: implicit_shift_sdf_raw(p, self.cfg.implicit, pts)
         )
         self.providers = providers or default_providers(
             render_fn=self._render_view_pack_factory()
@@ -169,7 +178,7 @@ class Stage2Runner:
     def extract_meshes(self) -> list[Mesh | None]:
         params = self.params["implicit"]
         return extract_object_meshes(
-            lambda pts: self._sdf_raw(params, pts),
+            lambda pts: self._shift_sdf_raw(params, pts),
             self.cfg.implicit.d_out,
             resolution=self.mesh_resolution,
         )
@@ -184,7 +193,7 @@ class Stage2Runner:
         candidates = []
         for level in self.candidate_levels:
             v, f = extract_mesh(
-                lambda pts: self._sdf_raw(params, pts)[:, obj_i],
+                lambda pts: self._shift_sdf_raw(params, pts)[:, obj_i],
                 resolution=self.mesh_resolution,
                 level=level,
             )
@@ -532,7 +541,26 @@ class Stage2Runner:
             best_views = select_best_views(
                 mesh, others, n_views=4, img_res=self.view_render_res
             )
-            coverage = max((w for _, w in best_views), default=0.0)
+            # coverage = training-view visibility integrated over the full
+            # (azimuth, phi-limited) direction grid (reference weight-map
+            # integration, holoscene_train_post.py:2023-2413) — not a max
+            # over candidate views
+            from holoscene_tpu.stage2.views import (
+                integrated_view_coverage,
+                training_view_vertex_visibility,
+            )
+
+            n_frames = min(8, self.dataset.n_images)
+            frame_ids = np.linspace(
+                0, self.dataset.n_images - 1, n_frames
+            ).astype(int)
+            vis = training_view_vertex_visibility(
+                mesh, others,
+                [self.dataset.pose_all[f] for f in frame_ids],
+                self.dataset.intrinsics[:3, :3],
+                tuple(self.dataset.img_res),
+            )
+            coverage, _ = integrated_view_coverage(mesh, vis)
             if not self.quiet:
                 print(f"[obj {obj_i}] view coverage {coverage:.2f}")
 

@@ -172,6 +172,73 @@ def select_best_views(
     return [(views[i], float(weights[i])) for i in chosen]
 
 
+def training_view_vertex_visibility(
+    obj_mesh: Mesh,
+    occluder_meshes: list[Mesh],
+    poses: list[np.ndarray],
+    intrinsics: np.ndarray,
+    img_res: tuple[int, int],
+) -> np.ndarray:
+    """Per-vertex visibility fraction across the TRAINING cameras: a vertex
+    counts as seen in a frame when one of its faces wins pixels in the joint
+    (object + occluders) render. The per-vertex weights the reference
+    accumulates in get_view_weights_of_subset_meshes_with_training_views_*
+    (holoscene_train_post.py:2023-2413)."""
+    pairs = [(obj_mesh.vertices, obj_mesh.faces)] + [
+        (m.vertices, m.faces) for m in occluder_meshes if m is not None
+    ]
+    vis = np.zeros(len(obj_mesh.vertices))
+    for pose in poses:
+        out = rasterize_mesh_list(pairs, pose, intrinsics, img_res)
+        fid = np.asarray(out["face_id"])
+        inst = np.asarray(out["instance_id"])
+        win = np.unique(fid[(inst == 0) & (fid >= 0)])
+        win = win[win < len(obj_mesh.faces)]
+        if len(win):
+            vis[np.unique(obj_mesh.faces[win])] += 1.0
+    return vis / max(len(poses), 1)
+
+
+def integrated_view_coverage(
+    obj_mesh: Mesh,
+    vertex_vis: np.ndarray,
+    n_azimuth: int = 16,
+    n_elevation: int = 4,
+    elevation_range=(-0.2, 1.1),
+    facing_thresh: float = 0.3,
+    seen_thresh: float = 0.05,
+) -> tuple[float, np.ndarray]:
+    """Integrate per-vertex training visibility over the full (azimuth,
+    phi-limited elevation) direction grid (the reference integrates weight
+    maps rather than taking a max — holoscene_train_post.py:2023 ff.).
+
+    Returns (coverage scalar = mean over grid directions of the seen
+    fraction among vertices facing that direction, coverage_map [n_dirs]).
+    """
+    # per-vertex area-weighted normals
+    fn_ = obj_mesh.vertices[obj_mesh.faces]
+    face_n = np.cross(fn_[:, 1] - fn_[:, 0], fn_[:, 2] - fn_[:, 0])
+    vert_n = np.zeros_like(obj_mesh.vertices)
+    for k in range(3):
+        np.add.at(vert_n, obj_mesh.faces[:, k], face_n)
+    vert_n /= np.maximum(np.linalg.norm(vert_n, axis=1, keepdims=True), 1e-12)
+
+    seen = vertex_vis > seen_thresh
+    cov = []
+    for az, el in view_grid(n_azimuth, n_elevation, elevation_range):
+        # camera direction toward the object center from (az, el)
+        d = -np.array(
+            [np.cos(el) * np.cos(az), -np.sin(el), np.cos(el) * np.sin(az)]
+        )
+        facing = (vert_n @ -d) > facing_thresh
+        if facing.sum() == 0:
+            cov.append(1.0)  # nothing faces this direction: vacuously fine
+            continue
+        cov.append(float(seen[facing].mean()))
+    cov = np.asarray(cov)
+    return float(cov.mean()), cov
+
+
 def find_longest_continuous_azimuth_gap(azimuths: np.ndarray) -> float:
     """Center of the largest azimuthal gap in observed directions — where
     novel views are most needed (find_longest_continuous_azimuths,

@@ -35,6 +35,10 @@ def main(argv=None):
         "--use_pallas", default=None, action="store_true",
         help="force the fused Pallas tile kernels (default: auto on TPU)",
     )
+    parser.add_argument(
+        "--max_per_tile", type=int, default=0,
+        help="compositing depth K per tile; 0 = auto from p99 tile overlap",
+    )
     args = parser.parse_args(argv)
 
     conf = ConfigFactory.parse_file(args.conf)
@@ -69,7 +73,8 @@ def main(argv=None):
 
     runner = Stage4Runner(
         meshes, dataset,
-        cfg=GoMConfig(use_pallas=args.use_pallas),
+        cfg=GoMConfig(use_pallas=args.use_pallas,
+                      max_per_tile=args.max_per_tile),
         area_to_subdivide=args.area_to_subdivide,
         max_total_iters=args.max_niters,
         out_dir=plots_dir,

@@ -215,14 +215,23 @@ class Stage3Runner:
     # ------------------------------------------------------------------
 
     def export_mesh_texture(self, obj_i: int, texture_res: int | None = None,
-                            chunk: int = 65536):
-        """Bake the color field into a per-triangle UV atlas and write
-        surface_{obj_i}.obj/.mtl/.png (reference :717-796)."""
+                            chunk: int = 65536, atlas: str = "charts"):
+        """Bake the color field into a UV atlas and write
+        surface_{obj_i}.obj/.mtl/.png (reference :717-796).
+
+        atlas="charts" (default): normal-cone charts packed into the atlas
+        (utils/uv_atlas.py — the xatlas replacement; orders of magnitude
+        fewer charts than faces, seam-safe bilinear sampling inside charts).
+        atlas="triangles": round-1 per-triangle fallback.
+        """
         assert obj_i in self.color_params, "train the object first"
         mesh = self.meshes[obj_i]
         tex_res = texture_res or self.texture_res
         params = self.color_params[obj_i]
         cfg = self.cfg
+
+        if atlas == "charts":
+            return self._export_chart_atlas(obj_i, tex_res, chunk)
 
         faces = mesh.faces
         verts = mesh.vertices
@@ -337,6 +346,86 @@ class Stage3Runner:
         # write artifacts
         from PIL import Image
 
+        png_name = f"surface_{obj_i}.png"
+        obj_path = os.path.join(self.out_dir, f"surface_{obj_i}.obj")
+        Image.fromarray(
+            np.clip(tex * 255, 0, 255).astype(np.uint8)
+        ).save(os.path.join(self.out_dir, png_name))
+        out_mesh = Mesh(tri_verts, new_faces, uvs=uvs)
+        write_obj(obj_path, out_mesh, mtl_name=f"surface_{obj_i}.mtl",
+                  texture_png=png_name)
+        return obj_path
+
+    def _export_chart_atlas(self, obj_i: int, tex_res: int, chunk: int):
+        """Chart-packed bake: build the atlas, rasterize the UV geometry
+        with the fragment-scatter rasterizer (an orthographic camera over
+        the atlas plane — the auto-subdivide guard handles oversized UV
+        triangles), query the color field at per-texel world positions, and
+        KNN-fill the gutters."""
+        from holoscene_tpu.utils.uv_atlas import build_chart_atlas
+
+        mesh = self.meshes[obj_i]
+        params = self.color_params[obj_i]
+        cfg = self.cfg
+        verts = np.asarray(mesh.vertices, dtype=np.float64)
+        faces = np.asarray(mesh.faces, dtype=np.int64)
+
+        tri_verts, new_faces, uv_px, n_charts = build_chart_atlas(
+            verts, faces, tex_res
+        )
+        if not self.quiet:
+            print(f"[stage3 obj {obj_i}] atlas: {n_charts} charts for "
+                  f"{len(faces)} faces @ {tex_res}^2")
+
+        # rasterize the UV layout: fake ortho camera over the atlas plane
+        uvV = np.concatenate(
+            [uv_px - tex_res / 2.0, np.ones((len(uv_px), 1))], axis=-1
+        ).astype(np.float32)
+        out = rasterize_mesh(
+            uvV, new_faces, np.eye(4, dtype=np.float32), None,
+            (tex_res, tex_res), ortho_half_extent=tex_res / 2.0,
+        )
+        fid = np.asarray(out["face_id"])
+        bary = np.asarray(out["bary"])
+        covered = fid >= 0
+
+        tri_world = verts[faces]                      # [F,3,3]
+        wp = np.einsum(
+            "pk,pkd->pd",
+            bary[covered],
+            tri_world[fid[covered]],
+        ).astype(np.float32)
+
+        tex = np.zeros((tex_res, tex_res, 3), dtype=np.float32)
+        iy, ix = np.nonzero(covered)
+        rgb = np.empty((len(wp), 3), dtype=np.float32)
+        for i in range(0, len(wp), chunk):
+            pc = wp[i : i + chunk]
+            npad = (-len(pc)) % 1024
+            pc_p = np.concatenate([pc, np.zeros((npad, 3), np.float32)]) \
+                if npad else pc
+            o = np.asarray(
+                color_field_forward(params, cfg, jnp.asarray(pc_p))
+            )
+            rgb[i : i + chunk] = o[: len(pc)]
+        tex[iy, ix] = rgb
+
+        if covered.any() and not covered.all():
+            from scipy.spatial import cKDTree
+
+            yx_cov = np.argwhere(covered)
+            yx_miss = np.argwhere(~covered)
+            tree = cKDTree(yx_cov)
+            _, nn = tree.query(yx_miss, k=1)
+            tex[yx_miss[:, 0], yx_miss[:, 1]] = tex[
+                yx_cov[nn][:, 0], yx_cov[nn][:, 1]
+            ]
+
+        from PIL import Image
+
+        uvs = uv_px / tex_res
+        uvs = uvs.copy()
+        uvs[:, 1] = 1.0 - uvs[:, 1]                  # OBJ vt convention
         png_name = f"surface_{obj_i}.png"
         obj_path = os.path.join(self.out_dir, f"surface_{obj_i}.obj")
         Image.fromarray(

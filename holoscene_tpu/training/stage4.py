@@ -93,6 +93,36 @@ class Stage4Runner:
         self.instance_ranges = self.static["instance_ranges"]
         self.params = init_gom_params(self.static, cfg)
 
+        if cfg.max_per_tile <= 0:
+            # auto-K: p99 tile overlap of the seeded gaussians from the
+            # first training camera (compositing cost is linear in K)
+            import dataclasses as _dc
+
+            from holoscene_tpu.models.gom import gom_means as _means
+            from holoscene_tpu.models.gom import gom_quats as _quats
+            from holoscene_tpu.ops.splat import (
+                auto_max_per_tile,
+                tile_overlap_counts,
+            )
+
+            pose = np.asarray(dataset.pose_all[0])
+            intr = np.asarray(dataset.intrinsics[:3, :3])
+            h, w = dataset.img_res
+            probe_cfg = _dc.replace(cfg, max_per_tile=512)
+            counts = tile_overlap_counts(
+                _means(self.params, self.static, probe_cfg),
+                _quats(self.params, self.static, probe_cfg),
+                gom_scales(self.params, self.static, probe_cfg),
+                jnp.linalg.inv(jnp.asarray(pose)), jnp.asarray(intr),
+                int(w), int(h), tile_size=cfg.tile_size,
+            )
+            k = auto_max_per_tile(counts)
+            cfg = _dc.replace(cfg, max_per_tile=k)
+            self.cfg = cfg
+            if not quiet:
+                print(f"[stage4] auto max_per_tile={k} "
+                      f"(p99 tile overlap of seeded gaussians)")
+
         n_iters = max_total_iters or 200 * len(meshes)
         self.max_total_iters = n_iters
         self.optimizer = make_gs_optimizer(n_iters)
@@ -306,4 +336,10 @@ class Stage4Runner:
         g_all = compose_for_export(self.params, self.static, self.cfg)
         p_all = os.path.join(self.out_dir, "gauss_scene.ply")
         write_gaussian_ply(p_all, g_all)
-        return paths + [p_all]
+        # Omniverse/Isaac-consumable USDZ (3dgrut NuRec schema; reference
+        # export/export_gs_usd.py -> ply_to_usd.py)
+        from holoscene_tpu.export.gs_usdz import export_from_gaussian_dict
+
+        usdz = os.path.join(self.out_dir, "gauss_scene.usdz")
+        export_from_gaussian_dict(usdz, g_all, sh_degree=self.cfg.sh_degree)
+        return paths + [p_all, usdz]

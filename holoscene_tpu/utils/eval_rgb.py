@@ -99,9 +99,29 @@ def lpips_fn():
     return _LPIPS_CACHE["fn"]
 
 
+_LPIPS_WARNED = [False]
+
+
 def eval_rgb(pred: np.ndarray, gt: np.ndarray) -> dict:
-    """Full metric dict for one image pair (reference eval_rgb.py:39-46)."""
+    """Full metric dict for one image pair (reference eval_rgb.py:39-46).
+
+    LPIPS needs the `lpips` package + its AlexNet weights; without them the
+    metric is reported as NaN and a one-time warning is printed so NaNs in
+    eval tables are never silent (a substitute feature net would not be
+    LPIPS — better to be explicit)."""
     out = {"psnr": psnr(pred, gt), "ssim": ssim(pred, gt)}
     lp = lpips_fn()
-    out["lpips"] = lp(pred, gt) if lp is not None else float("nan")
+    if lp is None:
+        if not _LPIPS_WARNED[0]:
+            _LPIPS_WARNED[0] = True
+            import warnings
+
+            warnings.warn(
+                "LPIPS unavailable (lpips package or its weights missing): "
+                "reporting lpips=NaN in eval metrics",
+                stacklevel=2,
+            )
+        out["lpips"] = float("nan")
+    else:
+        out["lpips"] = lp(pred, gt)
     return out

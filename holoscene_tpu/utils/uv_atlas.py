@@ -1,0 +1,175 @@
+"""Chart-packed UV atlas (xatlas replacement for Stage-3 texture baking).
+
+Reference counterpart: xatlas parameterization + packing inside
+export_mesh_texture (training/holoscene_train_texture.py:717-796). The
+reference feeds xatlas the object mesh and gets chart UVs; this module
+builds charts natively:
+
+  1. CHART GROWTH — BFS over face adjacency, admitting faces whose normal
+     stays inside a cone around the seed normal (cos > `cos_thresh`, default
+     ~36 deg) up to `max_chart_faces`. Tight cones keep the planar
+     projection injective for locally-smooth (marching-cubes) geometry.
+  2. PARAMETERIZATION — orthographic projection of each chart onto its
+     seed-normal plane (orthonormal basis), vertices split per chart.
+  3. PACKING — charts become axis-aligned rects (+gutter) at a single
+     global texel density, shelf-packed tallest-first; density backs off
+     geometrically until everything fits the atlas.
+
+Compared to round 1's per-triangle atlas (every face an island), charts cut
+the chart count by orders of magnitude, eliminate per-face gutter waste,
+and make bilinear/mip sampling seam-safe inside each chart.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+import numpy as np
+
+
+def face_normals(verts: np.ndarray, faces: np.ndarray) -> np.ndarray:
+    e1 = verts[faces[:, 1]] - verts[faces[:, 0]]
+    e2 = verts[faces[:, 2]] - verts[faces[:, 0]]
+    n = np.cross(e1, e2)
+    return n / np.maximum(np.linalg.norm(n, axis=1, keepdims=True), 1e-12)
+
+
+def face_adjacency(faces: np.ndarray) -> list[list[int]]:
+    """Adjacent-over-an-edge face lists."""
+    edge_faces: dict[tuple[int, int], list[int]] = defaultdict(list)
+    for fi, f in enumerate(faces):
+        for a, b in ((f[0], f[1]), (f[1], f[2]), (f[2], f[0])):
+            edge_faces[(min(a, b), max(a, b))].append(fi)
+    adj: list[list[int]] = [[] for _ in range(len(faces))]
+    for fl in edge_faces.values():
+        for i in fl:
+            for j in fl:
+                if i != j:
+                    adj[i].append(j)
+    return adj
+
+
+def grow_charts(
+    verts: np.ndarray,
+    faces: np.ndarray,
+    cos_thresh: float = 0.8,
+    max_chart_faces: int = 4096,
+) -> list[np.ndarray]:
+    """Partition faces into normal-cone charts. Returns a list of
+    face-index arrays."""
+    normals = face_normals(verts, faces)
+    adj = face_adjacency(faces)
+    assigned = np.full(len(faces), -1, dtype=np.int64)
+    charts: list[list[int]] = []
+    for seed in range(len(faces)):
+        if assigned[seed] >= 0:
+            continue
+        ci = len(charts)
+        seed_n = normals[seed]
+        chart = [seed]
+        assigned[seed] = ci
+        frontier = [seed]
+        while frontier and len(chart) < max_chart_faces:
+            nxt = []
+            for fi in frontier:
+                for nb in adj[fi]:
+                    if assigned[nb] >= 0:
+                        continue
+                    if normals[nb] @ seed_n > cos_thresh:
+                        assigned[nb] = ci
+                        chart.append(nb)
+                        nxt.append(nb)
+                        if len(chart) >= max_chart_faces:
+                            break
+                if len(chart) >= max_chart_faces:
+                    break
+            frontier = nxt
+        charts.append(chart)
+    return [np.asarray(c, dtype=np.int64) for c in charts]
+
+
+def _plane_basis(n: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    a = np.array([1.0, 0.0, 0.0])
+    if abs(n @ a) > 0.9:
+        a = np.array([0.0, 1.0, 0.0])
+    u = np.cross(n, a)
+    u /= max(np.linalg.norm(u), 1e-12)
+    v = np.cross(n, u)
+    return u, v
+
+
+def build_chart_atlas(
+    verts: np.ndarray,
+    faces: np.ndarray,
+    tex_res: int,
+    cos_thresh: float = 0.8,
+    max_chart_faces: int = 4096,
+    gutter_px: float = 2.0,
+    fill_margin: float = 1.35,
+):
+    """Returns (tri_verts [F*3,3], new_faces [F,3], uv_px [F*3,2] atlas
+    pixel coords, n_charts). Vertices are split per chart occurrence of a
+    face (per-face split kept for simplicity of downstream OBJ writing —
+    UVs are chart-continuous, so bilinear sampling has no intra-chart
+    seams)."""
+    verts = np.asarray(verts, dtype=np.float64)
+    faces = np.asarray(faces, dtype=np.int64)
+    charts = grow_charts(verts, faces, cos_thresh, max_chart_faces)
+    normals = face_normals(verts, faces)
+
+    # project each chart to 2D (world units)
+    chart_uv: list[np.ndarray] = []   # per chart: [Fc, 3, 2]
+    sizes = []
+    for c in charts:
+        n = normals[c[0]]
+        u, v = _plane_basis(n)
+        p = verts[faces[c]]           # [Fc, 3, 3]
+        uv = np.stack([p @ u, p @ v], axis=-1)
+        lo = uv.reshape(-1, 2).min(axis=0)
+        uv = uv - lo
+        chart_uv.append(uv)
+        sizes.append(uv.reshape(-1, 2).max(axis=0))
+    sizes = np.asarray(sizes)         # [C, 2] world units
+
+    # global density: fit total area with margin, then shelf-pack with
+    # geometric back-off
+    area = float((sizes[:, 0] * sizes[:, 1]).sum()) + 1e-12
+    usable = tex_res - 2 * gutter_px
+    density = usable / np.sqrt(area * fill_margin)
+    for _attempt in range(40):
+        wh = sizes * density + 2 * gutter_px
+        order = np.argsort(-wh[:, 1])
+        origins = np.zeros((len(charts), 2))
+        x = y = shelf_h = 0.0
+        ok = True
+        for ci in order:
+            w, h = wh[ci]
+            if w > tex_res or h > tex_res:
+                ok = False
+                break
+            if x + w > tex_res:
+                x = 0.0
+                y += shelf_h
+                shelf_h = 0.0
+            if y + h > tex_res:
+                ok = False
+                break
+            origins[ci] = (x, y)
+            x += w
+            shelf_h = max(shelf_h, h)
+        if ok:
+            break
+        density *= 0.9
+    else:
+        raise RuntimeError("atlas packing failed to converge")
+
+    f_total = len(faces)
+    uv_px = np.zeros((f_total, 3, 2))
+    for ci, c in enumerate(charts):
+        uv_px[c] = (
+            chart_uv[ci] * density + origins[ci][None, None] + gutter_px
+        )
+
+    tri_verts = verts[faces].reshape(-1, 3).astype(np.float32)
+    new_faces = np.arange(f_total * 3).reshape(-1, 3)
+    return tri_verts, new_faces, uv_px.reshape(-1, 2), len(charts)

@@ -7,16 +7,17 @@ from holoscene_tpu.config import ConfigFactory
 from holoscene_tpu.datasets.synthetic import generate_scene
 from holoscene_tpu.training.stage1 import Stage1Runner, make_train_step, make_eval_render
 
-work = "/tmp/tpu_flagship"
+work = os.environ.get("FLAGSHIP_WORK", "/tmp/tpu_flagship")
 os.makedirs(work, exist_ok=True)
 os.chdir(work)
+RES = int(os.environ.get("FLAGSHIP_RES", "192"))
 if not os.path.exists("data/scene_0/transforms.json"):
-    generate_scene("data/scene_0", n_images=20, img_res=(192, 192))
+    generate_scene("data/scene_0", n_images=20, img_res=(RES, RES))
 
 conf = ConfigFactory.parse_file("/root/repo/confs/replica_room0.conf")
 conf.put("dataset.data_root_dir", "data")
 conf.put("dataset.data_dir", "scene_0")
-conf.put("dataset.img_res", [192, 192])
+conf.put("dataset.img_res", [RES, RES])
 conf.put("dataset.fix_length", 0)
 conf.put("train.expname", "flagship_synth")
 conf.put("train.checkpoint_freq", int(os.environ.get("FLAGSHIP_CKPT_FREQ", 400)))
@@ -27,10 +28,12 @@ import dataclasses
 runner.model_cfg = dataclasses.replace(
     runner.model_cfg, sampler_grid_levels=8, use_bg_reg=False,
     render_top_m=int(os.environ.get("FLAGSHIP_TOP_M", "64")),
+    forward_grad_mode=os.environ.get("FLAGSHIP_GRAD_MODE", "vjp"),
     implicit=dataclasses.replace(
         runner.model_cfg.implicit,
         fused_dual_grid=os.environ.get("FLAGSHIP_DUAL", "1") == "1",
         grid_interp=os.environ.get("FLAGSHIP_INTERP", "trilinear"),
+        dense_max_res=int(os.environ.get("FLAGSHIP_DENSE_MAX_RES", "0")),
     ),
 )
 print(f"flagship cfg: top_m={runner.model_cfg.render_top_m} "

@@ -210,3 +210,42 @@ def test_fused_dual_grid_matches_separate():
     fl2 = jax.flatten_util.ravel_pytree(g2)[0]
     np.testing.assert_allclose(np.asarray(fl1), np.asarray(fl2), atol=2e-5)
     assert bool(jnp.all(jnp.isfinite(fl1)))
+
+
+def test_shift_sdf_raw_disentangles_interiors():
+    """reference get_shift_sdf_raw (model/network.py:460-480): inside the
+    scene only the winning object stays negative; the winner carries the
+    scene SDF; outside points are untouched."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from holoscene_tpu.models.fields import (
+        ImplicitNetworkConfig,
+        implicit_sdf_raw,
+        implicit_shift_sdf_raw,
+        init_implicit_network,
+    )
+
+    cfg = ImplicitNetworkConfig(
+        feature_vector_size=16, d_out=4, dims=(16, 16), multires=2,
+        num_levels=3, level_dim=2, base_size=4, end_size=16, logmap=8,
+    )
+    params = init_implicit_network(jax.random.PRNGKey(0), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (257, 3), minval=-0.9,
+                           maxval=0.9)
+    raw = np.asarray(implicit_sdf_raw(params, cfg, x))
+    shifted = np.asarray(implicit_shift_sdf_raw(params, cfg, x))
+    sdf = raw.min(axis=-1)
+    idx = raw.argmin(axis=-1)
+    n = len(x)
+    # winner carries the scene SDF
+    np.testing.assert_allclose(shifted[np.arange(n), idx], sdf, atol=1e-6)
+    inside = sdf < 0
+    assert inside.any() and (~inside).any()
+    # inside: all non-winners pushed to >= -sdf (strictly outside)
+    m = np.ones_like(shifted, bool)
+    m[np.arange(n), idx] = False
+    assert (shifted[inside][m[inside]] >= -sdf[inside].repeat(3) - 1e-6).all()
+    # outside points untouched
+    np.testing.assert_allclose(shifted[~inside], raw[~inside], atol=1e-6)

@@ -1,7 +1,8 @@
-"""Fused dual encode-with-jacobian (ops/hashgrid.py hash_encode_fused_dual)
-and the extended-dense capacity knob (HashGridMeta.dense_max_res).
+"""Fused dual encode-with-jacobian (ops/hashgrid.py hash_encode_fused_dual,
+exact-f32 raw-take fetches) and the extended-dense capacity knob
+(HashGridMeta.dense_max_res).
 
-Parity targets: the packed-pair path (`hash_encode(packed=True)`) for
+Parity targets: the exact unpacked path (`hash_encode(packed=False)`) for
 features, `jacfwd` of it for the jacobian, and full AD through it for the
 custom VJP — i.e. the semantics the reference implements in
 hashencoder/src/hashencoder.cu:104-596 (forward / backward / second-order
@@ -54,8 +55,8 @@ def test_dense_max_res_reshapes_tables():
 def test_fused_features_match_packed_encode(dmr):
     meta, ea, eb, x = _setup(dmr)
     fa, Ja, fb = hash_encode_fused_dual(x, ea, eb, meta)
-    ra = hash_encode(x, ea, meta, packed=True)
-    rb = hash_encode(x, eb, meta, packed=True)
+    ra = hash_encode(x, ea, meta, packed=False)
+    rb = hash_encode(x, eb, meta, packed=False)
     np.testing.assert_allclose(fa, ra, atol=1e-6)
     np.testing.assert_allclose(fb, rb, atol=1e-6)
 
@@ -65,7 +66,7 @@ def test_fused_jacobian_matches_jacfwd(dmr):
     meta, ea, eb, x = _setup(dmr, n=41)
     _, Ja, _ = hash_encode_fused_dual(x, ea, eb, meta)
     Jref = jax.vmap(
-        jax.jacfwd(lambda p: hash_encode(p[None], ea, meta, packed=True)[0])
+        jax.jacfwd(lambda p: hash_encode(p[None], ea, meta, packed=False)[0])
     )(x)  # [N, F, 3]
     scale = float(jnp.abs(Jref).max())
     np.testing.assert_allclose(
@@ -88,10 +89,10 @@ def test_fused_vjp_matches_autodiff(dmr):
         return (fa * r1).sum() + (Ja * r2).sum() + (fb * r3).sum()
 
     def loss_ref(x, ea, eb):
-        fa = hash_encode(x, ea, meta, packed=True)
-        fb = hash_encode(x, eb, meta, packed=True)
+        fa = hash_encode(x, ea, meta, packed=False)
+        fb = hash_encode(x, eb, meta, packed=False)
         Jref = jax.vmap(
-            jax.jacfwd(lambda p: hash_encode(p[None], ea, meta, packed=True)[0])
+            jax.jacfwd(lambda p: hash_encode(p[None], ea, meta, packed=False)[0])
         )(x)
         return (
             (fa * r1).sum()

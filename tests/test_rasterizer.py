@@ -128,3 +128,35 @@ def test_backface_culling():
     front = int(np.asarray(out_front["mask"]).sum())
     back = int(np.asarray(out_back["mask"]).sum())
     assert (front > 50) != (back > 50)  # exactly one winding survives
+
+
+def test_big_triangle_renders_hole_free():
+    """Coverage guard (VERDICT r1 weak #6): two triangles spanning the whole
+    screen must rasterize without holes — auto_subdivide splits them until
+    the fragment grid covers every pixel, and face_id maps back to the
+    caller's two faces."""
+    import numpy as np
+
+    from holoscene_tpu.ops.rasterizer import rasterize_mesh
+
+    # a quad (two huge triangles) at z=2 covering the full frustum
+    verts = np.array(
+        [[-4, -4, 2.0], [4, -4, 2.0], [4, 4, 2.0], [-4, 4, 2.0]],
+        np.float32,
+    )
+    faces = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+    res = 64
+    intr = np.array([[res / 2, 0, res / 2], [0, res / 2, res / 2],
+                     [0, 0, 1]], np.float32)
+    out = rasterize_mesh(verts, faces, np.eye(4), intr, (res, res))
+    mask = np.asarray(out["mask"])
+    assert mask.all(), f"{(~mask).sum()} hole pixels with auto_subdivide"
+    fid = np.asarray(out["face_id"])
+    assert set(np.unique(fid)) <= {0, 1}
+    np.testing.assert_allclose(np.asarray(out["depth"]), 2.0, atol=1e-3)
+
+    # without the guard the same mesh leaves holes (documents the hazard)
+    out_raw = rasterize_mesh(
+        verts, faces, np.eye(4), intr, (res, res), auto_subdivide=False
+    )
+    assert not np.asarray(out_raw["mask"]).all()

@@ -177,3 +177,41 @@ def test_vis_info_roundtrip(tmp_path):
     save_vis_info(p, views)
     back = load_vis_info(p)
     assert len(back) == 1 and back[0]["half_extent"] == 0.5
+
+
+def test_integrated_view_coverage_detects_hidden_side():
+    """An object seen only from the front has low integrated coverage on
+    its back hemisphere (reference weight-map integration,
+    holoscene_train_post.py:2023-2413 — not a max over candidates)."""
+    import numpy as np
+
+    from holoscene_tpu.stage2.views import (
+        integrated_view_coverage,
+        look_at_pose,
+        training_view_vertex_visibility,
+    )
+    from tests.test_inpaint_views import _uv_sphere
+
+    sphere = _uv_sphere(np.array([0.0, 0.0, 0.0]), 0.3)
+    intr = np.array([[40.0, 0, 32], [0, 40.0, 32], [0, 0, 1]])
+    # cameras only in front (-z side)
+    poses = [
+        look_at_pose(np.array([dx, 0.0, -1.0]), np.zeros(3))
+        for dx in (-0.3, 0.0, 0.3)
+    ]
+    vis = training_view_vertex_visibility(sphere, [], poses, intr, (64, 64))
+    assert 0.2 < vis.mean() < 0.9
+    cov_partial, cov_map = integrated_view_coverage(sphere, vis)
+
+    # all-around cameras -> much higher coverage
+    poses_full = [
+        look_at_pose(
+            np.array([np.cos(a), 0.0, np.sin(a)]) * 1.0, np.zeros(3)
+        )
+        for a in np.linspace(0, 2 * np.pi, 8, endpoint=False)
+    ]
+    vis_full = training_view_vertex_visibility(
+        sphere, [], poses_full, intr, (64, 64)
+    )
+    cov_full, _ = integrated_view_coverage(sphere, vis_full)
+    assert cov_full > cov_partial + 0.2, (cov_partial, cov_full)

@@ -57,9 +57,31 @@ def test_stage4_end_to_end(scene, tmp_path):
     assert hist[-1]["l1"] < hist[0]["l1"]
 
     paths = runner.export()
-    assert len(paths) == 4
+    assert len(paths) == 5
+    # the scene-level USDZ artifact (3dgrut NuRec schema)
+    from holoscene_tpu.export.gs_usdz import read_gaussians_usdz
+
+    usdz = [p for p in paths if p.endswith(".usdz")][0]
+    back = read_gaussians_usdz(usdz)
+    assert back["positions"].shape[1] == 3
     from holoscene_tpu.models.gom import read_gaussian_ply
 
     g = read_gaussian_ply(paths[0])
     lo, hi = runner.instance_ranges[0]
     assert len(g["means"]) == hi - lo
+
+
+def test_stage4_auto_max_per_tile(scene, tmp_path):
+    """max_per_tile=0 auto-picks K from p99 tile overlap at trainer init."""
+    meshes = _gt_meshes()
+    runner = Stage4Runner(
+        meshes, scene,
+        cfg=GoMConfig(max_per_tile=0, sh_degree=1, use_pallas=False),
+        area_to_subdivide=1e-3,
+        max_total_iters=1,
+        out_dir=str(tmp_path / "s4auto"),
+        quiet=True,
+    )
+    k = runner.cfg.max_per_tile
+    assert k >= 64 and k <= 1024 and (k & (k - 1)) == 0
+    runner.run(n_iters=1, log_every=10)
