@@ -14,11 +14,11 @@ TPU-first differences:
   * rasterization + masked pixel sampling + field query + loss + update is
     ONE jitted step: a fixed-size batch of valid pixels is drawn on-device
     (categorical over the valid mask), so shapes never change;
-  * UV unwrapping uses a deterministic per-triangle atlas (two right
-    triangles per square cell) instead of xatlas (not available in this
-    image): vertices are split per-face, every face gets an isolated chart,
-    and gutters are KNN-inpainted exactly like the reference's texture
-    (utils dependency replaced by scipy cKDTree).
+  * UV unwrapping replaces xatlas with native normal-cone charts packed
+    into the atlas (utils/uv_atlas.py) baked through the fragment-scatter
+    rasterizer in UV space; gutters are KNN-inpainted like the reference's
+    texture (scipy cKDTree). A per-triangle fallback atlas remains
+    (atlas="triangles").
 """
 
 from __future__ import annotations
@@ -370,7 +370,7 @@ class Stage3Runner:
         verts = np.asarray(mesh.vertices, dtype=np.float64)
         faces = np.asarray(mesh.faces, dtype=np.int64)
 
-        tri_verts, new_faces, uv_px, n_charts = build_chart_atlas(
+        tri_verts, new_faces, uv_px, n_charts, tex_res = build_chart_atlas(
             verts, faces, tex_res
         )
         if not self.quiet:

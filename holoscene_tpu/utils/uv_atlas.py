@@ -108,7 +108,8 @@ def build_chart_atlas(
     fill_margin: float = 1.35,
 ):
     """Returns (tri_verts [F*3,3], new_faces [F,3], uv_px [F*3,2] atlas
-    pixel coords, n_charts). Vertices are split per chart occurrence of a
+    pixel coords, n_charts, tex_res) — tex_res may have been grown when the
+    requested atlas could not hold the chart count. Vertices are split per chart occurrence of a
     face (per-face split kept for simplicity of downstream OBJ writing —
     UVs are chart-continuous, so bilinear sampling has no intra-chart
     seams)."""
@@ -116,6 +117,13 @@ def build_chart_atlas(
     faces = np.asarray(faces, dtype=np.int64)
     charts = grow_charts(verts, faces, cos_thresh, max_chart_faces)
     normals = face_normals(verts, faces)
+
+    # feasibility: the gutters alone must fit; grow the atlas otherwise
+    # (the reference lets xatlas pick resolution; we keep the requested one
+    # unless it cannot hold the chart count)
+    min_area = len(charts) * (2.0 * gutter_px + 2.0) ** 2 * 1.5
+    while tex_res ** 2 < min_area and tex_res < 8192:
+        tex_res *= 2
 
     # project each chart to 2D (world units)
     chart_uv: list[np.ndarray] = []   # per chart: [Fc, 3, 2]
@@ -136,7 +144,7 @@ def build_chart_atlas(
     area = float((sizes[:, 0] * sizes[:, 1]).sum()) + 1e-12
     usable = tex_res - 2 * gutter_px
     density = usable / np.sqrt(area * fill_margin)
-    for _attempt in range(40):
+    for _attempt in range(60):
         wh = sizes * density + 2 * gutter_px
         order = np.argsort(-wh[:, 1])
         origins = np.zeros((len(charts), 2))
@@ -172,4 +180,4 @@ def build_chart_atlas(
 
     tri_verts = verts[faces].reshape(-1, 3).astype(np.float32)
     new_faces = np.arange(f_total * 3).reshape(-1, 3)
-    return tri_verts, new_faces, uv_px.reshape(-1, 2), len(charts)
+    return tri_verts, new_faces, uv_px.reshape(-1, 2), len(charts), tex_res

@@ -63,7 +63,7 @@ def test_chart_atlas_fewer_charts_and_seam_safe(tmp_path):
     mesh = _sphere_mesh([0.0, 0.0, 0.0], 0.5, res=16)
     verts, faces = mesh.vertices, mesh.faces
     tex_res = 256
-    tri_verts, new_faces, uv_px, n_charts = build_chart_atlas(
+    tri_verts, new_faces, uv_px, n_charts, tex_res = build_chart_atlas(
         verts, faces, tex_res
     )
     assert n_charts * 3 <= len(faces), (n_charts, len(faces))
