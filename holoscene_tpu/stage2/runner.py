@@ -177,11 +177,22 @@ class Stage2Runner:
 
     def extract_meshes(self) -> list[Mesh | None]:
         params = self.params["implicit"]
-        return extract_object_meshes(
+        meshes = extract_object_meshes(
             lambda pts: self._shift_sdf_raw(params, pts),
             self.cfg.implicit.d_out,
             resolution=self.mesh_resolution,
         )
+        # the disentangled selector can empty an object whose region is not
+        # yet won on an undertrained model — fall back to its plain SDF
+        if any(m is None for m in meshes):
+            plain = extract_object_meshes(
+                lambda pts: self._sdf_raw(params, pts),
+                self.cfg.implicit.d_out,
+                resolution=self.mesh_resolution,
+            )
+            meshes = [m if m is not None else p
+                      for m, p in zip(meshes, plain)]
+        return meshes
 
     def object_mesh_candidates(self, obj_i: int) -> list[Mesh]:
         """Marching-cubes candidates at multiple prune thresholds
