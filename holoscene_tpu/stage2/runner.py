@@ -210,6 +210,17 @@ class Stage2Runner:
             )
             if len(f):
                 candidates.append(Mesh(v, f).largest_component())
+        if not candidates:
+            # undertrained models: the disentangled selector can empty an
+            # object whose region is not yet won — plain-SDF fallback
+            for level in self.candidate_levels:
+                v, f = extract_mesh(
+                    lambda pts: self._sdf_raw(params, pts)[:, obj_i],
+                    resolution=self.mesh_resolution,
+                    level=level,
+                )
+                if len(f):
+                    candidates.append(Mesh(v, f).largest_component())
         return candidates
 
     def stability_ladder(self, obj_i: int, support_meshes: list[Mesh],
