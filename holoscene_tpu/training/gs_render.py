@@ -1,0 +1,127 @@
+"""Standalone Gaussian renderer CLI (reference threedgrut/render.py).
+
+Loads a 3DGS checkpoint PLY and a dataset, renders the chosen split through
+the tile splat renderer, writes PNGs and a metrics JSON.
+
+Usage:
+  python -m holoscene_tpu.training.gs_render --ply scene.ply \
+      --dataset nerf --data_root path/to/lego [--split test] [--out out/]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def render_views(g: dict, poses, intrinsics, img_res, sh_degree: int = 3,
+                 max_per_tile: int = 0):
+    """Render [N,4,4] c2w poses; yields [H,W,3] images."""
+    from holoscene_tpu.ops.splat import (
+        auto_max_per_tile,
+        render_gaussians,
+        tile_overlap_counts,
+    )
+
+    h, w = img_res
+    means = jnp.asarray(g["means"])
+    quats = jnp.asarray(g["quats"])
+    scales = jnp.exp(jnp.asarray(g["log_scales"]))
+    opac = jax.nn.sigmoid(jnp.asarray(g["opacity_logits"]).reshape(-1))
+    # SH layout: [N, B, 3] with DC first
+    rest = np.asarray(g["features_rest"])
+    sh = np.concatenate([np.asarray(g["features_dc"])[:, None, :], rest],
+                        axis=1)
+    sh_j = jnp.asarray(sh)
+    intr = jnp.asarray(intrinsics)
+
+    if max_per_tile <= 0:
+        vm0 = jnp.linalg.inv(jnp.asarray(poses[0]))
+        counts = tile_overlap_counts(means, quats, scales, vm0, intr, w, h)
+        max_per_tile = auto_max_per_tile(np.asarray(counts))
+
+    for pose in poses:
+        viewmat = jnp.linalg.inv(jnp.asarray(pose))
+        out = render_gaussians(
+            means, quats, scales, opac, sh_j, viewmat, intr,
+            width=w, height=h, max_per_tile=max_per_tile,
+            sh_degree=sh_degree,
+            background=jnp.ones(3),
+        )
+        yield np.asarray(out["rgb"])
+
+
+def main(argv=None):
+    from PIL import Image
+
+    import holoscene_tpu
+
+    holoscene_tpu.setup_compile_cache()
+    from holoscene_tpu.models.gom import read_gaussian_ply
+    from holoscene_tpu.utils.eval_rgb import eval_rgb
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ply", required=True)
+    ap.add_argument("--dataset", choices=["nerf", "colmap", "ns"],
+                    default="nerf")
+    ap.add_argument("--data_root", required=True)
+    ap.add_argument("--split", default="test")
+    ap.add_argument("--out", default="renders")
+    ap.add_argument("--sh_degree", type=int, default=3)
+    ap.add_argument("--max_per_tile", type=int, default=0,
+                    help="0 = auto from p99 tile overlap")
+    ap.add_argument("--max_num_images", type=int, default=-1)
+    args = ap.parse_args(argv)
+
+    if args.dataset == "nerf":
+        from holoscene_tpu.datasets.gs_datasets import NerfSyntheticDataset
+
+        ds = NerfSyntheticDataset(args.data_root, split="train",
+                                  max_num_images=args.max_num_images)
+    elif args.dataset == "colmap":
+        from holoscene_tpu.datasets.gs_datasets import ColmapDataset
+
+        ds = ColmapDataset(args.data_root,
+                           max_num_images=args.max_num_images)
+    else:
+        from holoscene_tpu.datasets.ns_dataset import NSDataset
+
+        root, name = os.path.split(os.path.normpath(args.data_root))
+        ds = NSDataset(root, name)
+
+    if args.split == "test" and getattr(ds, "test", None):
+        poses = ds.test["pose_all"]
+        gts = ds.test["rgb_images"]
+    else:
+        poses = ds.pose_all
+        gts = ds.rgb_images
+
+    g = read_gaussian_ply(args.ply)
+    os.makedirs(args.out, exist_ok=True)
+    h, w = ds.img_res
+    metrics = []
+    for i, img in enumerate(
+        render_views(g, poses, ds.intrinsics[:3, :3], ds.img_res,
+                     args.sh_degree, args.max_per_tile)
+    ):
+        Image.fromarray(
+            np.clip(img * 255, 0, 255).astype(np.uint8)
+        ).save(os.path.join(args.out, f"render_{i:04d}.png"))
+        m = eval_rgb(img, np.asarray(gts[i]).reshape(h, w, 3))
+        metrics.append(m)
+        print(f"[{i}] psnr={m['psnr']:.2f} ssim={m['ssim']:.3f}")
+    summary = {
+        k: float(np.nanmean([m[k] for m in metrics])) for k in metrics[0]
+    }
+    with open(os.path.join(args.out, "metrics.json"), "w") as f:
+        json.dump({"per_view": metrics, "mean": summary}, f, indent=2)
+    print("mean:", summary)
+
+
+if __name__ == "__main__":
+    main()
