@@ -226,7 +226,10 @@ class Stage2Runner:
     def stability_ladder(self, obj_i: int, support_meshes: list[Mesh],
                          extra_candidates: list[Mesh] = ()):
         """Try candidates until one passes sim_validation (< 8 deg)
-        (holoscene_train_post.py:1697-1978)."""
+        (holoscene_train_post.py:1697-1978). An unstable candidate gets a
+        floater-cleanup re-test (reference clean_mesh_floaters_adjust +
+        re-validation, :1835-1850): small disconnected components shift the
+        COM and support polygon — dropping them can rescue a good mesh."""
         best = None
         best_drift = np.inf
         for cand in [*self.object_mesh_candidates(obj_i), *extra_candidates]:
@@ -237,6 +240,16 @@ class Stage2Runner:
                 best, best_drift = cand, res.drift_deg
             if res.drift_deg < self.stability_threshold:
                 return cand, res.drift_deg, True
+            cleaned = cand.largest_component()
+            if len(cleaned.faces) < len(cand.faces):
+                res2 = sim_validation([*support_meshes, cleaned])
+                if not self.quiet:
+                    print(f"  [obj {obj_i}] floater-cleaned re-test "
+                          f"drift={res2.drift_deg:.1f}deg")
+                if res2.drift_deg < best_drift:
+                    best, best_drift = cleaned, res2.drift_deg
+                if res2.drift_deg < self.stability_threshold:
+                    return cleaned, res2.drift_deg, True
         if best is None:
             self.failed_object_list.append(obj_i)
         return best, best_drift, False
@@ -362,9 +375,36 @@ class Stage2Runner:
             rgb = self.dataset.rgb_images[fi].reshape(h, w, 3)
             normal = self.dataset.normal_images[fi].reshape(h, w, 3)
             depth = self.dataset.depth_images[fi].reshape(h, w)
-            rgb_in = inpaint.inpaint(rgb, occluded)
-            normal_in = inpaint.inpaint(normal, occluded)
-            depth_in = inpaint.inpaint(depth[..., None], occluded)[..., 0]
+            # occlusion CLUSTERING (reference background_inpainting_sampling,
+            # holoscene_train_post.py:2703): inpaint each connected occluded
+            # region separately so every fill sees only its local context;
+            # specks below 0.2% of the frame are skipped
+            from scipy import ndimage
+
+            labels, n_comp = ndimage.label(occluded)
+            rgb_in, normal_in = rgb.copy(), normal.copy()
+            depth_in = depth.copy()
+            filled = np.zeros_like(occluded)
+            for ci in range(1, n_comp + 1):
+                cluster = labels == ci
+                if cluster.mean() < 0.002:
+                    continue
+                rgb_in = np.where(
+                    cluster[..., None], inpaint.inpaint(rgb, cluster), rgb_in
+                )
+                normal_in = np.where(
+                    cluster[..., None], inpaint.inpaint(normal, cluster),
+                    normal_in,
+                )
+                depth_in = np.where(
+                    cluster,
+                    inpaint.inpaint(depth[..., None], cluster)[..., 0],
+                    depth_in,
+                )
+                filled |= cluster
+            occluded = filled
+            if occluded.mean() < 0.01:
+                continue
             packs.append(
                 {
                     "frame": int(fi),
