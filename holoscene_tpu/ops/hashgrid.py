@@ -780,31 +780,6 @@ def build_quad_block_tables(emb_a, emb_b, meta: HashGridMeta):
     return jnp.concatenate(blocks, axis=0)
 
 
-def _gather_windows(flat: jnp.ndarray, start: jnp.ndarray, width: int):
-    """Row gather of `width`-contiguous windows from a FLAT table:
-    out[i, :] = flat[start[i] : start[i] + width]."""
-    dn = jax.lax.GatherDimensionNumbers(
-        offset_dims=(1,), collapsed_slice_dims=(), start_index_map=(0,)
-    )
-    return jax.lax.gather(
-        flat, start[:, None], dn, slice_sizes=(width,),
-        mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
-    )
-
-
-def _scatter_add_windows(flat: jnp.ndarray, start: jnp.ndarray,
-                         updates: jnp.ndarray):
-    """Row scatter-add of contiguous windows into a FLAT table:
-    flat[start[i] : start[i] + W] += updates[i, :]."""
-    dn = jax.lax.ScatterDimensionNumbers(
-        update_window_dims=(1,), inserted_window_dims=(),
-        scatter_dims_to_operand_dims=(0,),
-    )
-    return jax.lax.scatter_add(
-        flat, start[:, None], updates, dn,
-        mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
-    )
-
 
 def _fused_weights(frac, scales_j, corners_b):
     """frac [L,3,N] -> (wsel [3x(L,8,N)], cw [L,8,N], dcw [3x(L,8,N)],

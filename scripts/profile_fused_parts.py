@@ -13,7 +13,7 @@ holoscene_tpu.setup_compile_cache()
 
 from holoscene_tpu.ops.hashgrid import (
     HashGridMeta,
-    build_quad_block_flat,
+    build_quad_block_tables,
     hash_encode_fused_dual,
     init_hash_embeddings,
 )
@@ -47,8 +47,8 @@ def main():
     eb = init_hash_embeddings(kb, meta)
     x = jax.random.uniform(kx, (args.n, 3), minval=0.01, maxval=0.99)
 
-    build = jax.jit(lambda a, b: build_quad_block_flat(a, b, meta))
-    timeit(build, ea, eb, label="build_quad_block_flat")
+    build = jax.jit(lambda a, b: build_quad_block_tables(a, b, meta))
+    timeit(build, ea, eb, label="build_quad_block_tables")
 
     fwd = jax.jit(lambda x, a, b: hash_encode_fused_dual(x, a, b, meta))
     timeit(fwd, x, ea, eb, label="fused fwd (fa, Ja, fb)")
