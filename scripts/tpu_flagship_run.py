@@ -22,8 +22,12 @@ conf.put("dataset.fix_length", 0)
 conf.put("train.expname", "flagship_synth")
 conf.put("train.checkpoint_freq", int(os.environ.get("FLAGSHIP_CKPT_FREQ", 400)))
 
+# resume on supervisor restart (the axon relay can wedge mid-stream;
+# latest_timestamp=None on the first run falls through to a fresh dir)
 runner = Stage1Runner(conf, exps_folder="exps", data_root_override="data",
-                      use_mesh=False, quiet=False)
+                      use_mesh=False, quiet=False,
+                      is_continue=os.environ.get("FLAGSHIP_CONTINUE", "1") == "1",
+                      timestamp="latest")
 import dataclasses
 runner.model_cfg = dataclasses.replace(
     runner.model_cfg, sampler_grid_levels=8, use_bg_reg=False,
