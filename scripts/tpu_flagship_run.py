@@ -47,7 +47,8 @@ runner.train_step = make_train_step(runner.model_cfg, runner.loss_cfg, runner.op
 runner.render_frame = make_eval_render(runner.model_cfg)
 
 t0 = time.time()
-runner.run(n_iters=int(os.environ.get("FLAGSHIP_ITERS", 2200)), log_every=100)
+_target = int(os.environ.get("FLAGSHIP_ITERS", 2200))
+runner.run(n_iters=max(0, _target - runner.start_iter), log_every=100)
 print(f"train wall: {time.time()-t0:.0f}s", flush=True)
 out = runner.plot(it=runner.start_iter)
 print(f"FLAGSHIP FINAL eval psnr: {out['psnr']:.2f}", flush=True)
