@@ -112,11 +112,19 @@ class NerfSyntheticDataset:
 # COLMAP sparse reconstructions (binary + text)
 # ---------------------------------------------------------------------------
 
-# camera model id -> (name, n_params)
+# camera model id -> (name, n_params) — full COLMAP table; param counts
+# must be exact or the binary stream desyncs for every later camera
 _CAM_MODELS = {
     0: ("SIMPLE_PINHOLE", 3), 1: ("PINHOLE", 4),
     2: ("SIMPLE_RADIAL", 4), 3: ("RADIAL", 5), 4: ("OPENCV", 8),
+    5: ("OPENCV_FISHEYE", 8), 6: ("FULL_OPENCV", 12), 7: ("FOV", 5),
+    8: ("SIMPLE_RADIAL_FISHEYE", 4), 9: ("RADIAL_FISHEYE", 5),
+    10: ("THIN_PRISM_FISHEYE", 12),
 }
+
+# models whose params lead with a single shared focal: (f, cx, cy, ...)
+_SINGLE_FOCAL = {"SIMPLE_PINHOLE", "SIMPLE_RADIAL", "RADIAL",
+                 "SIMPLE_RADIAL_FISHEYE", "RADIAL_FISHEYE"}
 
 
 def read_colmap_cameras_bin(path: str) -> dict:
@@ -125,7 +133,12 @@ def read_colmap_cameras_bin(path: str) -> dict:
         (n,) = struct.unpack("<Q", f.read(8))
         for _ in range(n):
             cid, model, w, h = struct.unpack("<iiQQ", f.read(24))
-            name, np_ = _CAM_MODELS.get(model, ("UNKNOWN", 0))
+            if model not in _CAM_MODELS:
+                raise ValueError(
+                    f"unknown COLMAP camera model id {model}; cannot skip "
+                    "its params without desyncing the stream"
+                )
+            name, np_ = _CAM_MODELS[model]
             params = struct.unpack(f"<{np_}d", f.read(8 * np_))
             cams[cid] = {"model": name, "width": int(w), "height": int(h),
                          "params": np.asarray(params)}
@@ -199,7 +212,7 @@ class ColmapDataset:
         if 0 < max_num_images < len(order):
             keep = np.linspace(0, len(order) - 1, max_num_images).astype(int)
             order = [order[i] for i in keep]
-        poses, paths, intr = [], [], None
+        poses, paths, intr_all = [], [], []
         for iid in order:
             rec = imgs[iid]
             cam = cams[rec["camera_id"]]
@@ -211,11 +224,21 @@ class ColmapDataset:
             poses.append(c2w.astype(np.float32))
             paths.append(os.path.join(root, images_dir, rec["name"]))
             p = cam["params"]
-            if cam["model"] == "SIMPLE_PINHOLE":
+            if cam["model"] in _SINGLE_FOCAL:   # (f, cx, cy, distortion...)
                 fx = fy = p[0]; cx, cy = p[1], p[2]
-            else:  # PINHOLE-family leading params
+            else:                               # (fx, fy, cx, cy, ...)
                 fx, fy, cx, cy = p[0], p[1], p[2], p[3]
-            intr = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1]], np.float32)
+            intr_all.append(np.array(
+                [[fx, 0, cx], [0, fy, cy], [0, 0, 1]], np.float32))
+        intr_all = np.stack(intr_all)
+        if not np.allclose(intr_all, intr_all[0], rtol=1e-3):
+            import warnings
+            warnings.warn(
+                "ColmapDataset: reconstruction has heterogeneous camera "
+                "intrinsics; the renderer uses the first camera's matrix "
+                "for all views (per-view intrinsics kept in intrinsics_all)"
+            )
+        intr = intr_all[0]
 
         images = _load_images(paths)
         h, w = images[0].shape[:2]
@@ -227,6 +250,7 @@ class ColmapDataset:
             is_test[::test_every] = True
         self.img_res = (h, w)
         self.intrinsics = intr
+        self.intrinsics_all = intr_all[~is_test]
         self.pose_all = poses[~is_test]
         self.rgb_images = flat[~is_test]
         self.n_images = len(self.pose_all)

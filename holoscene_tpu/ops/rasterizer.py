@@ -160,12 +160,16 @@ def _screen_subdivide(vertices, faces, pose_c2w, intrinsics, img_res,
     cannot leave holes (reference nvdiffrast has per-pixel coverage,
     utils/general.py:370-430; our fragment scatter needs bounded screens).
 
-    Host-side numpy; returns (vertices, faces, parents) where parents maps
-    each (possibly split) face back to the caller's original face index.
+    Host-side numpy; returns (vertices, faces, parents, fbary) where
+    parents maps each (possibly split) face back to the caller's original
+    face index and fbary [F,3,3] gives each split face's corner positions
+    in PARENT barycentric coordinates (row k = parent-bary of corner k),
+    so per-pixel barycentrics can be reported against the original faces.
     """
     vertices = np.asarray(vertices, dtype=np.float64)
     faces = np.asarray(faces, dtype=np.int64)
     parents = np.arange(len(faces), dtype=np.int64)
+    fbary = np.tile(np.eye(3), (len(faces), 1, 1))
     pose = np.asarray(pose_c2w, dtype=np.float64)
     rot = pose[:3, :3].T
     trans = -rot @ pose[:3, 3]
@@ -216,6 +220,7 @@ def _screen_subdivide(vertices, faces, pose_c2w, intrinsics, img_res,
         keep = ~split
         fs = faces[split]
         ps = parents[split]
+        bs = fbary[split]  # [S,3,3] parent-bary of the 3 corners
         # vectorized midpoint split (4-way) with shared-edge dedup
         edges = np.concatenate(
             [fs[:, [0, 1]], fs[:, [1, 2]], fs[:, [2, 0]]], axis=0
@@ -236,9 +241,19 @@ def _screen_subdivide(vertices, faces, pose_c2w, intrinsics, img_res,
             np.stack([m20, m12, fs[:, 2]], axis=1),
             np.stack([m01, m12, m20], axis=1),
         ])
+        b01 = (bs[:, 0] + bs[:, 1]) / 2.0
+        b12 = (bs[:, 1] + bs[:, 2]) / 2.0
+        b20 = (bs[:, 2] + bs[:, 0]) / 2.0
+        new_fbary = np.concatenate([
+            np.stack([bs[:, 0], b01, b20], axis=1),
+            np.stack([b01, bs[:, 1], b12], axis=1),
+            np.stack([b20, b12, bs[:, 2]], axis=1),
+            np.stack([b01, b12, b20], axis=1),
+        ])
         faces = np.vstack([faces[keep], new_faces])
         parents = np.concatenate([parents[keep], np.tile(ps, 4)])
-    return vertices.astype(np.float32), faces, parents
+        fbary = np.concatenate([fbary[keep], new_fbary])
+    return vertices.astype(np.float32), faces, parents, fbary
 
 
 def rasterize_mesh(
@@ -263,7 +278,8 @@ def rasterize_mesh(
     remapped to the caller's original face indices.
     """
     height, width = img_res
-    parents = None
+    parents = fbary = None
+    orig_vertices, orig_faces = vertices, faces
     if auto_subdivide and any(
         isinstance(a, jax.core.Tracer)
         for a in (vertices, faces, pose_c2w, intrinsics)
@@ -273,12 +289,12 @@ def rasterize_mesh(
         # triangle size by construction)
         auto_subdivide = False
     if auto_subdivide:
-        vertices, faces, parents = _screen_subdivide(
+        vertices, faces, parents, fbary = _screen_subdivide(
             vertices, faces, pose_c2w, intrinsics, img_res, grid_size,
             ortho_half_extent,
         )
         if np.array_equal(parents, np.arange(len(faces))):
-            parents = None
+            parents = fbary = None
     if not any(
         isinstance(a, jax.core.Tracer) for a in (vertices, faces)
     ):
@@ -326,9 +342,18 @@ def rasterize_mesh(
     depth_interp = jnp.einsum("hwk,hwk->hw", bary, z[tri])
     world_pos = jnp.einsum("hwk,hwkd->hwd", bary, pix_verts)
     if parents is not None:
-        # report the caller's face indices, not the split ones
+        # report the caller's face indices AND barycentrics/corner verts in
+        # the caller's (parent) frame so (face_id, bary, pix_verts) stay a
+        # consistent triple — child-frame bary against a parent face_id
+        # would interpolate wrong surface points
         pmap = jnp.asarray(parents, dtype=jnp.int32)
-        face_id = jnp.where(mask, pmap[jnp.maximum(face_id, 0)], -1)
+        child = jnp.maximum(face_id, 0)
+        fb = jnp.asarray(fbary, dtype=jnp.float32)  # [Fc,3,3]
+        bary = jnp.einsum("hwk,hwkj->hwj", bary, fb[child])
+        parent = pmap[child]
+        tri_p = jnp.asarray(orig_faces, dtype=jnp.int32)[parent]
+        pix_verts = jnp.asarray(orig_vertices, dtype=jnp.float32)[tri_p]
+        face_id = jnp.where(mask, parent, -1)
     return {
         "depth": jnp.where(mask, depth_interp, BIG_DEPTH),
         "face_id": face_id,

@@ -67,7 +67,12 @@ def tile_overlap_counts(
                                           tile_chunk)
         gx = xy[None, :, 0]
         gy = xy[None, :, 1]
-        r = jnp.where(valid, radius, -1.0)[None, :]
+        # invalid (behind-camera/off-screen) gaussians must count in NO
+        # tile: a -1 radius only shrinks the footprint by 1px and still
+        # counts when the clamped projection lands inside a tile, inflating
+        # p99 and the auto-picked K. A large negative sentinel empties the
+        # interval, matching the render path's depth=inf masking.
+        r = jnp.where(valid, radius, -1e9)[None, :]
         overlap = (
             (gx + r >= x0[:, None])
             & (gx - r <= x0[:, None] + tile_size)

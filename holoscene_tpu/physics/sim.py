@@ -176,8 +176,17 @@ class MuJoCoProvider:
     def sim_validation(self, mesh_list: list[Mesh]) -> StabilityResult:
         try:
             return self._simulate(mesh_list)
-        except Exception:
-            # resilience: never block the Stage-2 ladder on solver issues
+        except Exception as e:
+            # resilience: never block the Stage-2 ladder on solver issues —
+            # but say so, or a broken mesh silently downgrades the whole
+            # ladder to the weaker single-frame oracle
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "MuJoCo sim failed (%s: %s); falling back to the "
+                "quasi-static oracle for this candidate",
+                type(e).__name__, e,
+            )
             return self._fallback.sim_validation(mesh_list)
 
     def _simulate(self, mesh_list: list[Mesh]) -> StabilityResult:
@@ -280,10 +289,20 @@ def get_provider():
         choice = os.environ.get("HOLOSCENE_PHYSICS", "auto")
         if choice == "quasistatic":
             _PROVIDER = QuasiStaticProvider()
+        elif choice == "mujoco":
+            # explicit request: a missing/broken mujoco must be an error,
+            # not a silent downgrade
+            _PROVIDER = MuJoCoProvider()
         else:
             try:
                 _PROVIDER = MuJoCoProvider()
-            except Exception:
+            except Exception as e:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "mujoco unavailable (%s); using the quasi-static "
+                    "stability oracle", e,
+                )
                 _PROVIDER = QuasiStaticProvider()
     return _PROVIDER
 

@@ -173,12 +173,13 @@ class TorchLamaProvider(InpaintProvider):
             res = out[0].permute(1, 2, 0).cpu().numpy()[:h, :w]
         if squeeze:
             res = res.mean(axis=-1, keepdims=True)
-        # only the masked region is replaced (reference composites likewise)
+        # only the masked region is replaced (reference composites likewise);
+        # the squeeze/repeat normalization above guarantees res's channel
+        # count matches the caller's image
         keep = ~mask.astype(bool)
-        res3 = res if res.shape[-1] == image.reshape(h, w, -1).shape[-1] else res
         out_img = np.asarray(image, dtype=np.float32).copy()
         out_img_flat = out_img.reshape(h, w, -1)
-        out_img_flat[~keep] = res3[~keep]
+        out_img_flat[~keep] = res[~keep]
         return out_img_flat.reshape(np.asarray(image).shape)
 
 

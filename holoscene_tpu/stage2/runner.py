@@ -183,12 +183,16 @@ class Stage2Runner:
             resolution=self.mesh_resolution,
         )
         # the disentangled selector can empty an object whose region is not
-        # yet won on an undertrained model — fall back to its plain SDF
-        if any(m is None for m in meshes):
+        # yet won on an undertrained model — fall back to its plain SDF,
+        # re-extracting only the missing objects (fine extraction is the
+        # stage's most expensive step)
+        missing = {i for i, m in enumerate(meshes) if m is None}
+        if missing:
             plain = extract_object_meshes(
                 lambda pts: self._sdf_raw(params, pts),
                 self.cfg.implicit.d_out,
                 resolution=self.mesh_resolution,
+                only=missing,
             )
             meshes = [m if m is not None else p
                       for m, p in zip(meshes, plain)]
@@ -201,6 +205,11 @@ class Stage2Runner:
         params = self.params["implicit"]
         from holoscene_tpu.utils.mc import extract_mesh
 
+        # candidates stay RAW (floaters included): stability_ladder tests
+        # the raw mesh first and applies largest_component as a *rescue*
+        # re-test on failure (reference clean_mesh_floaters_adjust,
+        # holoscene_train_post.py:1835-1850) — pre-cleaning here would make
+        # that rescue unreachable
         candidates = []
         for level in self.candidate_levels:
             v, f = extract_mesh(
@@ -209,7 +218,7 @@ class Stage2Runner:
                 level=level,
             )
             if len(f):
-                candidates.append(Mesh(v, f).largest_component())
+                candidates.append(Mesh(v, f))
         if not candidates:
             # undertrained models: the disentangled selector can empty an
             # object whose region is not yet won — plain-SDF fallback
@@ -220,7 +229,7 @@ class Stage2Runner:
                     level=level,
                 )
                 if len(f):
-                    candidates.append(Mesh(v, f).largest_component())
+                    candidates.append(Mesh(v, f))
         return candidates
 
     def stability_ladder(self, obj_i: int, support_meshes: list[Mesh],
@@ -239,6 +248,12 @@ class Stage2Runner:
             if res.drift_deg < best_drift:
                 best, best_drift = cand, res.drift_deg
             if res.drift_deg < self.stability_threshold:
+                # ship floater-free when cleanup keeps the mesh stable
+                cleaned = cand.largest_component()
+                if len(cleaned.faces) < len(cand.faces):
+                    res_c = sim_validation([*support_meshes, cleaned])
+                    if res_c.drift_deg < self.stability_threshold:
+                        return cleaned, res_c.drift_deg, True
                 return cand, res.drift_deg, True
             cleaned = cand.largest_component()
             if len(cleaned.faces) < len(cand.faces):

@@ -6,6 +6,10 @@ the tile splat renderer, writes PNGs and a metrics JSON.
 Usage:
   python -m holoscene_tpu.training.gs_render --ply scene.ply \
       --dataset nerf --data_root path/to/lego [--split test] [--out out/]
+
+--renderer trace switches to the gaussian ray tracer (ops/gs_trace.py, the
+3DGRT analog; reference threedgrt_tracer/tracer.py), and --camera fisheye
+renders through the equidistant fisheye model only the tracer supports.
 """
 
 from __future__ import annotations
@@ -76,7 +80,16 @@ def main(argv=None):
     ap.add_argument("--max_per_tile", type=int, default=0,
                     help="0 = auto from p99 tile overlap")
     ap.add_argument("--max_num_images", type=int, default=-1)
+    ap.add_argument("--renderer", choices=["raster", "trace"],
+                    default="raster")
+    ap.add_argument("--camera", choices=["pinhole", "fisheye"],
+                    default="pinhole",
+                    help="fisheye requires --renderer trace")
+    ap.add_argument("--max_hits", type=int, default=128,
+                    help="tracer hits per ray")
     args = ap.parse_args(argv)
+    if args.camera == "fisheye" and args.renderer != "trace":
+        ap.error("--camera fisheye requires --renderer trace")
 
     if args.dataset == "nerf":
         from holoscene_tpu.datasets.gs_datasets import NerfSyntheticDataset
@@ -104,11 +117,24 @@ def main(argv=None):
     g = read_gaussian_ply(args.ply)
     os.makedirs(args.out, exist_ok=True)
     h, w = ds.img_res
+
+    if args.renderer == "trace":
+        from holoscene_tpu.ops.gs_trace import trace_image
+
+        def _images():
+            for pose in poses:
+                yield trace_image(
+                    g, pose, ds.intrinsics[:3, :3], w, h,
+                    sh_degree=args.sh_degree, camera=args.camera,
+                    max_hits=args.max_hits,
+                )["rgb"]
+
+        images = _images()
+    else:
+        images = render_views(g, poses, ds.intrinsics[:3, :3], ds.img_res,
+                              args.sh_degree, args.max_per_tile)
     metrics = []
-    for i, img in enumerate(
-        render_views(g, poses, ds.intrinsics[:3, :3], ds.img_res,
-                     args.sh_degree, args.max_per_tile)
-    ):
+    for i, img in enumerate(images):
         Image.fromarray(
             np.clip(img * 255, 0, 255).astype(np.uint8)
         ).save(os.path.join(args.out, f"render_{i:04d}.png"))

@@ -57,6 +57,35 @@ def make_color_optimizer(lr: float, lr_factor_for_grid: float, total_iters: int)
     )
 
 
+def _query_color_field(params, cfg, pts: np.ndarray, chunk: int) -> np.ndarray:
+    """Chunked + padded device query of the color field (static shapes keep
+    jit compiles reused across meshes)."""
+    rgb = np.empty((len(pts), 3), dtype=np.float32)
+    for i in range(0, len(pts), chunk):
+        pc = np.asarray(pts[i : i + chunk], dtype=np.float32)
+        npad = (-len(pc)) % 1024
+        pc_p = (np.concatenate([pc, np.zeros((npad, 3), np.float32)])
+                if npad else pc)
+        out = np.asarray(color_field_forward(params, cfg, jnp.asarray(pc_p)))
+        rgb[i : i + chunk] = out[: len(pc)]
+    return rgb
+
+
+def _knn_fill_gutters(tex: np.ndarray, covered: np.ndarray) -> None:
+    """Fill uncovered texels with their nearest covered texel's color
+    (reference xatlas bake gutter fill, holoscene_train_texture.py:779-790).
+    In-place on tex."""
+    if not covered.any() or covered.all():
+        return
+    from scipy.spatial import cKDTree
+
+    yx_cov = np.argwhere(covered)
+    yx_miss = np.argwhere(~covered)
+    tree = cKDTree(yx_cov)
+    _, nn = tree.query(yx_miss, k=1)
+    tex[yx_miss[:, 0], yx_miss[:, 1]] = tex[yx_cov[nn][:, 0], yx_cov[nn][:, 1]]
+
+
 class Stage3Runner:
     def __init__(
         self,
@@ -316,32 +345,13 @@ class Stage3Runner:
             pts = wp[tex_mask]
             if len(pts) == 0:
                 continue
-            # device query in chunks
-            rgb = np.empty((len(pts), 3), dtype=np.float32)
-            for i in range(0, len(pts), chunk):
-                pc = pts[i : i + chunk]
-                npad = (-len(pc)) % 1024
-                pc_p = np.concatenate([pc, np.zeros((npad, 3))]) if npad else pc
-                out = np.asarray(
-                    color_field_forward(params, cfg, jnp.asarray(pc_p, jnp.float32))
-                )
-                rgb[i : i + chunk] = out[: len(pc)]
+            rgb = _query_color_field(params, cfg, pts, chunk)
             ix = np.clip(px[tex_mask].astype(int), 0, tex_res - 1)
             iy = np.clip(py[tex_mask].astype(int), 0, tex_res - 1)
             tex[iy, ix] = rgb
             covered[iy, ix] = True
 
-        # KNN gutter inpainting (reference :779-790)
-        if covered.any() and not covered.all():
-            from scipy.spatial import cKDTree
-
-            yx_cov = np.argwhere(covered)
-            yx_miss = np.argwhere(~covered)
-            tree = cKDTree(yx_cov)
-            _, nn = tree.query(yx_miss, k=1)
-            tex[yx_miss[:, 0], yx_miss[:, 1]] = tex[
-                yx_cov[nn][:, 0], yx_cov[nn][:, 1]
-            ]
+        _knn_fill_gutters(tex, covered)
 
         # write artifacts
         from PIL import Image
@@ -398,28 +408,9 @@ class Stage3Runner:
 
         tex = np.zeros((tex_res, tex_res, 3), dtype=np.float32)
         iy, ix = np.nonzero(covered)
-        rgb = np.empty((len(wp), 3), dtype=np.float32)
-        for i in range(0, len(wp), chunk):
-            pc = wp[i : i + chunk]
-            npad = (-len(pc)) % 1024
-            pc_p = np.concatenate([pc, np.zeros((npad, 3), np.float32)]) \
-                if npad else pc
-            o = np.asarray(
-                color_field_forward(params, cfg, jnp.asarray(pc_p))
-            )
-            rgb[i : i + chunk] = o[: len(pc)]
-        tex[iy, ix] = rgb
+        tex[iy, ix] = _query_color_field(params, cfg, wp, chunk)
 
-        if covered.any() and not covered.all():
-            from scipy.spatial import cKDTree
-
-            yx_cov = np.argwhere(covered)
-            yx_miss = np.argwhere(~covered)
-            tree = cKDTree(yx_cov)
-            _, nn = tree.query(yx_miss, k=1)
-            tex[yx_miss[:, 0], yx_miss[:, 1]] = tex[
-                yx_cov[nn][:, 0], yx_cov[nn][:, 1]
-            ]
+        _knn_fill_gutters(tex, covered)
 
         from PIL import Image
 

@@ -57,10 +57,13 @@ def extract_object_meshes(
     chunk: int = 262144,
     bbox_pad: float = 0.05,
     min_component_faces: int = 0,
+    only: "set[int] | None" = None,
 ) -> list[Mesh | None]:
     """Extract one mesh per object SDF (None when an object is empty).
 
     sdf_raw_fn: [M,3] -> [M,K] per-object SDFs (jitted closure over params).
+    only: when given, run the (expensive) fine extraction for just these
+    object indices; every other slot returns None.
     """
     lo, hi = grid_boundary
 
@@ -71,6 +74,9 @@ def extract_object_meshes(
     spacing_coarse = (hi - lo) / (coarse_resolution - 1)
 
     for k in range(num_objects):
+        if only is not None and k not in only:
+            meshes.append(None)
+            continue
         occ = coarse[..., k] < 0
         if not occ.any():
             meshes.append(None)

@@ -3,6 +3,8 @@ scene at 192^2 — evidence that the production model trains on hardware."""
 import os, sys, time
 sys.path.insert(0, "/root/repo")
 import numpy as np
+import holoscene_tpu
+holoscene_tpu.setup_compile_cache()  # fast re-compile on supervisor restart
 from holoscene_tpu.config import ConfigFactory
 from holoscene_tpu.datasets.synthetic import generate_scene
 from holoscene_tpu.training.stage1 import Stage1Runner, make_train_step, make_eval_render

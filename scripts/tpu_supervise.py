@@ -42,11 +42,16 @@ def run_once(cmd: list[str], stall_sec: float, log):
                 log(line.decode(errors="replace"))
         if rc is not None:
             # drain to EOF: data written between the read above and process
-            # exit would otherwise be lost (ADVICE r1)
-            os.set_blocking(proc.stdout.fileno(), True)
-            while True:
+            # exit would otherwise be lost (ADVICE r1). Stay non-blocking
+            # with a deadline — a surviving grandchild holding the pipe's
+            # write end would make a blocking read() hang forever.
+            deadline = time.time() + 10.0
+            while time.time() < deadline:
                 chunk = proc.stdout.read()
-                if not chunk:
+                if chunk is None:  # nothing available yet
+                    time.sleep(0.1)
+                    continue
+                if not chunk:  # EOF
                     break
                 buf += chunk
             rest = buf.decode(errors="replace").strip()

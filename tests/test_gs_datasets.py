@@ -35,7 +35,7 @@ def _write_nerf_scene(root, n=4, res=20):
             json.dump({"camera_angle_x": 0.7, "frames": frames}, f)
 
 
-def _write_colmap_scene(root, n=4, res=16):
+def _write_colmap_scene(root, n=4, res=16, model="PINHOLE"):
     from PIL import Image
 
     sp = root / "sparse" / "0"
@@ -45,8 +45,14 @@ def _write_colmap_scene(root, n=4, res=16):
 
     with open(sp / "cameras.bin", "wb") as f:
         f.write(struct.pack("<Q", 1))
-        f.write(struct.pack("<iiQQ", 1, 1, res, res))       # PINHOLE
-        f.write(struct.pack("<4d", 20.0, 20.0, res / 2, res / 2))
+        if model == "PINHOLE":
+            f.write(struct.pack("<iiQQ", 1, 1, res, res))
+            f.write(struct.pack("<4d", 20.0, 20.0, res / 2, res / 2))
+        elif model == "SIMPLE_RADIAL":  # (f, cx, cy, k) — COLMAP's default
+            f.write(struct.pack("<iiQQ", 1, 2, res, res))
+            f.write(struct.pack("<4d", 20.0, res / 2, res / 2, 0.01))
+        else:
+            raise ValueError(model)
 
     with open(sp / "images.bin", "wb") as f:
         f.write(struct.pack("<Q", n))
@@ -106,6 +112,18 @@ def test_colmap_dataset(tmp_path):
     np.testing.assert_allclose(cols[0], [200 / 255, 100 / 255, 50 / 255])
 
 
+def test_colmap_simple_radial(tmp_path):
+    """SIMPLE_RADIAL params are (f, cx, cy, k), not (fx, fy, cx, cy) —
+    COLMAP's automatic pipeline default (colmap src/base/camera_models.h)."""
+    from holoscene_tpu.datasets.gs_datasets import ColmapDataset
+
+    _write_colmap_scene(tmp_path, model="SIMPLE_RADIAL")
+    ds = ColmapDataset(str(tmp_path), test_every=0)
+    assert ds.intrinsics[0, 0] == 20.0 and ds.intrinsics[1, 1] == 20.0
+    assert ds.intrinsics[0, 2] == 8.0 and ds.intrinsics[1, 2] == 8.0
+    assert ds.intrinsics_all.shape == (4, 3, 3)
+
+
 def test_gs_render_cli(tmp_path):
     from holoscene_tpu.models.gom import write_gaussian_ply
 
@@ -130,7 +148,7 @@ def test_gs_render_cli(tmp_path):
          "--ply", ply, "--dataset", "nerf",
          "--data_root", str(tmp_path / "scene"), "--out", out],
         capture_output=True, text=True, cwd="/root/repo", env=env,
-        timeout=420,
+        timeout=900,  # fresh-process CPU compile; slow under host load
     )
     assert res.returncode == 0, res.stderr[-2000:]
     assert os.path.exists(os.path.join(out, "render_0000.png"))

@@ -160,3 +160,29 @@ def test_big_triangle_renders_hole_free():
         verts, faces, np.eye(4), intr, (res, res), auto_subdivide=False
     )
     assert not np.asarray(out_raw["mask"]).all()
+
+
+def test_subdivided_bary_consistent_with_parent_faces():
+    """After auto-subdivide, (face_id, bary, pix_verts) must form a
+    consistent triple in the CALLER's mesh frame: interpolating the
+    original faces' vertices with the reported bary must reproduce
+    world_pos (the stage-3 atlas bake does exactly this pairing)."""
+    verts = np.array(
+        [[-4, -4, 2.0], [4, -4, 2.0], [4, 4, 2.0], [-4, 4, 2.0]],
+        np.float32,
+    )
+    faces = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+    res = 64
+    intr = np.array([[res / 2, 0, res / 2], [0, res / 2, res / 2],
+                     [0, 0, 1]], np.float32)
+    out = rasterize_mesh(verts, faces, np.eye(4), intr, (res, res))
+    mask = np.asarray(out["mask"])
+    assert mask.all()
+    bary = np.asarray(out["bary"])[mask]
+    fid = np.asarray(out["face_id"])[mask]
+    wp = np.asarray(out["world_pos"])[mask]
+    recon = np.einsum("pk,pkd->pd", bary, verts[faces[fid]])
+    np.testing.assert_allclose(recon, wp, atol=1e-4)
+    # pix_verts must be the parent triangles' corners
+    pv = np.asarray(out["pix_verts"])[mask]
+    np.testing.assert_allclose(pv, verts[faces[fid]], atol=1e-6)

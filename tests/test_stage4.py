@@ -85,3 +85,34 @@ def test_stage4_auto_max_per_tile(scene, tmp_path):
     k = runner.cfg.max_per_tile
     assert k >= 64 and k <= 1024 and (k & (k - 1)) == 0
     runner.run(n_iters=1, log_every=10)
+
+
+def test_tile_overlap_excludes_invalid_gaussians():
+    """Behind-camera gaussians never composite, so they must not inflate
+    tile-overlap counts (they drive the auto max_per_tile choice)."""
+    import jax.numpy as jnp
+
+    from holoscene_tpu.ops.splat import tile_overlap_counts
+
+    n = 64
+    means_behind = np.concatenate(
+        [np.random.default_rng(0).uniform(-0.3, 0.3, (n, 2)),
+         np.full((n, 1), -2.0)], axis=1
+    ).astype(np.float32)  # z < 0: behind the camera
+    quats = np.tile([1, 0, 0, 0], (n, 1)).astype(np.float32)
+    scales = np.full((n, 3), 0.05, np.float32)
+    intr = np.array([[32, 0, 32], [0, 32, 32], [0, 0, 1]], np.float32)
+    counts = tile_overlap_counts(
+        jnp.asarray(means_behind), jnp.asarray(quats),
+        jnp.asarray(scales), jnp.eye(4), jnp.asarray(intr), 64, 64
+    )
+    assert int(np.asarray(counts).max()) == 0
+
+    # sanity: the same gaussians in FRONT of the camera do count
+    means_front = means_behind.copy()
+    means_front[:, 2] = 2.0
+    counts_f = tile_overlap_counts(
+        jnp.asarray(means_front), jnp.asarray(quats),
+        jnp.asarray(scales), jnp.eye(4), jnp.asarray(intr), 64, 64
+    )
+    assert int(np.asarray(counts_f).max()) > 0
