@@ -116,6 +116,11 @@ class ImplicitNetworkConfig:
     # measured end-to-end winner on v5e) or "raw" (exact f32 width-2
     # takes, zero build). See ops/hashgrid.py _fused_core.
     fused_fetch: str = "packed"
+    # Stochastic color-grid backward: importance-sample ONE corner per
+    # (hashed level, point) for table b's gradient scatter (unbiased, 8x
+    # less scatter traffic on those channels). Training-only; the SDF
+    # grid's gradient stays exact. See ops/hashgrid.py _hash_fused_bwd.
+    color_bwd_sample: bool = False
 
     @property
     def grid_meta(self) -> HashGridMeta:
@@ -166,6 +171,7 @@ class ImplicitNetworkConfig:
             grid_interp=conf.get_string("grid_interp", "trilinear"),
             dense_max_res=conf.get_int("dense_max_res", 0),
             fused_fetch=conf.get_string("fused_fetch", "packed"),
+            color_bwd_sample=conf.get_bool("color_bwd_sample", False),
         )
 
 
@@ -473,7 +479,7 @@ def implicit_get_outputs_jvp(params, cfg, x):
     return sdf, feature_vectors, gradients, semantic, sdf_raw
 
 
-def implicit_get_outputs_fused(params, cfg, x):
+def implicit_get_outputs_fused(params, cfg, x, grad_seed=None):
     """implicit_get_outputs via the fused encode-with-jacobian custom VJP
     (ops/hashgrid.py hash_encode_fused_dual) — the TPU hot path.
 
@@ -493,9 +499,12 @@ def implicit_get_outputs_fused(params, cfg, x):
 
     xn = x / cfg.divide_factor
     x01 = (xn + 1.0) * 0.5
+    sample = (cfg.color_bwd_sample and grad_seed is not None
+              and cfg.fused_fetch == "packed")
     feats, J, cf = hash_encode_fused_dual(
         x01, params["grid"], params["color_grid"], cfg.grid_meta,
-        cfg.fused_fetch,
+        cfg.fused_fetch, seed=grad_seed,
+        color_bwd="sampled" if sample else "exact",
     )  # feats [N,F], J [F,3,N] (d feats / d x01), cf [N,F]
 
     def head(feature, pts):

@@ -22,6 +22,7 @@ intentional, TPU-first):
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any
 
 import jax
@@ -223,7 +224,19 @@ def render_rays(
         and ic.grid_interp == "trilinear"
     )
     if cfg.forward_grad_mode == "fused" and fused_ok:
-        get_outputs = implicit_get_outputs_fused
+        if training and ic.color_bwd_sample:
+            # per-step entropy for the stochastic color-grid backward
+            # (fields.py color_bwd_sample): uint32 bits carried in an f32
+            # scalar so it rides the custom_vjp's differentiable-arg slot.
+            gs = jax.lax.bitcast_convert_type(
+                jax.random.bits(jax.random.fold_in(key, 7), dtype=jnp.uint32),
+                jnp.float32,
+            )
+            get_outputs = functools.partial(
+                implicit_get_outputs_fused, grad_seed=gs
+            )
+        else:
+            get_outputs = implicit_get_outputs_fused
     elif cfg.forward_grad_mode == "jvp":
         get_outputs = implicit_get_outputs_jvp
     else:

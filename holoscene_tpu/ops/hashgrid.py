@@ -901,9 +901,16 @@ def _fused_core(x01, emb_a, emb_b, meta: HashGridMeta, fetch: str = "raw"):
     return (cell, row_h), frac, oob, vals
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _hash_fused_p(x01, emb_a, emb_b, seed, meta: HashGridMeta,
+                  fetch: str, color_bwd: str):
+    out, _ = _hash_fused_fwd(x01, emb_a, emb_b, seed, meta, fetch, color_bwd)
+    return out
+
+
 def hash_encode_fused_dual(x01, emb_a, emb_b, meta: HashGridMeta,
-                           fetch: str = "raw"):
+                           fetch: str = "raw", seed=None,
+                           color_bwd: str = "exact"):
     """Dual-table encode + analytic jacobian of table a's features.
 
     x01 [N,3] in [0,1]; emb_a/emb_b [table_rows, 2].
@@ -911,13 +918,27 @@ def hash_encode_fused_dual(x01, emb_a, emb_b, meta: HashGridMeta,
     J_a[f, d, n] = d feats_a[n, f] / d x01[n, d]. J is returned point-minor
     (contract with einsum "nf,fdn->nd"). fetch picks the gather style
     (see _fused_core): "raw" is exact f32, "packed" bf16-rounds values.
+
+    color_bwd="sampled" (packed fetch only) makes table b's hashed-level
+    gradient STOCHASTIC: one corner per (level, point), importance-sampled
+    with probability equal to its trilinear weight, so the scattered value
+    is exactly the feature cotangent (the weight cancels) — an unbiased
+    estimator that cuts the step's dominant scatter traffic 8x for those
+    channels. Table a (SDF grid, second-order path) stays exact. `seed`
+    is a float32 scalar carrying uint32 entropy bits (vary it per step).
     """
-    out, _ = _hash_fused_fwd(x01, emb_a, emb_b, meta, fetch)
-    return out
+    if color_bwd not in ("exact", "sampled"):
+        raise ValueError(f"color_bwd must be 'exact' or 'sampled', got "
+                         f"{color_bwd!r}")
+    if color_bwd == "sampled" and fetch != "packed":
+        raise ValueError("color_bwd='sampled' requires fetch='packed'")
+    if seed is None:
+        seed = jnp.float32(0.0)
+    return _hash_fused_p(x01, emb_a, emb_b, seed, meta, fetch, color_bwd)
 
 
-def _hash_fused_fwd(x01, emb_a, emb_b, meta: HashGridMeta,
-                    fetch: str = "raw"):
+def _hash_fused_fwd(x01, emb_a, emb_b, seed, meta: HashGridMeta,
+                    fetch: str = "raw", color_bwd: str = "exact"):
     n = x01.shape[0]
     L = meta.num_levels
     scales = _fused_level_split(meta)[3]
@@ -950,12 +971,13 @@ def _hash_fused_fwd(x01, emb_a, emb_b, meta: HashGridMeta,
         Ja.reshape(L * 2, 3, n),
         fb.reshape(L * 2, n).T,
     )
-    residuals = (idx, frac, vals, oob)
+    residuals = (idx, frac, vals, oob, seed)
     return out, residuals
 
 
-def _hash_fused_bwd(meta: HashGridMeta, fetch: str, residuals, cts):
-    idx, frac, vals, oob = residuals
+def _hash_fused_bwd(meta: HashGridMeta, fetch: str, color_bwd: str,
+                    residuals, cts):
+    idx, frac, vals, oob, seed = residuals
     ct_fa, ct_Ja, ct_fb = cts
     n = oob.shape[0]
     (res_np, sizes_np, offsets_np, scales, Ld, cell_off, cell_res,
@@ -1047,8 +1069,34 @@ def _hash_fused_bwd(meta: HashGridMeta, fetch: str, residuals, cts):
                     g_ch[(t, ch)] = jnp.zeros((rows,), jnp.float32)
         if L - Ld:
             rh = row_h.reshape(-1)
-            for (t, ch), corner in ((("a", 0), ca0), (("a", 1), ca1),
-                                    (("b", 0), cb0), (("b", 1), cb1)):
+            exact = [(("a", 0), ca0), (("a", 1), ca1)]
+            if color_bwd == "sampled":
+                # Importance-sample ONE corner per (hashed level, point):
+                # P(corner) = its trilinear weight (per-dim Bernoulli on the
+                # smoothstep weights, so the product factorizes exactly),
+                # and the scattered value is the bare feature cotangent —
+                # the weight cancels, E[scatter] = sum_k w_k * ct. Cuts
+                # table b's hashed scatter traffic 8x; table a keeps the
+                # exact fused (primal+second-order) scatter.
+                kkey = jax.random.PRNGKey(
+                    jax.lax.bitcast_convert_type(seed, jnp.int32)
+                )
+                u = jax.random.uniform(kkey, (3, L - Ld, n))
+                wh = _smoothstep(frac[Ld:])              # [Lh,3,N]
+                ksel = sum(
+                    (u[d] < wh[:, d]).astype(jnp.int32) << d for d in range(3)
+                )                                        # [Lh,N]
+                rs = jnp.take_along_axis(
+                    row_h, ksel[:, None, :], axis=1
+                )[:, 0, :].reshape(-1)
+                cfb_h = cfb[Ld:]                         # [Lh,2,N]
+                for ch in range(2):
+                    g_ch[("b", ch)] = g_ch[("b", ch)].at[rs].add(
+                        cfb_h[:, ch].reshape(-1)
+                    )
+            else:
+                exact += [(("b", 0), cb0), (("b", 1), cb1)]
+            for (t, ch), corner in exact:
                 g_ch[(t, ch)] = g_ch[(t, ch)].at[rh].add(
                     corner[Ld:].reshape(-1)
                 )
@@ -1085,10 +1133,10 @@ def _hash_fused_bwd(meta: HashGridMeta, fetch: str, residuals, cts):
         ct_cols.append(acc.sum(axis=(0, 1)))             # [N]
     ct_x01 = jnp.stack(ct_cols, axis=-1)                 # [N,3]
 
-    return ct_x01, grad_a, grad_b
+    return ct_x01, grad_a, grad_b, jnp.zeros((), jnp.float32)
 
 
-hash_encode_fused_dual.defvjp(_hash_fused_fwd, _hash_fused_bwd)
+_hash_fused_p.defvjp(_hash_fused_fwd, _hash_fused_bwd)
 
 
 def hash_encode_world(

@@ -110,6 +110,65 @@ def test_fused_vjp_matches_autodiff(dmr, fetch):
         np.testing.assert_allclose(a, b, atol=tol * max(s, 1.0))
 
 
+def test_sampled_color_bwd_unbiased_and_selective():
+    """color_bwd='sampled' (packed fetch): table b's hashed-level gradient is
+    a one-corner importance-sampled estimator. Checks: (1) table a's grad and
+    table b's DENSE-level rows stay exactly equal to the exact path for any
+    seed; (2) the seed-mean of table b's hashed rows converges to the exact
+    gradient (unbiasedness)."""
+    meta, ea, eb, x = _setup(0, n=29)
+    _, _, offsets_np, _, Ld, _, _, _ = _fused_level_split(meta)
+    dense_rows = int(offsets_np[Ld])
+    assert 0 < Ld < meta.num_levels  # need both dense and hashed levels
+    r1 = jax.random.normal(jax.random.PRNGKey(5), (x.shape[0], meta.output_dim))
+    r3 = jax.random.normal(jax.random.PRNGKey(7), (x.shape[0], meta.output_dim))
+
+    def loss(xx, ea_, eb_, seed, mode):
+        fa, Ja, fb = hash_encode_fused_dual(
+            xx, ea_, eb_, meta, "packed", seed=seed, color_bwd=mode
+        )
+        return (fa * r1).sum() + (fb * r3).sum()
+
+    def grads(seed, mode):
+        return jax.grad(loss, argnums=(1, 2))(x, ea, eb, seed, mode)
+
+    ga_ex, gb_ex = grads(jnp.float32(0.0), "exact")
+
+    seeds = jax.lax.bitcast_convert_type(
+        jax.random.bits(jax.random.PRNGKey(11), (384,), dtype=jnp.uint32),
+        jnp.float32,
+    )
+    ga_s, gb_s = jax.jit(
+        jax.vmap(lambda s: grads(s, "sampled"))
+    )(seeds)
+
+    # (1) table a exact for every seed; dense rows of b exact for every seed
+    np.testing.assert_allclose(
+        ga_s, jnp.broadcast_to(ga_ex, ga_s.shape), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        gb_s[:, :dense_rows],
+        jnp.broadcast_to(gb_ex[:dense_rows], gb_s[:, :dense_rows].shape),
+        atol=1e-6,
+    )
+
+    # (2) hashed rows: unbiased — the seed-mean approaches the exact grad
+    mean_h = gb_s[:, dense_rows:].mean(axis=0)
+    ref_h = gb_ex[dense_rows:]
+    scale = float(jnp.abs(ref_h).max())
+    np.testing.assert_allclose(mean_h, ref_h, atol=0.12 * max(scale, 1.0))
+    # and a single draw is NOT the exact grad (it really samples)
+    assert float(jnp.abs(gb_s[0, dense_rows:] - ref_h).max()) > 1e-4
+
+
+def test_sampled_color_bwd_guards():
+    meta, ea, eb, x = _setup(0, n=7)
+    with pytest.raises(ValueError):
+        hash_encode_fused_dual(x, ea, eb, meta, "raw", color_bwd="sampled")
+    with pytest.raises(ValueError):
+        hash_encode_fused_dual(x, ea, eb, meta, "packed", color_bwd="typo")
+
+
 def test_fused_oob_zeroed():
     meta, ea, eb, _ = _setup(64)
     x = jnp.array([[1.5, 0.5, 0.5], [0.2, 0.3, 0.4], [-0.1, 0.2, 0.3]])
