@@ -286,6 +286,87 @@ class BicubicUpsampler(Upsampler):
         return np.asarray(im, dtype=np.float32) / 255.0
 
 
+class TorchScriptUpsampler(Upsampler):
+    """Real super-resolution via a TorchScript checkpoint (export the
+    Real-ESRGAN RRDBNet once on a torch box: `torch.jit.trace(model, x)`;
+    reference upsample/ pipeline). Contract: model(image [1,3,h,w] float
+    in [0,1]) -> [1,3,h*s,w*s] in [0,1] for a fixed integer s.
+
+    Images are processed in overlapping tiles (Real-ESRGAN's own tiling
+    strategy) so arbitrarily large renders fit host memory; the overlap
+    margin is cropped from every tile's output to hide seam artifacts.
+    """
+
+    def __init__(self, checkpoint: str, device: str = "cpu",
+                 tile: int = 256, tile_pad: int = 16):
+        try:
+            import torch
+        except ImportError as e:  # pragma: no cover
+            raise RuntimeError(
+                "TorchScriptUpsampler needs torch; use BicubicUpsampler "
+                "without it"
+            ) from e
+        if not os.path.isfile(checkpoint):
+            raise FileNotFoundError(
+                f"TorchScript SR checkpoint not found: {checkpoint}"
+            )
+        self._torch = torch
+        self.device = device
+        self.tile = tile
+        self.tile_pad = tile_pad
+        self.model = torch.jit.load(checkpoint, map_location=device)
+        self.model.eval()
+        # probe the model's native scale factor once
+        with torch.no_grad():
+            probe = torch.zeros(1, 3, 8, 8, device=device)
+            self._native_scale = self.model(probe).shape[-1] // 8
+
+    def _run_tile(self, chw: np.ndarray) -> np.ndarray:
+        torch = self._torch
+        with torch.no_grad():
+            t = torch.from_numpy(chw[None]).float().to(self.device)
+            out = self.model(t)[0].clamp(0, 1).cpu().numpy()
+        return out
+
+    def upsample(self, image: np.ndarray, scale: int = 4) -> np.ndarray:
+        s = self._native_scale
+        gray = image.ndim == 2 or image.shape[-1] == 1
+        img = image[..., 0] if (image.ndim == 3 and gray) else image
+        if gray:
+            img = np.stack([img] * 3, axis=-1)
+        h, w = img.shape[:2]
+        chw = np.ascontiguousarray(
+            np.clip(img, 0.0, 1.0).transpose(2, 0, 1).astype(np.float32)
+        )
+        out = np.zeros((3, h * s, w * s), np.float32)
+        for y0 in range(0, h, self.tile):
+            for x0 in range(0, w, self.tile):
+                y1, x1 = min(y0 + self.tile, h), min(x0 + self.tile, w)
+                py0, px0 = max(y0 - self.tile_pad, 0), max(x0 - self.tile_pad, 0)
+                py1, px1 = min(y1 + self.tile_pad, h), min(x1 + self.tile_pad, w)
+                up = self._run_tile(chw[:, py0:py1, px0:px1])
+                oy, ox = (y0 - py0) * s, (x0 - px0) * s
+                out[:, y0 * s : y1 * s, x0 * s : x1 * s] = up[
+                    :, oy : oy + (y1 - y0) * s, ox : ox + (x1 - x0) * s
+                ]
+        res = out.transpose(1, 2, 0)
+        if gray:
+            res = res.mean(axis=-1)
+            if image.ndim == 3:
+                res = res[..., None]
+        if scale != s:  # model has a fixed native scale; resample to match
+            from PIL import Image
+
+            im = Image.fromarray(
+                np.clip(res * 255, 0, 255).astype(np.uint8).squeeze()
+            )
+            im = im.resize((w * scale, h * scale), Image.BICUBIC)
+            res = np.asarray(im, dtype=np.float32) / 255.0
+            if image.ndim == 3 and gray:
+                res = res[..., None]
+        return res
+
+
 # ---------------------------------------------------------------------------
 # cached artifacts (vis_info / bg_info hand-off)
 # ---------------------------------------------------------------------------
@@ -331,7 +412,17 @@ class CachedArtifactNovelViewProvider(NovelViewProvider):
 
 
 def default_providers(render_fn=None) -> dict:
-    return {
+    """Provider set for the Stage-2 runner. Checkpoint-free fallbacks by
+    default; real TorchScript models attach automatically when these env
+    vars point at exported checkpoints (errors propagate — a set-but-broken
+    path should fail loudly, not silently fall back):
+
+      HOLOSCENE_LAMA_CKPT    TorchScript big-lama (or trainer dir) -> inpaint
+      HOLOSCENE_NORMAL_CKPT  TorchScript Omnidata DPT              -> normal
+      HOLOSCENE_SR_CKPT      TorchScript Real-ESRGAN RRDBNet       -> upsample
+      HOLOSCENE_VIEW_CACHE   recorded vis_info_{i}.pkl directory   -> novel_view
+    """
+    providers: dict = {
         "inpaint": NullInpaintProvider(),
         "novel_view": (
             ModelRenderNovelViewProvider(render_fn) if render_fn else None
@@ -339,3 +430,16 @@ def default_providers(render_fn=None) -> dict:
         "normal": DepthGradientNormalEstimator(),
         "upsample": BicubicUpsampler(),
     }
+    lama = os.environ.get("HOLOSCENE_LAMA_CKPT")
+    if lama:
+        providers["inpaint"] = TorchLamaProvider(lama)
+    normal = os.environ.get("HOLOSCENE_NORMAL_CKPT")
+    if normal:
+        providers["normal"] = TorchScriptNormalEstimator(normal)
+    sr = os.environ.get("HOLOSCENE_SR_CKPT")
+    if sr:
+        providers["upsample"] = TorchScriptUpsampler(sr)
+    cache = os.environ.get("HOLOSCENE_VIEW_CACHE")
+    if cache:
+        providers["novel_view"] = CachedArtifactNovelViewProvider(cache)
+    return providers

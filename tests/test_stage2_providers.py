@@ -63,6 +63,75 @@ def test_torch_lama_provider_missing_checkpoint(tmp_path):
         TorchLamaProvider(str(tmp_path / "nope.pt"))
 
 
+def _make_jit_sr(path, scale=4):
+    """A tiny TorchScript module honoring the Real-ESRGAN JIT contract:
+    (image [1,3,H,W] in [0,1]) -> [1,3,H*s,W*s]. Nearest-upsamples (exact,
+    so tiling seams are detectable as any deviation)."""
+    torch = pytest.importorskip("torch")
+
+    class FakeSR(torch.nn.Module):
+        def __init__(self, s: int):
+            super().__init__()
+            self.s = s
+
+        def forward(self, image):
+            return torch.nn.functional.interpolate(
+                image, scale_factor=float(self.s), mode="nearest"
+            )
+
+    scripted = torch.jit.script(FakeSR(scale))
+    torch.jit.save(scripted, str(path))
+    return str(path)
+
+
+def test_torchscript_upsampler(tmp_path):
+    from holoscene_tpu.stage2.providers import TorchScriptUpsampler
+
+    ckpt = _make_jit_sr(tmp_path / "realesrgan.pt", scale=4)
+    up = TorchScriptUpsampler(ckpt, tile=16, tile_pad=4)  # force tiling
+    assert up._native_scale == 4
+
+    rng = np.random.default_rng(0)
+    img = rng.uniform(0, 1, (37, 29, 3)).astype(np.float32)  # odd dims
+    out = up.upsample(img, scale=4)
+    assert out.shape == (37 * 4, 29 * 4, 3)
+    # nearest-exact model => tiled output must equal the untiled upsample
+    ref = np.repeat(np.repeat(img, 4, axis=0), 4, axis=1)
+    np.testing.assert_allclose(out, ref, atol=1e-6)
+
+    # grayscale [H,W,1] round-trips
+    g = rng.uniform(0, 1, (16, 16, 1)).astype(np.float32)
+    out_g = up.upsample(g, scale=4)
+    assert out_g.shape == (64, 64, 1)
+
+    # requested scale != native scale resamples to the requested size
+    out2 = up.upsample(img, scale=2)
+    assert out2.shape == (37 * 2, 29 * 2, 3)
+
+    with pytest.raises(FileNotFoundError):
+        TorchScriptUpsampler(str(tmp_path / "nope.pt"))
+
+
+def test_default_providers_env_attach(tmp_path, monkeypatch):
+    from holoscene_tpu.stage2.providers import (
+        TorchScriptUpsampler,
+        default_providers,
+    )
+
+    ckpt = _make_jit_sr(tmp_path / "sr.pt")
+    cache = tmp_path / "views"
+    cache.mkdir()
+    monkeypatch.setenv("HOLOSCENE_SR_CKPT", str(ckpt))
+    monkeypatch.setenv("HOLOSCENE_VIEW_CACHE", str(cache))
+    p = default_providers()
+    assert isinstance(p["upsample"], TorchScriptUpsampler)
+    assert isinstance(p["novel_view"], CachedArtifactNovelViewProvider)
+
+    monkeypatch.setenv("HOLOSCENE_SR_CKPT", str(tmp_path / "missing.pt"))
+    with pytest.raises(FileNotFoundError):  # set-but-broken fails loudly
+        default_providers()
+
+
 def _fake_view_pack(res=16, seed=0):
     rng = np.random.default_rng(seed)
     pose = np.eye(4, dtype=np.float32)
