@@ -66,8 +66,8 @@ def flagship_config() -> HoloSceneConfig:
             dense_max_res=int(os.environ.get("BENCH_DENSE_MAX_RES", "0")),
             fused_fetch=os.environ.get("BENCH_FUSED_FETCH", "packed"),
             # stochastic one-corner color-grid backward (unbiased; see
-            # ops/hashgrid.py color_bwd="sampled")
-            color_bwd_sample=os.environ.get("BENCH_COLOR_BWD", "0") == "1",
+            # ops/hashgrid.py color_bwd="sampled"); quality-gated default
+            color_bwd_sample=os.environ.get("BENCH_COLOR_BWD", "1") == "1",
         ),
         rendering=RenderingNetworkConfig(
             feature_vector_size=256, dims=(256, 256), multires_view=4,

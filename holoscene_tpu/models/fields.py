@@ -120,7 +120,10 @@ class ImplicitNetworkConfig:
     # (hashed level, point) for table b's gradient scatter (unbiased, 8x
     # less scatter traffic on those channels). Training-only; the SDF
     # grid's gradient stays exact. See ops/hashgrid.py _hash_fused_bwd.
-    color_bwd_sample: bool = False
+    # Default ON: quality-gated on hardware (2500-iter synthetic protocol:
+    # 35.74 dB / chamfer 0.0869/0.0961 vs 35.65 / 0.0869/0.0961 exact),
+    # end-to-end 2879 -> 3817 rays/s. Only active under fused+packed.
+    color_bwd_sample: bool = True
 
     @property
     def grid_meta(self) -> HashGridMeta:
@@ -171,7 +174,7 @@ class ImplicitNetworkConfig:
             grid_interp=conf.get_string("grid_interp", "trilinear"),
             dense_max_res=conf.get_int("dense_max_res", 0),
             fused_fetch=conf.get_string("fused_fetch", "packed"),
-            color_bwd_sample=conf.get_bool("color_bwd_sample", False),
+            color_bwd_sample=conf.get_bool("color_bwd_sample", True),
         )
 
 
