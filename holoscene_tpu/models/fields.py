@@ -124,6 +124,11 @@ class ImplicitNetworkConfig:
     # 35.74 dB / chamfer 0.0869/0.0961 vs 35.65 / 0.0869/0.0961 exact),
     # end-to-end 2879 -> 3817 rays/s. Only active under fused+packed.
     color_bwd_sample: bool = True
+    # Additionally sample the SDF grid's hashed-level gradient (one corner
+    # drawn ~ |fused cotangent| with exact normalizer — unbiased for the
+    # signed second-order terms). Opt-in pending quality gating: SDF
+    # gradient noise feeds the eikonal/geometry path directly.
+    sdf_bwd_sample: bool = False
 
     @property
     def grid_meta(self) -> HashGridMeta:
@@ -175,6 +180,7 @@ class ImplicitNetworkConfig:
             dense_max_res=conf.get_int("dense_max_res", 0),
             fused_fetch=conf.get_string("fused_fetch", "packed"),
             color_bwd_sample=conf.get_bool("color_bwd_sample", True),
+            sdf_bwd_sample=conf.get_bool("sdf_bwd_sample", False),
         )
 
 
@@ -504,10 +510,12 @@ def implicit_get_outputs_fused(params, cfg, x, grad_seed=None):
     x01 = (xn + 1.0) * 0.5
     sample = (cfg.color_bwd_sample and grad_seed is not None
               and cfg.fused_fetch == "packed")
+    mode = "exact"
+    if sample:
+        mode = "sampled_all" if cfg.sdf_bwd_sample else "sampled"
     feats, J, cf = hash_encode_fused_dual(
         x01, params["grid"], params["color_grid"], cfg.grid_meta,
-        cfg.fused_fetch, seed=grad_seed,
-        color_bwd="sampled" if sample else "exact",
+        cfg.fused_fetch, seed=grad_seed, color_bwd=mode,
     )  # feats [N,F], J [F,3,N] (d feats / d x01), cf [N,F]
 
     def head(feature, pts):

@@ -926,12 +926,21 @@ def hash_encode_fused_dual(x01, emb_a, emb_b, meta: HashGridMeta,
     estimator that cuts the step's dominant scatter traffic 8x for those
     channels. Table a (SDF grid, second-order path) stays exact. `seed`
     is a float32 scalar carrying uint32 entropy bits (vary it per step).
+
+    color_bwd="sampled_all" additionally samples table a's hashed levels:
+    its fused corner cotangent carries signed second-order terms, so the
+    corner is drawn proportional to |ct_ch0| + |ct_ch1| and the scattered
+    value is ct * S / s_k (self-normalized importance sampling with the
+    EXACT normalizer — unbiased for any signed cotangents; for table b
+    this distribution degenerates to the trilinear weights, which is why
+    b uses the cheaper per-dim Bernoulli form). Dense levels stay exact
+    for both tables.
     """
-    if color_bwd not in ("exact", "sampled"):
-        raise ValueError(f"color_bwd must be 'exact' or 'sampled', got "
-                         f"{color_bwd!r}")
-    if color_bwd == "sampled" and fetch != "packed":
-        raise ValueError("color_bwd='sampled' requires fetch='packed'")
+    if color_bwd not in ("exact", "sampled", "sampled_all"):
+        raise ValueError(f"color_bwd must be 'exact', 'sampled' or "
+                         f"'sampled_all', got {color_bwd!r}")
+    if color_bwd != "exact" and fetch != "packed":
+        raise ValueError(f"color_bwd={color_bwd!r} requires fetch='packed'")
     if seed is None:
         seed = jnp.float32(0.0)
     return _hash_fused_p(x01, emb_a, emb_b, seed, meta, fetch, color_bwd)
@@ -1070,7 +1079,7 @@ def _hash_fused_bwd(meta: HashGridMeta, fetch: str, color_bwd: str,
         if L - Ld:
             rh = row_h.reshape(-1)
             exact = [(("a", 0), ca0), (("a", 1), ca1)]
-            if color_bwd == "sampled":
+            if color_bwd != "exact":
                 # Importance-sample ONE corner per (hashed level, point):
                 # P(corner) = its trilinear weight (per-dim Bernoulli on the
                 # smoothstep weights, so the product factorizes exactly),
@@ -1081,7 +1090,8 @@ def _hash_fused_bwd(meta: HashGridMeta, fetch: str, color_bwd: str,
                 kkey = jax.random.PRNGKey(
                     jax.lax.bitcast_convert_type(seed, jnp.int32)
                 )
-                u = jax.random.uniform(kkey, (3, L - Ld, n))
+                kb, ka = jax.random.split(kkey)
+                u = jax.random.uniform(kb, (3, L - Ld, n))
                 wh = _smoothstep(frac[Ld:])              # [Lh,3,N]
                 ksel = sum(
                     (u[d] < wh[:, d]).astype(jnp.int32) << d for d in range(3)
@@ -1096,6 +1106,27 @@ def _hash_fused_bwd(meta: HashGridMeta, fetch: str, color_bwd: str,
                     )
             else:
                 exact += [(("b", 0), cb0), (("b", 1), cb1)]
+            if color_bwd == "sampled_all":
+                exact = []
+                ca_h = (ca0[Ld:], ca1[Ld:])              # [Lh,8,N] each
+                s = jnp.abs(ca_h[0]) + jnp.abs(ca_h[1])  # [Lh,8,N]
+                cum = jnp.cumsum(s, axis=1)
+                S = cum[:, -1, :]                        # [Lh,N] exact norm
+                u2 = jax.random.uniform(ka, S.shape) * S
+                ksel_a = jnp.minimum(
+                    (u2[:, None, :] >= cum).sum(axis=1), 7
+                )                                        # [Lh,N]
+                sel = ksel_a[:, None, :]
+                s_k = jnp.take_along_axis(s, sel, axis=1)[:, 0, :]
+                ratio = jnp.where(s_k > 0.0, S / jnp.maximum(s_k, 1e-30), 0.0)
+                rs_a = jnp.take_along_axis(
+                    row_h, sel, axis=1
+                )[:, 0, :].reshape(-1)
+                for ch in range(2):
+                    val = jnp.take_along_axis(ca_h[ch], sel, axis=1)[:, 0, :]
+                    g_ch[("a", ch)] = g_ch[("a", ch)].at[rs_a].add(
+                        (val * ratio).reshape(-1)
+                    )
             for (t, ch), corner in exact:
                 g_ch[(t, ch)] = g_ch[(t, ch)].at[rh].add(
                     corner[Ld:].reshape(-1)

@@ -42,6 +42,7 @@ _dual = os.environ.get("QUALITY_DUAL", "0") == "1"
 _interp = os.environ.get("QUALITY_INTERP", "trilinear")
 _fetch = os.environ.get("QUALITY_FUSED_FETCH", "packed")
 _cbwd = os.environ.get("QUALITY_COLOR_BWD", "0") == "1"
+_sbwd = os.environ.get("QUALITY_SDF_BWD", "0") == "1"
 runner.model_cfg = dataclasses.replace(
     runner.model_cfg, sampler_grid_levels=8, render_top_m=_top_m,
     forward_grad_mode=_grad_mode,
@@ -49,9 +50,11 @@ runner.model_cfg = dataclasses.replace(
                                  fused_dual_grid=_dual,
                                  grid_interp=_interp,
                                  fused_fetch=_fetch,
-                                 color_bwd_sample=_cbwd))
+                                 color_bwd_sample=_cbwd,
+                                 sdf_bwd_sample=_sbwd))
 print(f"quality run: top_m={_top_m} grad_mode={_grad_mode} dual={_dual} "
-      f"interp={_interp} fetch={_fetch} color_bwd_sample={_cbwd}", flush=True)
+      f"interp={_interp} fetch={_fetch} color_bwd_sample={_cbwd} "
+      f"sdf_bwd_sample={_sbwd}", flush=True)
 from holoscene_tpu.training.stage1 import make_train_step, make_eval_render
 runner.train_step = make_train_step(runner.model_cfg, runner.loss_cfg, runner.optimizer)
 runner.render_frame = make_eval_render(runner.model_cfg)

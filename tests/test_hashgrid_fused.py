@@ -161,6 +161,58 @@ def test_sampled_color_bwd_unbiased_and_selective():
     assert float(jnp.abs(gb_s[0, dense_rows:] - ref_h).max()) > 1e-4
 
 
+def test_sampled_all_bwd_unbiased_for_sdf_table():
+    """color_bwd='sampled_all': table a's hashed-level gradient (which
+    carries the fused second-order jacobian cotangent, signed) is drawn
+    ~ |cotangent| with the exact normalizer — seed-mean must converge to
+    the exact gradient; dense rows stay exact per-seed."""
+    meta, ea, eb, x = _setup(0, n=29)
+    _, _, offsets_np, _, Ld, _, _, _ = _fused_level_split(meta)
+    dense_rows = int(offsets_np[Ld])
+    r1 = jax.random.normal(jax.random.PRNGKey(5), (x.shape[0], meta.output_dim))
+    r2 = jax.random.normal(
+        jax.random.PRNGKey(6), (meta.output_dim, 3, x.shape[0])
+    )
+    r3 = jax.random.normal(jax.random.PRNGKey(7), (x.shape[0], meta.output_dim))
+
+    def loss(xx, ea_, eb_, seed, mode):
+        fa, Ja, fb = hash_encode_fused_dual(
+            xx, ea_, eb_, meta, "packed", seed=seed, color_bwd=mode
+        )
+        # touch the jacobian so table a's cotangent has second-order terms
+        return (fa * r1).sum() + (Ja * r2).sum() + (fb * r3).sum()
+
+    def grads(seed, mode):
+        return jax.grad(loss, argnums=(1, 2))(x, ea, eb, seed, mode)
+
+    ga_ex, gb_ex = grads(jnp.float32(0.0), "exact")
+    seeds = jax.lax.bitcast_convert_type(
+        jax.random.bits(jax.random.PRNGKey(13), (768,), dtype=jnp.uint32),
+        jnp.float32,
+    )
+    ga_s, gb_s = jax.jit(jax.vmap(lambda s: grads(s, "sampled_all")))(seeds)
+
+    # dense rows exact per-seed for BOTH tables
+    np.testing.assert_allclose(
+        ga_s[:, :dense_rows],
+        jnp.broadcast_to(ga_ex[:dense_rows], ga_s[:, :dense_rows].shape),
+        atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        gb_s[:, :dense_rows],
+        jnp.broadcast_to(gb_ex[:dense_rows], gb_s[:, :dense_rows].shape),
+        atol=1e-5,
+    )
+    # hashed rows: seed-mean converges (|ct|-IS has higher variance than
+    # the weight-Bernoulli, hence more seeds + a looser tolerance)
+    for g_s, g_ex in ((ga_s, ga_ex), (gb_s, gb_ex)):
+        mean_h = g_s[:, dense_rows:].mean(axis=0)
+        ref_h = g_ex[dense_rows:]
+        scale = float(jnp.abs(ref_h).max())
+        np.testing.assert_allclose(mean_h, ref_h, atol=0.15 * max(scale, 1.0))
+        assert float(jnp.abs(g_s[0, dense_rows:] - ref_h).max()) > 1e-4
+
+
 def test_sampled_color_bwd_guards():
     meta, ea, eb, x = _setup(0, n=7)
     with pytest.raises(ValueError):
