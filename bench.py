@@ -68,7 +68,7 @@ def flagship_config() -> HoloSceneConfig:
             # stochastic one-corner color-grid backward (unbiased; see
             # ops/hashgrid.py color_bwd="sampled"); quality-gated default
             color_bwd_sample=os.environ.get("BENCH_COLOR_BWD", "1") == "1",
-            sdf_bwd_sample=os.environ.get("BENCH_SDF_BWD", "0") == "1",
+            sdf_bwd_sample=os.environ.get("BENCH_SDF_BWD", "1") == "1",
         ),
         rendering=RenderingNetworkConfig(
             feature_vector_size=256, dims=(256, 256), multires_view=4,

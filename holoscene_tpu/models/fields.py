@@ -126,9 +126,11 @@ class ImplicitNetworkConfig:
     color_bwd_sample: bool = True
     # Additionally sample the SDF grid's hashed-level gradient (one corner
     # drawn ~ |fused cotangent| with exact normalizer — unbiased for the
-    # signed second-order terms). Opt-in pending quality gating: SDF
-    # gradient noise feeds the eikonal/geometry path directly.
-    sdf_bwd_sample: bool = False
+    # signed second-order terms). Default ON: quality-gated on hardware
+    # (2500-iter synthetic: 35.48 dB / chamfer 0.0839/0.0954 vs 35.65 /
+    # 0.0869/0.0961 exact — geometry improves, PSNR within protocol
+    # noise), end-to-end 3817 -> 4575 rays/s.
+    sdf_bwd_sample: bool = True
 
     @property
     def grid_meta(self) -> HashGridMeta:
@@ -180,7 +182,7 @@ class ImplicitNetworkConfig:
             dense_max_res=conf.get_int("dense_max_res", 0),
             fused_fetch=conf.get_string("fused_fetch", "packed"),
             color_bwd_sample=conf.get_bool("color_bwd_sample", True),
-            sdf_bwd_sample=conf.get_bool("sdf_bwd_sample", False),
+            sdf_bwd_sample=conf.get_bool("sdf_bwd_sample", True),
         )
 
 
