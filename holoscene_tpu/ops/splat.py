@@ -269,6 +269,9 @@ def render_gaussians(
             # Mosaic kernels only lower on TPU; fall back to the pallas
             # interpreter elsewhere so the flag works on any backend.
             interpret=jax.default_backend() != "tpu",
+            # approx_max_k puts dead (-inf depth) entries at the end, so
+            # live is a prefix — its sum bounds each tile's chunk walk
+            n_live=live.sum(axis=1),
         )
         # re-accumulate the unnormalized depth for a shared epilogue
         depth_t = depth_tn * alpha_t

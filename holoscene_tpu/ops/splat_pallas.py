@@ -47,7 +47,7 @@ TERM_EPS = 1e-4  # stop a tile once every pixel's transmittance is below this
 
 
 def _composite_tile_kernel(xy_ref, conic_ref, rgbz_ref, op_ref, origin_ref,
-                           out_ref, *, tile_size: int):
+                           count_ref, out_ref, *, tile_size: int):
     """One program = one tile.
 
     Block shapes:
@@ -56,13 +56,23 @@ def _composite_tile_kernel(xy_ref, conic_ref, rgbz_ref, op_ref, origin_ref,
       rgbz   [1, K, 4]    (r, g, b, depth)
       op     [1, 1, K]    (opacity * live)
       origin [1, 1, 2]    (SMEM)
+      count  [1, 1, 2]    (SMEM int32, live-prefix length duplicated)
       out    [1, P, 8]    (r, g, b, depth_sum, alpha, used, pad, pad —
                            channel 5 carries the number of chunks walked
                            before saturation, broadcast over pixels)
+
+    The walk stops at ceil(count / K_CHUNK) chunks: per-tile lists are
+    depth-sorted with dead padding at the END (ops/splat.py approx_max_k
+    over -depth), so cost tracks each tile's ACTUAL overlap instead of
+    the global max_per_tile bound — the TPU analog of gsplat's per-tile
+    variable-length ranges.
     """
     p = tile_size * tile_size
     k_total = op_ref.shape[2]
-    n_chunks = k_total // K_CHUNK
+    n_chunks = jnp.minimum(
+        k_total // K_CHUNK,
+        (count_ref[0, 0, 0] + K_CHUNK - 1) // K_CHUNK,
+    )
 
     pix_id = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0).astype(jnp.float32)
     px = origin_ref[0, 0, 0] + (pix_id % tile_size) + 0.5  # [P, 1]
@@ -237,8 +247,8 @@ def _composite_bwd_kernel(xy_ref, conic_ref, op_ref, u_ref, v_ref, origin_ref,
     )
 
 
-def _core_fwd_impl(g_xy, g_conic, g_rgb, g_op, g_z, origins, tile_size,
-                   interpret):
+def _core_fwd_impl(g_xy, g_conic, g_rgb, g_op, g_z, origins, counts,
+                   tile_size, interpret):
     t, k = g_op.shape
     p = tile_size * tile_size
     xy_t = jnp.swapaxes(g_xy, 1, 2)  # [T, 2, K]
@@ -247,6 +257,10 @@ def _core_fwd_impl(g_xy, g_conic, g_rgb, g_op, g_z, origins, tile_size,
     )  # [T, 4, K]
     rgbz = jnp.concatenate([g_rgb, g_z[..., None]], axis=-1)  # [T, K, 4]
     op = g_op[:, None, :]  # [T, 1, K]
+    # counts rides the custom_vjp boundary as float32 (int args would need
+    # float0 cotangents); the kernel wants SMEM int32
+    ci = counts.astype(jnp.int32)
+    counts2 = jnp.stack([ci, ci], axis=-1)[:, None, :]  # [T, 1, 2]
 
     out = pl.pallas_call(
         partial(_composite_tile_kernel, tile_size=tile_size),
@@ -258,38 +272,41 @@ def _core_fwd_impl(g_xy, g_conic, g_rgb, g_op, g_z, origins, tile_size,
             pl.BlockSpec((1, k, 4), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, k), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 2), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 2), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec(
             (1, p, 8), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         ),
         interpret=interpret,
-    )(xy_t, conic_t, rgbz, op, origins[:, None, :])
+    )(xy_t, conic_t, rgbz, op, origins[:, None, :], counts2)
     used = out[:, 0:1, 5].astype(jnp.int32)  # [T, 1]
     return out[:, :, :3], out[:, :, 3], out[:, :, 4], used
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(6, 7))
-def _composite_core(g_xy, g_conic, g_rgb, g_op, g_z, origins, tile_size,
-                    interpret):
+@partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def _composite_core(g_xy, g_conic, g_rgb, g_op, g_z, origins, counts,
+                    tile_size, interpret):
     """Fused tile compositing; returns (rgb [T,P,3], depth_acc [T,P],
     alpha [T,P]) — depth is UNNORMALIZED. K must be a K_CHUNK multiple;
-    g_op is the effective (live-masked) opacity."""
+    g_op is the effective (live-masked) opacity; counts [T] int32 bounds
+    each tile's walk to its live prefix."""
     rgb, depth_acc, alpha, _ = _core_fwd_impl(
-        g_xy, g_conic, g_rgb, g_op, g_z, origins, tile_size, interpret
+        g_xy, g_conic, g_rgb, g_op, g_z, origins, counts, tile_size, interpret
     )
     return rgb, depth_acc, alpha
 
 
-def _core_fwd(g_xy, g_conic, g_rgb, g_op, g_z, origins, tile_size, interpret):
+def _core_fwd(g_xy, g_conic, g_rgb, g_op, g_z, origins, counts, tile_size,
+              interpret):
     rgb, depth_acc, alpha, used = _core_fwd_impl(
-        g_xy, g_conic, g_rgb, g_op, g_z, origins, tile_size, interpret
+        g_xy, g_conic, g_rgb, g_op, g_z, origins, counts, tile_size, interpret
     )
     return (rgb, depth_acc, alpha), (g_xy, g_conic, g_rgb, g_op, g_z, origins,
-                                     used)
+                                     counts, used)
 
 
 def _core_bwd(tile_size, interpret, res, cts):
-    g_xy, g_conic, g_rgb, g_op, g_z, origins, used = res
+    g_xy, g_conic, g_rgb, g_op, g_z, origins, counts, used = res
     ct_rgb, ct_depth, ct_alpha = cts
     t, k = g_op.shape
     p = tile_size * tile_size
@@ -344,7 +361,8 @@ def _core_bwd(tile_size, interpret, res, cts):
     d_op = dgeom[:, 5, :]
     d_rgb = jnp.stack([du[:, 0, :], du[:, 1, :], du[:, 2, :]], axis=-1)
     d_z = du[:, 3, :]
-    return d_xy, d_conic, d_rgb, d_op, d_z, jnp.zeros_like(origins)
+    return (d_xy, d_conic, d_rgb, d_op, d_z, jnp.zeros_like(origins),
+            jnp.zeros_like(counts))
 
 
 _composite_core.defvjp(_core_fwd, _core_bwd)
@@ -361,12 +379,19 @@ def composite_tiles_pallas(
     origins: jnp.ndarray,   # [T, 2] float tile pixel origins
     tile_size: int = 16,
     interpret: bool = False,
+    n_live: jnp.ndarray | None = None,  # [T] live-prefix length per tile
 ):
     """Returns (rgb [T, P, 3], depth [T, P] alpha-normalized, alpha [T, P]).
 
     Differentiable w.r.t. g_xy/g_conic/g_rgb/g_op/g_z/live via the fused
     Pallas backward kernel. NOTE alpha here is 1 - prod(1 - a_i) over ALL
-    lanes — identical to the JAX renderer's sum of weights."""
+    lanes — identical to the JAX renderer's sum of weights.
+
+    `n_live` (when the caller's per-tile lists are depth-sorted with dead
+    entries at the END, as ops/splat.py's approx_max_k selection yields)
+    bounds each tile's chunk walk to its live prefix: per-tile cost tracks
+    actual overlap instead of the global K bound. Omitted -> every tile
+    walks all K lanes (identical results, just slower)."""
     k = g_op.shape[1]
     pad = (-k) % K_CHUNK
     if pad:
@@ -379,8 +404,14 @@ def composite_tiles_pallas(
             padk(g_xy), padk(g_conic), padk(g_rgb), padk(g_op), padk(g_z),
             padk(live),
         )
+    k_pad = k + pad
+    if n_live is None:
+        counts = jnp.full((g_op.shape[0],), float(k_pad), jnp.float32)
+    else:
+        counts = n_live.astype(jnp.float32)
 
     rgb, depth_acc, alpha = _composite_core(
-        g_xy, g_conic, g_rgb, g_op * live, g_z, origins, tile_size, interpret
+        g_xy, g_conic, g_rgb, g_op * live, g_z, origins, counts, tile_size,
+        interpret
     )
     return rgb, depth_acc / jnp.maximum(alpha, 1e-10), alpha

@@ -278,12 +278,22 @@ class Stage1Runner:
                 if ft_folder is not None
                 else self.checkpoints_path
             )
-            self.params, opt_state, meta = ckpt_lib.load_checkpoint(
-                load_dir, self.params, self.opt_state, checkpoint
-            )
-            if opt_state is not None:
-                self.opt_state = opt_state
-            self.start_iter = int(meta.get("step", 0))
+            try:
+                self.params, opt_state, meta = ckpt_lib.load_checkpoint(
+                    load_dir, self.params, self.opt_state, checkpoint
+                )
+                if opt_state is not None:
+                    self.opt_state = opt_state
+                self.start_iter = int(meta.get("step", 0))
+            except FileNotFoundError:
+                # is_continue on a run with no checkpoint yet (e.g. first
+                # launch under a restart supervisor) = fresh start; a
+                # missing FOREIGN ft_folder checkpoint stays an error
+                if ft_folder is not None:
+                    raise
+                if not quiet:
+                    print(f"[stage1] no checkpoint under {load_dir}; "
+                          "starting fresh", flush=True)
 
         self.mesh = None
         if use_mesh and len(jax.devices()) > 1:

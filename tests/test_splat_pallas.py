@@ -138,6 +138,59 @@ def test_pallas_composite_matches_reference():
     )
 
 
+def test_n_live_prefix_bound_matches_full_walk():
+    """Per-tile n_live chunk bound: with dead entries forming a suffix
+    (ops/splat.py's approx_max_k layout), bounding the walk to the live
+    prefix must reproduce the unbounded composite exactly — values AND
+    gradients — including a tile with n_live=0 and one with a multi-chunk
+    prefix."""
+    rng = np.random.default_rng(7)
+    t, k, ts = 3, 384, 8  # 3 K_CHUNK-sized chunks
+    p = ts * ts
+    origins = (rng.integers(0, 4, (t, 2)) * ts).astype(np.float32)
+    g_xy = origins[:, None, :] + rng.uniform(0, ts, (t, k, 2)).astype(np.float32)
+    g_conic = np.zeros((t, k, 3), np.float32)
+    g_conic[..., 0] = rng.uniform(0.05, 0.3, (t, k))
+    g_conic[..., 2] = rng.uniform(0.05, 0.3, (t, k))
+    g_rgb = rng.uniform(0, 1, (t, k, 3)).astype(np.float32)
+    g_op = rng.uniform(0.2, 0.9, (t, k)).astype(np.float32)
+    g_z = np.sort(rng.uniform(0.5, 3.0, (t, k)).astype(np.float32), axis=1)
+    n_live = np.array([0, 37, 300], np.int32)  # 0, 1, and 3 chunk walks
+    live = (np.arange(k)[None, :] < n_live[:, None]).astype(np.float32)
+
+    args = tuple(
+        jnp.asarray(x) for x in (g_xy, g_conic, g_rgb, g_op, g_z, live)
+    )
+    full = composite_tiles_pallas(
+        *args, jnp.asarray(origins), tile_size=ts, interpret=True
+    )
+    bounded = composite_tiles_pallas(
+        *args, jnp.asarray(origins), tile_size=ts, interpret=True,
+        n_live=jnp.asarray(n_live),
+    )
+    for f, b in zip(full, bounded):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(f), atol=1e-6)
+    assert float(jnp.abs(bounded[0][0]).max()) == 0.0  # empty tile renders 0
+
+    ct_rgb = jnp.asarray(rng.normal(size=(t, p, 3)).astype(np.float32))
+
+    def loss(nl, *a):
+        rgb, _, alpha = composite_tiles_pallas(
+            *a, jnp.asarray(origins), tile_size=ts, interpret=True, n_live=nl
+        )
+        return jnp.sum(rgb * ct_rgb) + jnp.sum(alpha)
+
+    g_full = jax.grad(lambda *a: loss(None, *a), argnums=range(6))(*args)
+    g_bound = jax.grad(
+        lambda *a: loss(jnp.asarray(n_live), *a), argnums=range(6)
+    )(*args)
+    for nm, gf, gb in zip(["xy", "conic", "rgb", "op", "z", "live"],
+                          g_full, g_bound):
+        np.testing.assert_allclose(
+            np.asarray(gb), np.asarray(gf), atol=1e-5, err_msg=nm
+        )
+
+
 def test_early_termination_saturated_tile():
     """With many near-opaque gaussians the tile saturates after a few
     chunks; the early-terminated composite must match the full JAX
