@@ -158,6 +158,9 @@ class GSTrainer:
         return {k: float(np.mean([m[k] for m in metrics])) for k in metrics[0]}
 
     def export(self, path: str):
+        """Writes the artifact format the extension picks: .ply (3DGS),
+        .usdz (NuRec, Kit/Isaac) or .ingp (Instant-NGP) — the reference's
+        three exporter backends (threedgrut/export/)."""
         alive = np.asarray(self.state["alive"])
         g = {
             "means": np.asarray(self.params["means"])[alive],
@@ -167,5 +170,6 @@ class GSTrainer:
             "features_dc": np.asarray(self.params["features_dc"])[alive],
             "features_rest": np.asarray(self.params["features_rest"])[alive],
         }
-        write_gaussian_ply(path, g)
-        return path
+        from holoscene_tpu.export import export_gaussian_artifact
+
+        return export_gaussian_artifact(path, g)
