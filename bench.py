@@ -67,8 +67,9 @@ def flagship_config() -> HoloSceneConfig:
             fused_fetch=os.environ.get("BENCH_FUSED_FETCH", "packed"),
             # stochastic one-corner color-grid backward (unbiased; see
             # ops/hashgrid.py color_bwd="sampled"); quality-gated default
-            color_bwd_sample=os.environ.get("BENCH_COLOR_BWD", "1") == "1",
-            sdf_bwd_sample=os.environ.get("BENCH_SDF_BWD", "1") == "1",
+            color_bwd_sample=(cb := os.environ.get("BENCH_COLOR_BWD", "1") == "1"),
+            # sdf sampling extends color sampling (fields.py __post_init__)
+            sdf_bwd_sample=cb and os.environ.get("BENCH_SDF_BWD", "1") == "1",
         ),
         rendering=RenderingNetworkConfig(
             feature_vector_size=256, dims=(256, 256), multires_view=4,

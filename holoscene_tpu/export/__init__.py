@@ -16,8 +16,13 @@ def export_gaussian_artifact(path: str, g: dict) -> str:
         from holoscene_tpu.export.gs_ingp import export_gaussians_ingp
 
         export_gaussians_ingp(path, g)
-    else:
+    elif path.endswith(".ply"):
         from holoscene_tpu.models.gom import write_gaussian_ply
 
         write_gaussian_ply(path, g)
+    else:
+        raise ValueError(
+            f"unknown gaussian artifact extension: {path!r} "
+            "(expected .ply, .usdz or .ingp)"
+        )
     return path

@@ -130,7 +130,16 @@ class ImplicitNetworkConfig:
     # (2500-iter synthetic: 35.48 dB / chamfer 0.0839/0.0954 vs 35.65 /
     # 0.0869/0.0961 exact — geometry improves, PSNR within protocol
     # noise), end-to-end 3817 -> 4575 rays/s.
+    # (requires color_bwd_sample — validated in __post_init__)
     sdf_bwd_sample: bool = True
+
+    def __post_init__(self):
+        if self.sdf_bwd_sample and not self.color_bwd_sample:
+            raise ValueError(
+                "sdf_bwd_sample=True requires color_bwd_sample=True (the "
+                "SDF-sampled backward extends the color-sampled one; there "
+                "is no sdf-only mode)"
+            )
 
     @property
     def grid_meta(self) -> HashGridMeta:
@@ -181,8 +190,11 @@ class ImplicitNetworkConfig:
             grid_interp=conf.get_string("grid_interp", "trilinear"),
             dense_max_res=conf.get_int("dense_max_res", 0),
             fused_fetch=conf.get_string("fused_fetch", "packed"),
-            color_bwd_sample=conf.get_bool("color_bwd_sample", True),
-            sdf_bwd_sample=conf.get_bool("sdf_bwd_sample", True),
+            color_bwd_sample=(_cb := conf.get_bool("color_bwd_sample", True)),
+            # defaults to following color_bwd_sample so turning THAT off
+            # yields the fully exact backward; an explicit sdf=true with
+            # color=false still errors (__post_init__)
+            sdf_bwd_sample=conf.get_bool("sdf_bwd_sample", _cb),
         )
 
 

@@ -286,10 +286,12 @@ class Stage1Runner:
                     self.opt_state = opt_state
                 self.start_iter = int(meta.get("step", 0))
             except FileNotFoundError:
-                # is_continue on a run with no checkpoint yet (e.g. first
-                # launch under a restart supervisor) = fresh start; a
-                # missing FOREIGN ft_folder checkpoint stays an error
-                if ft_folder is not None:
+                # is_continue with checkpoint='latest' on a run that has no
+                # checkpoint yet (first launch under a restart supervisor)
+                # = fresh start; a missing EXPLICIT checkpoint or ft_folder
+                # stays a loud error (silently restarting at step 0 would
+                # overwrite good checkpoints)
+                if ft_folder is not None or checkpoint != "latest":
                     raise
                 if not quiet:
                     print(f"[stage1] no checkpoint under {load_dir}; "

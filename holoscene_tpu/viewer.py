@@ -89,8 +89,9 @@ class GaussianOrbitRenderer:
             self.g["means"] - self.center, axis=-1
         )
         self.radius0 = float(np.quantile(spread, 0.9) * 2.5 + 1e-3)
-        k = self.g["features_rest"].shape[1]
-        self.sh_degree = int(round(np.sqrt(k + 1))) - 1
+        from holoscene_tpu.export.gs_ingp import _sh_degree
+
+        self.sh_degree = _sh_degree(self.g["features_rest"].shape[1])
 
     def render(self, az: float, el: float, zoom: float, res: int) -> np.ndarray:
         import jax.numpy as jnp
@@ -191,8 +192,9 @@ tick();
 
 
 def serve(renderer, port: int = 8090, res: int = 512):
-    """Serve the orbit viewer; blocks. Returns the server (for tests use
-    `threading.Thread(target=srv.serve_forever)` + `srv.shutdown()`)."""
+    """Build the orbit-viewer HTTP server and return it WITHOUT starting
+    it — the caller runs `srv.serve_forever()` (as main() does), or a
+    thread + `srv.shutdown()` in tests."""
     from PIL import Image
 
     lock = threading.Lock()
@@ -214,13 +216,19 @@ def serve(renderer, port: int = 8090, res: int = 512):
             if parsed.path == "/render":
                 q = urllib.parse.parse_qs(parsed.query)
 
-                def f(name, default):
-                    return float(q.get(name, [default])[0])
+                def f(name, default, lo, hi):
+                    try:
+                        v = float(q.get(name, [default])[0])
+                    except ValueError:
+                        v = default
+                    return min(max(v, lo), hi)
 
                 with lock:  # one device render at a time
                     img = renderer.render(
-                        f("az", 35.0), f("el", 20.0), f("zoom", 1.0),
-                        int(f("res", res)),
+                        f("az", 35.0, -1e6, 1e6), f("el", 20.0, -89, 89),
+                        f("zoom", 1.0, 0.05, 20.0),
+                        # clamp: each distinct res is a fresh XLA trace
+                        int(f("res", res, 16, 1024)),
                     )
                 buf = io.BytesIO()
                 Image.fromarray(

@@ -37,22 +37,6 @@ NPTS = NRAYS * (cfg.render_top_m or 98)
 K = 9
 
 
-def timeit(name, f, *args):
-    t0 = time.perf_counter()
-    out = f(*args)
-    float(jnp.sum(jax.tree_util.tree_leaves(out)[0]))
-    compile_s = time.perf_counter() - t0
-    ts = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        out = f(*args)
-        float(jnp.sum(jax.tree_util.tree_leaves(out)[0]))
-        ts.append(time.perf_counter() - t0)
-    ms = min(ts) * 1000
-    print(f"{name:58s} {ms:8.1f} ms  (compile {compile_s:.0f}s)", flush=True)
-    return ms
-
-
 def scanned(body):
     """k-amortized: per-iter cost = (T(k=K) - T(k=1)) / (K-1)."""
 

@@ -42,7 +42,7 @@ _dual = os.environ.get("QUALITY_DUAL", "0") == "1"
 _interp = os.environ.get("QUALITY_INTERP", "trilinear")
 _fetch = os.environ.get("QUALITY_FUSED_FETCH", "packed")
 _cbwd = os.environ.get("QUALITY_COLOR_BWD", "0") == "1"
-_sbwd = os.environ.get("QUALITY_SDF_BWD", "0") == "1"
+_sbwd = _cbwd and os.environ.get("QUALITY_SDF_BWD", "0") == "1"
 runner.model_cfg = dataclasses.replace(
     runner.model_cfg, sampler_grid_levels=8, render_top_m=_top_m,
     forward_grad_mode=_grad_mode,
