@@ -23,6 +23,24 @@ Layer map:
 __version__ = "0.1.0"
 
 
+def honor_platform_env() -> None:
+    """Mirror the JAX_PLATFORMS env var into jax.config.
+
+    Out-of-tree accelerator plugins can register themselves ahead of the
+    env-var plumbing, so `JAX_PLATFORMS=cpu python -m holoscene_tpu...`
+    may silently grab the accelerator anyway (and hang when its transport
+    is down). An explicit jax.config.update always wins; calling this from
+    every entry point makes the documented env contract actually hold for
+    subprocesses (tests/test_gs_datasets.py::test_gs_render_cli)."""
+    import os
+
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
+
+
 def setup_compile_cache() -> None:
     """Enable JAX's persistent compilation cache for this process.
 
@@ -31,10 +49,12 @@ def setup_compile_cache() -> None:
     under scripts/tpu_supervise.py) start in seconds. Called explicitly by
     the entry-point CLIs and bench.py — importing the package has no side
     effects. Honors HOLOSCENE_COMPILE_CACHE (dir) and
-    HOLOSCENE_NO_COMPILE_CACHE=1 (disable).
+    HOLOSCENE_NO_COMPILE_CACHE=1 (disable); also applies
+    honor_platform_env() so JAX_PLATFORMS holds for every CLI.
     """
     import os
 
+    honor_platform_env()
     if os.environ.get("HOLOSCENE_NO_COMPILE_CACHE", "0") == "1":
         return
     import jax

@@ -242,6 +242,10 @@ class Stage1Runner:
             self.max_total_iters,
         )
         self.checkpoint_freq = conf.get_int("train.checkpoint_freq", 100)
+        # anneal the stochastic one-corner table backward (fields.py
+        # color_bwd_sample/sdf_bwd_sample) to exact gradients from this
+        # absolute iteration on; -1 = keep the configured mode throughout
+        self.exact_bwd_from_iter = conf.get_int("train.exact_bwd_from_iter", -1)
         self.plot_freq = conf.get_int("train.plot_freq", 100)
         self.split_n_pixels = conf.get_int("train.split_n_pixels", 1024)
         self.add_objectvio_iter = conf.get_int("train.add_objectvio_iter", 100000)
@@ -402,6 +406,30 @@ class Stage1Runner:
             self.extract_meshes(epoch=it)
         return {"psnr": float(psnr)}
 
+    def switch_to_exact_bwd(self):
+        """Re-jit the train step with exact table gradients (disables the
+        stochastic one-corner color/SDF-grid backward). Sampling buys
+        wall-clock while features move fast; the exact tail recovers the
+        last fraction of color detail once they are near-converged
+        (train.exact_bwd_from_iter)."""
+        import dataclasses
+
+        if not self.model_cfg.implicit.color_bwd_sample:
+            return
+        self.model_cfg = dataclasses.replace(
+            self.model_cfg,
+            implicit=dataclasses.replace(
+                self.model_cfg.implicit,
+                color_bwd_sample=False,
+                sdf_bwd_sample=False,
+            ),
+        )
+        self.train_step = make_train_step(self.model_cfg, self.loss_cfg,
+                                          self.optimizer)
+        if not self.quiet:
+            print(f"[{self.expname}] exact table backward from iter "
+                  f"{self.exact_bwd_from_iter}", flush=True)
+
     def run(self, n_iters: int | None = None, log_every: int = 20,
             plot_freq: int | None = None,
             extract_meshes_on_plot: bool = False):
@@ -440,6 +468,8 @@ class Stage1Runner:
             if isinstance(item, BaseException):
                 raise RuntimeError("ray-batch producer thread died") from item
             _, sample, gt = item
+            if 0 <= self.exact_bwd_from_iter <= it:
+                self.switch_to_exact_bwd()
             batch = self._device_batch(sample, gt)
             self.key, k_step = jax.random.split(self.key)
             call_reg = it >= self.add_objectvio_iter

@@ -23,6 +23,7 @@ conf.put("dataset.img_res", [RES, RES])
 conf.put("dataset.fix_length", 0)
 conf.put("train.expname", "flagship_synth")
 conf.put("train.checkpoint_freq", int(os.environ.get("FLAGSHIP_CKPT_FREQ", 400)))
+conf.put("train.exact_bwd_from_iter", int(os.environ.get("FLAGSHIP_EXACT_FROM", -1)))
 
 # resume on supervisor restart (the axon relay can wedge mid-stream;
 # latest_timestamp=None on the first run falls through to a fresh dir)
@@ -40,6 +41,8 @@ runner.model_cfg = dataclasses.replace(
         fused_dual_grid=os.environ.get("FLAGSHIP_DUAL", "1") == "1",
         grid_interp=os.environ.get("FLAGSHIP_INTERP", "trilinear"),
         dense_max_res=int(os.environ.get("FLAGSHIP_DENSE_MAX_RES", "0")),
+        color_bwd_sample=(_cb := os.environ.get("FLAGSHIP_COLOR_BWD", "1") == "1"),
+        sdf_bwd_sample=_cb and os.environ.get("FLAGSHIP_SDF_BWD", "1") == "1",
     ),
 )
 print(f"flagship cfg: top_m={runner.model_cfg.render_top_m} "

@@ -114,6 +114,42 @@ def test_stage1_runner_smoke(scene_dir, tmp_path):
     assert runner2.start_iter > 0
 
 
+def test_stage1_exact_bwd_anneal(scene_dir, tmp_path):
+    """train.exact_bwd_from_iter swaps the sampled table backward for the
+    exact one mid-run (and training stays finite across the re-jit)."""
+    from holoscene_tpu.training.stage1 import Stage1Runner
+
+    conf = ConfigFactory.parse_file(
+        os.path.join(os.path.dirname(__file__), "..", "confs", "synthetic.conf")
+    )
+    conf.put("train.num_pixels", 64)
+    conf.put("model.implicit_network.num_levels", 4)
+    conf.put("model.implicit_network.logmap", 10)
+    conf.put("model.implicit_network.end_size", 64)
+    conf.put("model.implicit_network.dims", [32, 32])
+    conf.put("model.implicit_network.feature_vector_size", 32)
+    conf.put("model.feature_vector_size", 32)
+    conf.put("model.rendering_network.dims", [32, 32])
+    conf.put("model.ray_sampler.N_samples", 8)
+    conf.put("model.ray_sampler.N_samples_eval", 12)
+    conf.put("model.ray_sampler.N_samples_extra", 4)
+    conf.put("model.ray_sampler.max_total_iters", 2)
+    conf.put("model.ray_sampler.beta_iters", 4)
+    conf.put("dataset.img_res", [32, 32])
+    conf.put("model.forward_grad_mode", "fused")
+    conf.put("train.exact_bwd_from_iter", 3)
+
+    runner = Stage1Runner(
+        conf, exps_folder=str(tmp_path / "exps"), data_root_override=scene_dir,
+        use_mesh=False, quiet=True,
+    )
+    assert runner.model_cfg.implicit.color_bwd_sample  # sampled until iter 3
+    hist = runner.run(n_iters=6, log_every=1)
+    assert not runner.model_cfg.implicit.color_bwd_sample
+    assert not runner.model_cfg.implicit.sdf_bwd_sample
+    assert all(np.isfinite(h["loss"]) for h in hist)
+
+
 def test_stage1_sharded_smoke(scene_dir, tmp_path):
     """Same trainer over the virtual 8-device CPU mesh (dp over rays)."""
     import jax
