@@ -57,7 +57,11 @@ def flagship_config() -> HoloSceneConfig:
     return HoloSceneConfig(
         implicit=ImplicitNetworkConfig(
             feature_vector_size=256, d_out=32, dims=(256, 256), multires=6,
-            num_levels=16, level_dim=2, base_size=16, end_size=2048, logmap=19,
+            # 16 levels is the reference workload shape (BASELINE.md);
+            # BENCH_NUM_LEVELS is an A/B knob only — any shipped change
+            # must pass the flagship quality gate first
+            num_levels=int(os.environ.get("BENCH_NUM_LEVELS", "16")),
+            level_dim=2, base_size=16, end_size=2048, logmap=19,
             color_grid_feature=True, divide_factor=1.0, sigmoid=10.0,
             fused_dual_grid=os.environ.get("BENCH_DUAL", "1") == "1",
             grid_interp=os.environ.get("BENCH_INTERP", "trilinear"),
@@ -82,7 +86,7 @@ def flagship_config() -> HoloSceneConfig:
         use_bg_reg=False,  # hot-loop iteration (bg patch runs every 10th)
         # coarse-level SDF probes for sample placement (render stays exact);
         # halves the sampler's gather traffic — see HoloSceneConfig
-        sampler_grid_levels=8,
+        sampler_grid_levels=int(os.environ.get("BENCH_SAMPLER_LEVELS", "8")),
         # env overrides for A/B profiling (bench defaults are the shipped
         # fast path)
         forward_grad_mode=os.environ.get("BENCH_GRAD_MODE", "fused"),

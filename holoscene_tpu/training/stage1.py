@@ -374,20 +374,24 @@ class Stage1Runner:
                 batch[k] = jax.device_put(batch[k], bs)
         return batch
 
-    def plot(self, it: int, frame_idx: int = 0, extract_meshes: bool = False):
+    def plot(self, it: int, frame_idx: int = 0, extract_meshes: bool = False,
+             split: str = "train"):
         """Plot-cadence artifacts (reference holoscene_train.py:283-353):
         eval-render a frame to PNGs (rgb/normal/depth/instance) and
-        optionally extract + prune meshes + bboxes."""
+        optionally extract + prune meshes + bboxes. split="test" renders a
+        held-out frame (requires dataset.test_split=true)."""
         from PIL import Image
 
-        sample, gt = self.dataset.full_frame(frame_idx)
+        sample, gt = self.dataset.full_frame(frame_idx, split=split)
         out = self.render_frame(self.params, sample, chunk=self.split_n_pixels)
         h, w = self.dataset.img_res
+
+        tag = "" if split == "train" else f"_{split}{frame_idx}"
 
         def save(name, arr):
             Image.fromarray(
                 np.clip(arr * 255, 0, 255).astype(np.uint8)
-            ).save(os.path.join(self.plots_dir, f"{name}_{it}.png"))
+            ).save(os.path.join(self.plots_dir, f"{name}{tag}_{it}.png"))
 
         save("rendering", out["rgb_values"].reshape(h, w, 3))
         save("normal", (out["normal_map"].reshape(h, w, 3) + 1) / 2)
@@ -400,7 +404,7 @@ class Stage1Runner:
             np.mean((out["rgb_values"] - gt["rgb"].reshape(-1, 3)) ** 2) + 1e-12
         )
         if not self.quiet:
-            print(f"[{self.expname}] plot it={it} frame={frame_idx} "
+            print(f"[{self.expname}] plot it={it} {split}-frame={frame_idx} "
                   f"psnr={psnr:.2f}")
         if extract_meshes:
             self.extract_meshes(epoch=it)

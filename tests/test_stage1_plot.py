@@ -53,3 +53,9 @@ def test_stage1_plot_writes_pngs(scene_dir, tmp_path):
         assert os.path.exists(os.path.join(runner.plots_dir, f"{name}_1.png"))
     # metrics.jsonl written
     assert os.path.exists(os.path.join(runner.rundir, "metrics.jsonl"))
+    if runner.dataset.test is not None:
+        out_t = runner.plot(it=1, frame_idx=0, split="test")
+        assert np.isfinite(out_t["psnr"])
+        assert os.path.exists(
+            os.path.join(runner.plots_dir, "rendering_test0_1.png")
+        )
