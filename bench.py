@@ -94,6 +94,11 @@ def flagship_config() -> HoloSceneConfig:
         # quality-validated on hardware (eval PSNR 35.60 / 35.78 vs 35.8 dB
         # unpruned, chamfer parity; scripts/tpu_quality_run.py)
         render_top_m=int(os.environ.get("BENCH_TOP_M", "56")),
+        # tiered fine levels: top-F of the kept M get all 16 levels, the
+        # tail gets the 8 coarse levels (holoscene.py render_fine_top_f);
+        # offline error probe: PERF.md round-2 (0 = off)
+        render_fine_top_f=int(os.environ.get("BENCH_FINE_TOP_F", "0")),
+        render_fine_levels=int(os.environ.get("BENCH_FINE_LEVELS", "8")),
     )
 
 

@@ -502,7 +502,8 @@ def implicit_get_outputs_jvp(params, cfg, x):
     return sdf, feature_vectors, gradients, semantic, sdf_raw
 
 
-def implicit_get_outputs_fused(params, cfg, x, grad_seed=None):
+def implicit_get_outputs_fused(params, cfg, x, grad_seed=None,
+                               coarse_levels: int | None = None):
     """implicit_get_outputs via the fused encode-with-jacobian custom VJP
     (ops/hashgrid.py hash_encode_fused_dual) — the TPU hot path.
 
@@ -514,8 +515,14 @@ def implicit_get_outputs_fused(params, cfg, x, grad_seed=None):
     (cheap) MLP trunk pulled back onto the grid jacobian, plus the direct
     positional-embedding term. Requires color_grid_feature, level_dim=2,
     trilinear interpolation, use_grid_feature.
+
+    coarse_levels=L encodes only the first L (coarse) levels — fine-level
+    features/jacobian are zero-padded. Used by the tiered render path
+    (holoscene.py render_fine_top_f) for low-weight render points; the
+    level offsets are shared with the full table (prefix_meta), so grads
+    land in the same parameters.
     """
-    from holoscene_tpu.ops.hashgrid import hash_encode_fused_dual
+    from holoscene_tpu.ops.hashgrid import hash_encode_fused_dual, prefix_meta
 
     assert cfg.color_grid_feature and cfg.level_dim == 2
     assert cfg.use_grid_feature and cfg.grid_interp == "trilinear"
@@ -527,10 +534,21 @@ def implicit_get_outputs_fused(params, cfg, x, grad_seed=None):
     mode = "exact"
     if sample:
         mode = "sampled_all" if cfg.sdf_bwd_sample else "sampled"
+    meta = cfg.grid_meta
+    emb_a, emb_b = params["grid"], params["color_grid"]
+    if coarse_levels is not None and coarse_levels < cfg.num_levels:
+        meta = prefix_meta(meta, coarse_levels)
+        emb_a = emb_a[: meta.table_rows]
+        emb_b = emb_b[: meta.table_rows]
     feats, J, cf = hash_encode_fused_dual(
-        x01, params["grid"], params["color_grid"], cfg.grid_meta,
+        x01, emb_a, emb_b, meta,
         cfg.fused_fetch, seed=grad_seed, color_bwd=mode,
     )  # feats [N,F], J [F,3,N] (d feats / d x01), cf [N,F]
+    if feats.shape[-1] < cfg.num_levels * cfg.level_dim:
+        miss = cfg.num_levels * cfg.level_dim - feats.shape[-1]
+        feats = jnp.pad(feats, ((0, 0), (0, miss)))
+        cf = jnp.pad(cf, ((0, 0), (0, miss)))
+        J = jnp.pad(J, ((0, miss), (0, 0), (0, 0)))
 
     def head(feature, pts):
         return _implicit_mlp(params, cfg, pts, feature)

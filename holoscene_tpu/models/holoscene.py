@@ -85,6 +85,17 @@ class HoloSceneConfig:
     # same integral, not dropped opacity mass; the samples dropped are the
     # ones the error-bound sampler already resolved as ~zero-weight.
     render_top_m: int = 0
+    # Tiered fine levels (training only, fused mode, requires render_top_m):
+    # of the kept top-M render samples, only the F highest-weight ones get
+    # all hash levels; the tail M-F are encoded with the render_fine_levels
+    # coarse levels (fine features zero-padded — the sampler's own
+    # approximation applied to low-weight render points). They keep their
+    # place in the quadrature, so transmittance is unchanged; only their
+    # feature detail coarsens. Cuts render gather rows by
+    # (M-F)*(1 - fine_levels/L)/M; measured error on a trained checkpoint
+    # is far below dropping the same points (PERF.md offline probes).
+    render_fine_top_f: int = 0
+    render_fine_levels: int = 8
 
     def __post_init__(self):
         # the pruned kept-set must be able to span [near, far]: both
@@ -94,6 +105,22 @@ class HoloSceneConfig:
             raise ValueError(
                 f"render_top_m must be 0 (off) or >= 2, got {self.render_top_m}"
             )
+        if self.render_fine_top_f:
+            if self.render_top_m == 0:
+                raise ValueError("render_fine_top_f requires render_top_m")
+            if not (2 <= self.render_fine_top_f < self.render_top_m):
+                raise ValueError(
+                    f"render_fine_top_f must be in [2, render_top_m), got "
+                    f"{self.render_fine_top_f} vs {self.render_top_m}"
+                )
+            if not (1 <= self.render_fine_levels < self.implicit.num_levels):
+                raise ValueError(
+                    "render_fine_levels must be in [1, num_levels)"
+                )
+            if self.forward_grad_mode != "fused":
+                raise ValueError(
+                    "render_fine_top_f requires forward_grad_mode='fused'"
+                )
 
     @property
     def num_semantic(self) -> int:
@@ -128,6 +155,8 @@ class HoloSceneConfig:
                 if "sampler_grid_levels" in conf else None
             ),
             render_top_m=conf.get_int("render_top_m", 0),
+            render_fine_top_f=conf.get_int("render_fine_top_f", 0),
+            render_fine_levels=conf.get_int("render_fine_levels", 8),
             forward_grad_mode=conf.get_string("forward_grad_mode", "vjp"),
         )
 
@@ -192,6 +221,7 @@ def render_rays(
     k_sampler, k_eik, k_nei = jax.random.split(key, 3)
 
     prune_m = cfg.render_top_m if training else 0
+    tier_ord = None
     if prune_m > 0:
         z_vals, z_eik, (z_buf, sdf_buf, beta_buf) = error_bound_sample(
             k_sampler, rays_o, rays_d, scene_sdf_nograd(params, cfg),
@@ -206,6 +236,12 @@ def render_rays(
             _, keep = jax.lax.top_k(score, prune_m)
             keep = jnp.sort(keep, axis=-1)
             z_vals = jnp.take_along_axis(z_vals, keep, axis=-1)
+            if cfg.render_fine_top_f:
+                # per-ray sample order by descending estimated weight: the
+                # first F positions form the fine tier (endpoints score inf
+                # -> always fine). Stable over kept order via argsort.
+                kept_w = jnp.take_along_axis(score, keep, axis=-1)
+                tier_ord = jnp.argsort(-kept_w, axis=-1)  # [R, M]
     else:
         z_vals, z_eik = error_bound_sample(
             k_sampler, rays_o, rays_d, scene_sdf_nograd(params, cfg),
@@ -241,9 +277,41 @@ def render_rays(
         get_outputs = implicit_get_outputs_jvp
     else:
         get_outputs = implicit_get_outputs
-    sdf, feature_vectors, gradients, semantic, sdf_raw = get_outputs(
-        params["implicit"], cfg.implicit, points_flat
-    )
+    fused_path = cfg.forward_grad_mode == "fused" and fused_ok
+    if tier_ord is not None and fused_path:
+        # tiered fine levels: encode the F highest-weight samples per ray
+        # with all levels, the tail with the coarse prefix only (fine
+        # features zero-padded inside implicit_get_outputs_fused), then
+        # restore the depth order. Transmittance/quadrature are unchanged —
+        # only the tail's feature detail coarsens (see HoloSceneConfig).
+        F = cfg.render_fine_top_f
+        inv_ord = jnp.argsort(tier_ord, axis=-1)
+        pts_perm = jnp.take_along_axis(points, tier_ord[..., None], axis=1)
+        o_fine = get_outputs(
+            params["implicit"], cfg.implicit, pts_perm[:, :F].reshape(-1, 3)
+        )
+        o_tail = get_outputs(
+            params["implicit"], cfg.implicit, pts_perm[:, F:].reshape(-1, 3),
+            coarse_levels=cfg.render_fine_levels,
+        )
+
+        def reassemble(a, b):
+            m = jnp.concatenate(
+                [a.reshape((R, F) + a.shape[1:]),
+                 b.reshape((R, S - F) + b.shape[1:])], axis=1,
+            )
+            idx = inv_ord.reshape((R, S) + (1,) * (m.ndim - 2))
+            return jnp.take_along_axis(m, idx, axis=1).reshape(
+                (R * S,) + a.shape[1:]
+            )
+
+        sdf, feature_vectors, gradients, semantic, sdf_raw = (
+            reassemble(a, b) for a, b in zip(o_fine, o_tail)
+        )
+    else:
+        sdf, feature_vectors, gradients, semantic, sdf_raw = get_outputs(
+            params["implicit"], cfg.implicit, points_flat
+        )
     rgb_flat = rendering_forward(
         params["rendering"], cfg.rendering, points_flat, gradients, dirs_flat,
         feature_vectors,

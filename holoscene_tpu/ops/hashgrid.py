@@ -92,6 +92,22 @@ class HashGridMeta:
         return int(sizes.sum())
 
 
+def prefix_meta(meta: HashGridMeta, levels: int) -> HashGridMeta:
+    """Meta describing only the first `levels` (coarse) levels of `meta`.
+
+    Per-level scale is inherited (NOT re-derived from desired_resolution,
+    which would change the scales), so level offsets/sizes for levels
+    0..levels-1 are identical to the full meta's — a `table_rows`-prefix
+    slice of the full embedding table is a valid table for this meta."""
+    return HashGridMeta(
+        input_dim=meta.input_dim, num_levels=levels,
+        level_dim=meta.level_dim, base_resolution=meta.base_resolution,
+        log2_hashmap_size=meta.log2_hashmap_size,
+        per_level_scale=meta.per_level_scale, desired_resolution=None,
+        dense_max_res=meta.dense_max_res,
+    )
+
+
 def init_hash_embeddings(key: jax.Array, meta: HashGridMeta, std: float = 1e-4):
     """Uniform(-std, std) init (reference hashgrid.py:147-149)."""
     return jax.random.uniform(

@@ -45,6 +45,8 @@ _cbwd = os.environ.get("QUALITY_COLOR_BWD", "0") == "1"
 _sbwd = _cbwd and os.environ.get("QUALITY_SDF_BWD", "0") == "1"
 runner.model_cfg = dataclasses.replace(
     runner.model_cfg, sampler_grid_levels=8, render_top_m=_top_m,
+    render_fine_top_f=int(os.environ.get("QUALITY_FINE_TOP_F", "0")),
+    render_fine_levels=int(os.environ.get("QUALITY_FINE_LEVELS", "8")),
     forward_grad_mode=_grad_mode,
     implicit=dataclasses.replace(runner.model_cfg.implicit,
                                  fused_dual_grid=_dual,
