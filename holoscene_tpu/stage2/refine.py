@@ -96,12 +96,24 @@ def invisible_view_loss(
     rgb_weight: float = 1.0,
     normal_weight: float = 0.5,
     mask_weight: float = 0.5,
+    nm_l1_weight: float = 0.0,
+    inp_mask: jnp.ndarray | None = None,  # [M] 1 = LaMa-inpainted pixel
+    lama_rgb_weight: float | None = None,
+    lama_nm_weight: float | None = None,
+    lama_nm_l1_weight: float | None = None,
 ):
     """Supervise the object's isolated orthographic render against one
     generated view (calculate_invisible_loss, holoscene_train_post.py:458).
     `gen_nm_mask` restricts the normal term to pixels whose inpainted
     normals passed the consistency gate (reference nm_mask,
-    holoscene_train_post.py:1085-1112); defaults to gen_mask."""
+    holoscene_train_post.py:1085-1112); defaults to gen_mask.
+
+    Per-pixel weighting mirrors the reference invis_loss conf section
+    (confs/replica/room_0/replica_room_0_post.conf invis_loss{}): visible
+    pixels use lambda_rgb / lambda_nm_{l1,cos}, LaMa-inpainted pixels
+    (`inp_mask`, the reference's sm_mask) use the lambda_lama_* variants
+    (holoscene_train_post.py:458-560). When the lama weights are None the
+    base weights apply everywhere (round-1 behavior)."""
     # orthographic rays with a traced half-extent (get_orthographic_rays
     # takes a static extent, so build them inline)
     rays_o = pose_c2w[:3, 3][None, :] + (
@@ -117,19 +129,35 @@ def invisible_view_loss(
     )
     m = gen_mask.reshape(-1, 1)
     mn = m if gen_nm_mask is None else gen_nm_mask.reshape(-1, 1)
-    rgb_l = jnp.sum(jnp.abs(out["rgb_values"] - gen_rgb) * m) / (
+    # per-pixel weight maps: base weight on visible pixels, lama weight on
+    # inpainted ones (inp==1). With no inp_mask/lama weights this reduces
+    # to a constant base weight.
+    inp = jnp.zeros_like(m) if inp_mask is None else inp_mask.reshape(-1, 1)
+
+    def blend(base, lama):
+        if lama is None:
+            return base * jnp.ones_like(m)
+        return base * (1.0 - inp) + lama * inp
+
+    w_rgb = blend(rgb_weight, lama_rgb_weight)
+    w_nm = blend(normal_weight, lama_nm_weight)
+    w_nl1 = blend(nm_l1_weight, lama_nm_l1_weight)
+    rgb_l = jnp.sum(jnp.abs(out["rgb_values"] - gen_rgb) * m * w_rgb) / (
         jnp.maximum(m.sum() * 3, 1.0)
     )
     n_pred = safe_normalize(out["normal_map"])
     n_gt = safe_normalize(gen_normal)
-    normal_l = jnp.sum((1.0 - jnp.sum(n_pred * n_gt, -1, keepdims=True)) * mn) / (
-        jnp.maximum(mn.sum(), 1.0)
+    normal_l = jnp.sum(
+        (1.0 - jnp.sum(n_pred * n_gt, -1, keepdims=True)) * mn * w_nm
+    ) / jnp.maximum(mn.sum(), 1.0)
+    nm_l1_l = jnp.sum(jnp.abs(n_pred - n_gt) * mn * w_nl1) / (
+        jnp.maximum(mn.sum() * 3, 1.0)
     )
     acc = jnp.clip(out["acc"], 1e-4, 1 - 1e-4)
     mask_l = jnp.mean(
         -(m[:, 0] * jnp.log(acc) + (1 - m[:, 0]) * jnp.log(1 - acc))
     )
-    return rgb_weight * rgb_l + normal_weight * normal_l + mask_weight * mask_l
+    return rgb_l + normal_l + nm_l1_l + mask_weight * mask_l
 
 
 @dataclasses.dataclass(frozen=True)
@@ -142,6 +170,41 @@ class FinetuneConfig:
     collision_pts: int = 1024
     invis_weight: float = 1.0
     collision_weight: float = 1.0
+    # invisible-view per-term weights; the reference carries these in the
+    # post confs' invis_loss{} section (confs/replica/room_0/
+    # replica_room_0_post.conf: lambda_rgb/nm_l1/nm_cos/mask + lambda_lama_*
+    # variants for inpainted pixels, num_rays). Defaults = round-1 behavior.
+    rgb_weight: float = 1.0
+    nm_cos_weight: float = 0.5
+    nm_l1_weight: float = 0.0
+    mask_weight: float = 0.5
+    lama_rgb_weight: float | None = None
+    lama_nm_cos_weight: float | None = None
+    lama_nm_l1_weight: float | None = None
+
+    @classmethod
+    def from_conf(cls, conf, **overrides):
+        """Build from a post conf's invis_loss{} section (reference key
+        names; holoscene_train_post.py consumes the same section). Absent
+        section/keys keep the dataclass defaults."""
+        kw = dict(overrides)
+        if "invis_loss" in conf:
+            s = conf.get_config("invis_loss")
+            remap = {
+                "lambda_rgb": "rgb_weight",
+                "lambda_nm_cos": "nm_cos_weight",
+                "lambda_nm_l1": "nm_l1_weight",
+                "lambda_mask": "mask_weight",
+                "lambda_lama_rgb": "lama_rgb_weight",
+                "lambda_lama_nm_cos": "lama_nm_cos_weight",
+                "lambda_lama_nm_l1": "lama_nm_l1_weight",
+            }
+            for src, dst in remap.items():
+                if src in s and dst not in kw:
+                    kw[dst] = s.get_float(src)
+            if "num_rays" in s and "invis_pixels" not in kw:
+                kw["invis_pixels"] = s.get_int("num_rays")
+        return cls(**kw)
 
 
 def make_object_finetune_step(
@@ -182,6 +245,14 @@ def make_object_finetune_step(
                     gen_view["half_extent"], gen_view["rgb"],
                     gen_view["normal"], gen_view["mask"], gen_view["uv"],
                     gen_nm_mask=gen_view.get("nm_mask"),
+                    rgb_weight=fcfg.rgb_weight,
+                    normal_weight=fcfg.nm_cos_weight,
+                    mask_weight=fcfg.mask_weight,
+                    nm_l1_weight=fcfg.nm_l1_weight,
+                    inp_mask=gen_view.get("inp_mask"),
+                    lama_rgb_weight=fcfg.lama_rgb_weight,
+                    lama_nm_weight=fcfg.lama_nm_cos_weight,
+                    lama_nm_l1_weight=fcfg.lama_nm_l1_weight,
                 )
                 total = total + fcfg.invis_weight * invis_on * inv
                 losses = {**losses, "invis_loss": inv}

@@ -537,6 +537,10 @@ class Stage2Runner:
                      (pix // res + 0.5) / res * 2 - 1], axis=-1
                 )
                 nm_mask = view.get("nm_mask", view["mask"])
+                # sm_mask marks the LaMa-inpainted region; the finetune step
+                # weights those pixels with the conf's lambda_lama_* terms
+                # (reference invis_loss{} section)
+                inp_mask = view.get("sm_mask", np.zeros_like(view["mask"]))
                 gen_view = {
                     "pose": jnp.asarray(view["pose"]),
                     "half_extent": jnp.asarray(view["half_extent"]),
@@ -549,6 +553,10 @@ class Stage2Runner:
                         np.asarray(nm_mask).reshape(-1)[pix],
                         dtype=jnp.float32,
                     ),
+                    "inp_mask": jnp.asarray(
+                        np.asarray(inp_mask).reshape(-1)[pix],
+                        dtype=jnp.float32,
+                    ),
                     "uv": jnp.asarray(uv_unit, dtype=jnp.float32),
                 }
             else:
@@ -556,7 +564,8 @@ class Stage2Runner:
                 gen_view = {
                     "pose": jnp.eye(4), "half_extent": jnp.asarray(1.0),
                     "rgb": zero, "normal": zero, "mask": jnp.zeros(m),
-                    "nm_mask": jnp.zeros(m), "uv": jnp.zeros((m, 2)),
+                    "nm_mask": jnp.zeros(m), "inp_mask": jnp.zeros(m),
+                    "uv": jnp.zeros((m, 2)),
                 }
             coll_pts, coll_sdf = sample_collision_points(
                 self.params, self.cfg, bbox_center, bbox_scale, parent_ids,

@@ -65,7 +65,7 @@ def main(argv=None):
         params, model_cfg, dataset,
         out_dir=os.path.join(rundir, "plots"),
         loss_cfg=LossConfig.from_conf(conf.get_config("loss")),
-        finetune_cfg=FinetuneConfig(),
+        finetune_cfg=FinetuneConfig.from_conf(conf),
         mesh_resolution=args.mesh_resolution,
         quiet=args.quiet,
     )

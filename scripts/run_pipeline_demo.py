@@ -4,7 +4,8 @@ Runs: scene generation -> Stage 1 (SDF reconstruction) -> mesh extraction ->
 Stage 2 (refinement + physics + scene graph) -> Stage 3 (texture baking) ->
 Stage 4 (gaussian-on-mesh) -> GLB/USD export, and prints the metric trail.
 
-Scaled for a CPU smoke run (~10-15 min); pass --big for TPU-sized settings.
+Scaled for a CPU smoke run (~10-15 min); raise --img_res/--*_iters for a
+TPU-sized run (e.g. --img_res 256 --stage1_iters 5000 --stage4_iters 2000).
 """
 
 from __future__ import annotations
