@@ -158,3 +158,76 @@ def test_dp_step_matches_single_device():
         np.testing.assert_allclose(
             a, b, atol=5e-5 * s, err_msg=str(path1)
         )
+
+
+def test_dp_step_matches_single_device_tiered():
+    """dp-vs-single equivalence with the tiered fine-level render path ON
+    (render_fine_top_f): the per-ray weight ordering, two-tier encode and
+    depth-order restore must be sharding-transparent — same batch -> same
+    loss on the 8-way mesh as on one device."""
+    import dataclasses
+
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    import __graft_entry__ as entrymod
+    from holoscene_tpu.losses.holoscene_loss import LossConfig
+    from holoscene_tpu.models.holoscene import init_holoscene
+    from holoscene_tpu.training.stage1 import make_optimizer, make_train_step
+
+    cfg = entrymod._flagship_cfg(tiny=True)
+    cfg = dataclasses.replace(
+        cfg, forward_grad_mode="fused", render_top_m=8, render_fine_top_f=4,
+        render_fine_levels=max(1, cfg.implicit.num_levels - 2),
+    )
+    params = init_holoscene(jax.random.PRNGKey(0), cfg)
+    optimizer = make_optimizer(5e-4, 20.0, 1000)
+    opt_state = optimizer.init(params)
+    step = make_train_step(cfg, LossConfig(), optimizer)
+
+    n_rays = 64
+    rng = np.random.default_rng(3)
+    batch_np = {
+        "uv": rng.uniform(0, 32, (n_rays, 2)).astype(np.float32),
+        "pose": np.eye(4, dtype=np.float32),
+        "intrinsics": np.array(
+            [[16.0, 0, 16], [0, 16.0, 16], [0, 0, 1]], dtype=np.float32
+        ),
+        "rgb": rng.uniform(0, 1, (n_rays, 3)).astype(np.float32),
+        "depth": np.ones((n_rays, 1), np.float32),
+        "normal": np.tile(np.array([[0, 0, -1]], np.float32), (n_rays, 1)),
+        "segs": np.zeros((n_rays,), np.int32),
+        "mask": np.ones((n_rays, 1), np.float32),
+    }
+    key = jax.random.PRNGKey(9)
+
+    p1 = jax.tree_util.tree_map(jnp.array, params)
+    o1 = jax.tree_util.tree_map(jnp.array, opt_state)
+    batch1 = {k: jnp.asarray(v) for k, v in batch_np.items()}
+    _, _, m1 = step(p1, o1, key, batch1, 0, call_reg=True, with_bg=False)
+    m1 = jax.tree_util.tree_map(np.asarray, m1)
+
+    devs = jax.devices()[:8]
+    mesh = Mesh(np.array(devs).reshape(8, 1), ("data", "model"))
+    dp = NamedSharding(mesh, P("data"))
+    rep = NamedSharding(mesh, P())
+    p2 = jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), params)
+    o2 = jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, rep) if hasattr(x, "shape") else x,
+        opt_state,
+    )
+    batch2 = {
+        k: jax.device_put(
+            v, dp if np.asarray(v).ndim and np.asarray(v).shape[0] == n_rays
+            else rep
+        )
+        for k, v in batch_np.items()
+    }
+    _, _, m2 = step(
+        p2, o2, jax.device_put(key, rep), batch2, 0,
+        call_reg=True, with_bg=False,
+    )
+    m2 = jax.tree_util.tree_map(np.asarray, m2)
+
+    assert np.isfinite(m1["loss"]) and np.isfinite(m2["loss"])
+    np.testing.assert_allclose(m1["loss"], m2["loss"], rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(m1["psnr"], m2["psnr"], rtol=2e-5, atol=2e-6)
