@@ -81,7 +81,10 @@ def flagship_config() -> HoloSceneConfig:
         ),
         sampler=SamplerConfig(
             N_samples=64, N_samples_eval=128, N_samples_extra=32,
-            eps=0.1, beta_iters=10, max_total_iters=5,
+            eps=0.1, beta_iters=10,
+            # upsample rounds; reference default 5. A/B knob only — placement
+            # error of fewer rounds is probed offline first (PERF.md)
+            max_total_iters=int(os.environ.get("BENCH_SAMPLER_ITERS", "5")),
         ),
         use_bg_reg=False,  # hot-loop iteration (bg patch runs every 10th)
         # coarse-level SDF probes for sample placement (render stays exact);

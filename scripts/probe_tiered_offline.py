@@ -160,6 +160,11 @@ def main():
     ap.add_argument("--top_m", type=int, default=56)
     ap.add_argument("--tail_interp", default="trilinear",
                     choices=["trilinear", "tetrahedral"])
+    ap.add_argument("--sampler_iters", type=int, default=0,
+                    help="override sampler.max_total_iters (upsample "
+                         "rounds); reference default 5. The variant renders "
+                         "use this, the reference render keeps the default, "
+                         "so the delta isolates sample-PLACEMENT error.")
     args = ap.parse_args()
 
     os.chdir(args.work)
@@ -202,11 +207,18 @@ def main():
               f"{'vsGT(dB)':>9s} {'depth|d|':>9s} {'norm|d|':>8s}",
               flush=True)
         corner_frac = 0.5 if args.tail_interp == "tetrahedral" else 1.0
+        var_cfg = cfg
+        if args.sampler_iters:
+            var_cfg = dataclasses.replace(
+                cfg, sampler=dataclasses.replace(
+                    cfg.sampler, max_total_iters=args.sampler_iters
+                ),
+            )
         for f in args.fine_f:
             out = jax.tree_util.tree_map(
                 np.asarray,
-                make_render(cfg, f, coarse_levels=args.coarse, top_m=TOP_M,
-                            tail_interp=args.tail_interp)(
+                make_render(var_cfg, f, coarse_levels=args.coarse,
+                            top_m=TOP_M, tail_interp=args.tail_interp)(
                     runner.params, uv, pose, intr),
             )
             vs_full = -10 * np.log10(np.mean((out[0] - ref[0]) ** 2) + 1e-12)

@@ -38,6 +38,11 @@ run bench_top48_fine28 3600 env BENCH_TOP_M=48 BENCH_FINE_TOP_F=28 python bench.
 run bench_rays2048 3600 env BENCH_RAYS=2048 python bench.py
 run bench_rays4096 3600 env BENCH_RAYS=4096 python bench.py
 
+# 3c. sampler upsample rounds (offline placement probe: PERF.md — 3 rounds
+# shift placement ~35 dB-vs-full but track GT as well as 5)
+run bench_siter4 3600 env BENCH_SAMPLER_ITERS=4 python bench.py
+run bench_siter3 3600 env BENCH_SAMPLER_ITERS=3 python bench.py
+
 # 4. post-sampling phase attribution
 run phases6 2400 python scripts/profile_phases6.py
 run fwd_parts 2400 python scripts/profile_fwd_parts.py
