@@ -231,3 +231,81 @@ def test_dp_step_matches_single_device_tiered():
     assert np.isfinite(m1["loss"]) and np.isfinite(m2["loss"])
     np.testing.assert_allclose(m1["loss"], m2["loss"], rtol=2e-5, atol=2e-6)
     np.testing.assert_allclose(m1["psnr"], m2["psnr"], rtol=2e-5, atol=2e-6)
+
+
+def test_tp_sharded_params_match_single_device():
+    """Tensor-parallel claim of parallel/mesh.py: hash-table rows sharded
+    over the `model` axis (4 data x 2 model mesh via make_mesh/shard_params)
+    must reproduce the single-device training-step loss — GSPMD turns the
+    row gathers into collective gathers without changing the math."""
+    import __graft_entry__ as entrymod
+    from holoscene_tpu.losses.holoscene_loss import LossConfig
+    from holoscene_tpu.models.holoscene import init_holoscene
+    from holoscene_tpu.parallel.mesh import (
+        batch_sharding,
+        make_mesh,
+        param_sharding,
+        replicated,
+        shard_params,
+    )
+    from holoscene_tpu.training.stage1 import make_optimizer, make_train_step
+
+    cfg = entrymod._flagship_cfg(tiny=True)
+    params = init_holoscene(jax.random.PRNGKey(0), cfg)
+    optimizer = make_optimizer(5e-4, 20.0, 1000)
+    opt_state = optimizer.init(params)
+    step = make_train_step(cfg, LossConfig(), optimizer)
+
+    n_rays = 64
+    rng = np.random.default_rng(5)
+    batch_np = {
+        "uv": rng.uniform(0, 32, (n_rays, 2)).astype(np.float32),
+        "pose": np.eye(4, dtype=np.float32),
+        "intrinsics": np.array(
+            [[16.0, 0, 16], [0, 16.0, 16], [0, 0, 1]], dtype=np.float32
+        ),
+        "rgb": rng.uniform(0, 1, (n_rays, 3)).astype(np.float32),
+        "depth": np.ones((n_rays, 1), np.float32),
+        "normal": np.tile(np.array([[0, 0, -1]], np.float32), (n_rays, 1)),
+        "segs": np.zeros((n_rays,), np.int32),
+        "mask": np.ones((n_rays, 1), np.float32),
+    }
+    key = jax.random.PRNGKey(11)
+
+    p1 = jax.tree_util.tree_map(jnp.array, params)
+    o1 = jax.tree_util.tree_map(jnp.array, opt_state)
+    batch1 = {k: jnp.asarray(v) for k, v in batch_np.items()}
+    _, _, m1 = step(p1, o1, key, batch1, 0, call_reg=True, with_bg=False)
+    m1 = jax.tree_util.tree_map(np.asarray, m1)
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    assert mesh.shape == {"data": 4, "model": 2}
+    # the tiny config's hash tables must actually shard (not fall back to
+    # replication) for this test to exercise TP
+    specs = param_sharding(mesh, params)
+    grid_spec = specs["implicit"]["grid"].spec
+    assert grid_spec == jax.sharding.PartitionSpec("model", None), grid_spec
+
+    p2 = shard_params(mesh, params)
+    rep = replicated(mesh)
+    dp = batch_sharding(mesh)
+    o2 = jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, rep) if hasattr(x, "shape") else x,
+        opt_state,
+    )
+    batch2 = {
+        k: jax.device_put(
+            v, dp if np.asarray(v).ndim and np.asarray(v).shape[0] == n_rays
+            else rep
+        )
+        for k, v in batch_np.items()
+    }
+    _, _, m2 = step(
+        p2, o2, jax.device_put(key, rep), batch2, 0,
+        call_reg=True, with_bg=False,
+    )
+    m2 = jax.tree_util.tree_map(np.asarray, m2)
+
+    assert np.isfinite(m2["loss"])
+    np.testing.assert_allclose(m1["loss"], m2["loss"], rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(m1["psnr"], m2["psnr"], rtol=2e-5, atol=2e-6)
