@@ -37,6 +37,16 @@ loss{
     use_obj_opacity = True
     semantic_weight = 0.5
 }
+invis_loss{
+    lambda_nm_l1 = 25.0
+    lambda_nm_cos = 25.0
+    lambda_rgb = 2.0
+    lambda_mask = 5.0
+    lambda_lama_rgb = 2.0
+    lambda_lama_nm_l1 = 20.0
+    lambda_lama_nm_cos = 20.0
+    num_rays = 64
+}
 dataset{
     data_root_dir = ./data
     data_dir = scene_0
