@@ -102,7 +102,11 @@ class GSTrainer:
 
         self._step = jax.jit(step_fn, donate_argnums=(0, 2))
 
-    def run(self, n_iters: int = 1000, log_every: int = 50):
+    def run(self, n_iters: int = 1000, log_every: int = 50,
+            eval_every: int = 0, ckpt_every: int = 0, ckpt_path: str = None):
+        """Train for n_iters. eval_every>0 runs a periodic test-split eval
+        (the reference trainer's in-run validation cadence,
+        threedgrut/trainer.py:807); ckpt_every>0 checkpoints to ckpt_path."""
         h, w = self.dataset.img_res
         end = self.iter_step + n_iters
         t0 = time.time()
@@ -138,8 +142,56 @@ class GSTrainer:
                 self.history.append(m)
                 if not self.quiet:
                     print(f"[gs] it {it} loss={m['loss']:.4f} psnr={m['psnr']:.2f}")
+            if eval_every and (it + 1) % eval_every == 0:
+                ev = self.eval_split("test" if self.dataset.test else "train",
+                                     max_frames=4)
+                self.history.append({"iter": it, **{f"eval_{k}": v
+                                                    for k, v in ev.items()}})
+                if not self.quiet:
+                    print(f"[gs] it {it} eval psnr={ev['psnr']:.2f} "
+                          f"ssim={ev['ssim']:.3f}")
+            if ckpt_every and ckpt_path and (it + 1) % ckpt_every == 0:
+                self.iter_step = it + 1
+                self.save_checkpoint(ckpt_path)
         self.iter_step = end
         return self.history
+
+    # -- checkpoint / resume (Trainer3DGRUT init_from / save_checkpoint,
+    #    threedgrut/trainer.py:131-186, :849-860) ------------------------
+    def save_checkpoint(self, path: str):
+        import pickle
+
+        to_np = lambda t: jax.tree_util.tree_map(np.asarray, t)  # noqa: E731
+        blob = {
+            "params": to_np(self.params), "state": to_np(self.state),
+            "moments": to_np(self.moments), "iter_step": self.iter_step,
+            "key": np.asarray(self.key), "history": self.history,
+            "strategy": self.strategy,
+            "rng_state": self.rng.bit_generator.state,
+        }
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            pickle.dump(blob, f)
+        import os
+
+        os.replace(tmp, path)
+        return path
+
+    def load_checkpoint(self, path: str):
+        import pickle
+
+        with open(path, "rb") as f:
+            blob = pickle.load(f)
+        to_j = lambda t: jax.tree_util.tree_map(jnp.asarray, t)  # noqa: E731
+        self.params = to_j(blob["params"])
+        self.state = to_j(blob["state"])
+        self.moments = to_j(blob["moments"])
+        self.iter_step = int(blob["iter_step"])
+        self.key = jnp.asarray(blob["key"])
+        self.history = list(blob["history"])
+        if "rng_state" in blob:  # exact frame-sampling resume
+            self.rng.bit_generator.state = blob["rng_state"]
+        return self
 
     def eval_split(self, split: str = "test", max_frames: int = 8):
         src = self.dataset.test if split == "test" else None
