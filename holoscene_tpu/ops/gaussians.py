@@ -188,6 +188,133 @@ def project_gaussians(
     return xy, z, conic, radius, valid & on_screen
 
 
+def _finalize_cov2d(xy, z, cov2d, width, height, near):
+    """Shared projection tail: conic / 3-sigma radius / validity from a
+    projected mean + 2D covariance (same math as project_gaussians)."""
+    a = cov2d[:, 0, 0]
+    b = cov2d[:, 0, 1]
+    c = cov2d[:, 1, 1]
+    det = a * c - b * b
+    det = jnp.maximum(det, 1e-12)
+    conic = jnp.stack([c / det, -b / det, a / det], axis=-1)
+    mid = 0.5 * (a + c)
+    eig = mid + jnp.sqrt(jnp.maximum(mid * mid - det, 1e-12))
+    radius = jnp.ceil(3.0 * jnp.sqrt(eig))
+    on_screen = (
+        (xy[:, 0] + radius > 0)
+        & (xy[:, 0] - radius < width)
+        & (xy[:, 1] + radius > 0)
+        & (xy[:, 1] - radius < height)
+    )
+    return conic, radius, (z > near) & on_screen
+
+
+def camera_project(cam, intrinsics, camera_model: str = "pinhole",
+                   dist=None, near: float = 0.01):
+    """Camera-frame points [..., 3] -> pixel coords [..., 2] under the
+    nonlinear camera models the reference's 3DGUT rasterizer supports
+    (threedgut_tracer: OpenCV pinhole distortion, equidistant fisheye).
+
+    camera_model:
+      pinhole — fx x/z + cx
+      opencv  — radial k1,k2[,k3] + tangential p1,p2 on the normalized
+                plane (dist = (k1, k2, p1, p2[, k3]))
+      fisheye — equidistant r_px = f * theta_d with the OpenCV theta
+                polynomial (dist = (k1, k2, k3, k4)); matches
+                ops/gs_trace.fisheye_rays for dist = 0
+    """
+    fx, fy = intrinsics[0, 0], intrinsics[1, 1]
+    cx, cy = intrinsics[0, 2], intrinsics[1, 2]
+    x, y, z = cam[..., 0], cam[..., 1], cam[..., 2]
+    zc = jnp.maximum(z, near)
+    u, v = x / zc, y / zc
+    if camera_model == "pinhole":
+        return jnp.stack([fx * u + cx, fy * v + cy], axis=-1)
+    if camera_model == "opencv":
+        k1, k2, p1, p2 = (dist + (0.0,) * 4)[:4] if dist else (0.0,) * 4
+        k3 = dist[4] if dist and len(dist) > 4 else 0.0
+        r2 = u * u + v * v
+        rad = 1.0 + r2 * (k1 + r2 * (k2 + r2 * k3))
+        ud = u * rad + 2 * p1 * u * v + p2 * (r2 + 2 * u * u)
+        vd = v * rad + p1 * (r2 + 2 * v * v) + 2 * p2 * u * v
+        return jnp.stack([fx * ud + cx, fy * vd + cy], axis=-1)
+    assert camera_model == "fisheye", camera_model
+    k = tuple(dist) + (0.0,) * 4 if dist else (0.0,) * 4
+    r = jnp.sqrt(jnp.maximum(u * u + v * v, 1e-12))
+    theta = jnp.arctan(r)
+    t2 = theta * theta
+    theta_d = theta * (1.0 + t2 * (k[0] + t2 * (k[1] + t2 * (k[2] + t2 * k[3]))))
+    scale = theta_d / r
+    return jnp.stack([fx * u * scale + cx, fy * v * scale + cy], axis=-1)
+
+
+def project_gaussians_ut(
+    means: jnp.ndarray,
+    sqrt_cov: jnp.ndarray,
+    viewmat: jnp.ndarray,
+    intrinsics: jnp.ndarray,
+    width: int,
+    height: int,
+    near: float = 0.01,
+    blur: float = 0.3,
+    camera_model: str = "pinhole",
+    dist=None,
+    viewmat_end: jnp.ndarray | None = None,
+):
+    """Unscented-transform projection (the reference 3DGUT rasterizer's
+    core idea, threedgut_tracer/tracer.py:158-360): push 2n+1 sigma points
+    of each 3D gaussian through the FULL nonlinear camera model instead of
+    linearizing (EWA), which makes distorted cameras and rolling shutter
+    exact to second order.
+
+    sqrt_cov [N,3,3] is a factor M with cov3d = M M^T (for 3DGS params use
+    R diag(s), i.e. `quat_to_rotmat(quats) * scales[..., None, :]` — no
+    cholesky needed). UT weights: alpha=1, beta=2, kappa=0 -> lambda=0,
+    the 6 offset points carry weight 1/6 each, the center point 0.
+
+    viewmat_end enables linear rolling shutter: the effective pose for a
+    gaussian is blended between viewmat (row 0) and viewmat_end (last row)
+    by its projected row, resolved with two fixed-point iterations.
+
+    Returns (xy, depth, conic, radius, valid) like project_gaussians.
+    """
+    n = means.shape[0]
+    offs = jnp.sqrt(3.0) * jnp.swapaxes(sqrt_cov, -1, -2)  # rows = scaled cols
+    pts = jnp.concatenate(
+        [means[:, None, :] + offs, means[:, None, :] - offs], axis=1
+    )  # [N,6,3]
+
+    def to_cam(p, vm):
+        return p @ vm[:3, :3].T + vm[:3, 3]
+
+    cam_c = to_cam(means, viewmat)  # center (start pose)
+    cam_s = to_cam(pts, viewmat)
+    if viewmat_end is not None:
+        cam_c_e = to_cam(means, viewmat_end)
+        cam_s_e = to_cam(pts, viewmat_end)
+        # 2 fixed-point iterations: project with t, reread the row
+        t = jnp.full((n, 1), 0.5)
+        for _ in range(2):
+            blend_c = (1 - t) * cam_c + t * cam_c_e
+            rowpix = camera_project(blend_c, intrinsics, camera_model, dist,
+                                    near)[:, 1]
+            t = jnp.clip(rowpix / max(height - 1, 1), 0.0, 1.0)[:, None]
+        cam_c = (1 - t) * cam_c + t * cam_c_e
+        cam_s = (1 - t[:, :, None]) * cam_s + t[:, :, None] * cam_s_e
+
+    p2 = camera_project(cam_s, intrinsics, camera_model, dist, near)  # [N,6,2]
+    xy = p2.mean(axis=1)  # w_i = 1/6 each
+    d = p2 - xy[:, None, :]
+    cov2d = jnp.einsum("nki,nkj->nij", d, d) / 6.0 + blur * jnp.eye(2)
+
+    z = cam_c[:, 2]
+    conic, radius, ok = _finalize_cov2d(xy, z, cov2d, width, height, near)
+    # every sigma point must be in front of the camera for the UT to be
+    # meaningful (matches 3DGUT's frustum gating)
+    ok = ok & jnp.all(cam_s[..., 2] > near, axis=1)
+    return xy, z, conic, radius, ok
+
+
 def eval_sh(sh_coeffs: jnp.ndarray, dirs: jnp.ndarray, degree: int) -> jnp.ndarray:
     """sh_coeffs [N, B, 3], dirs [N, 3] unit -> rgb [N, 3] (+0.5 offset,
     standard 3DGS convention)."""

@@ -109,7 +109,7 @@ def auto_max_per_tile(
     jax.jit,
     static_argnames=(
         "width", "height", "tile_size", "max_per_tile", "sh_degree",
-        "use_pallas", "ortho",
+        "use_pallas", "ortho", "camera_model", "dist",
     ),
 )
 def render_gaussians(
@@ -128,6 +128,9 @@ def render_gaussians(
     background: jnp.ndarray | None = None,
     use_pallas: bool | None = None,
     ortho: bool = False,
+    camera_model: str = "pinhole",
+    dist: tuple | None = None,
+    viewmat_end: jnp.ndarray | None = None,
 ):
     """Returns dict(rgb [H,W,3], depth [H,W] alpha-normalized expected depth,
     alpha [H,W]).
@@ -136,7 +139,13 @@ def render_gaussians(
     (ops/splat_pallas.py), differentiable via the custom-VJP backward
     kernel. Default None = auto: enabled on TPU (measured 1.76x faster
     fwd+bwd at 512^2/100k gaussians/K=512, gradients matching to ~1e-6),
-    JAX compositor elsewhere."""
+    JAX compositor elsewhere.
+
+    camera_model != "pinhole" (opencv / fisheye distortion, `dist` coeffs)
+    or a `viewmat_end` (linear rolling shutter) switches projection from
+    EWA linearization to the unscented transform over sigma points
+    (ops/gaussians.project_gaussians_ut) — the 3DGUT capability the
+    reference gets from its CUDA UT rasterizer (threedgut_tracer)."""
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     n = means.shape[0]
@@ -145,10 +154,23 @@ def render_gaussians(
     n_tiles = tiles_x * tiles_y
     tile_chunk = min(64, n_tiles)
 
-    cov3d = covariance_3d(quats, scales)
-    xy, depth, conic, radius, valid = project_gaussians(
-        means, cov3d, viewmat, intrinsics, width, height, ortho=ortho
-    )
+    if camera_model != "pinhole" or viewmat_end is not None:
+        assert not ortho, "UT projection is perspective-only"
+        from holoscene_tpu.ops.gaussians import (
+            project_gaussians_ut,
+            quat_to_rotmat,
+        )
+
+        sqrt_cov = quat_to_rotmat(quats) * scales[..., None, :]
+        xy, depth, conic, radius, valid = project_gaussians_ut(
+            means, sqrt_cov, viewmat, intrinsics, width, height,
+            camera_model=camera_model, dist=dist, viewmat_end=viewmat_end,
+        )
+    else:
+        cov3d = covariance_3d(quats, scales)
+        xy, depth, conic, radius, valid = project_gaussians(
+            means, cov3d, viewmat, intrinsics, width, height, ortho=ortho
+        )
 
     if sh_degree is not None:
         cam_pos = -viewmat[:3, :3].T @ viewmat[:3, 3]

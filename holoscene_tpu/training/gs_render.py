@@ -24,8 +24,11 @@ import numpy as np
 
 
 def render_views(g: dict, poses, intrinsics, img_res, sh_degree: int = 3,
-                 max_per_tile: int = 0):
-    """Render [N,4,4] c2w poses; yields [H,W,3] images."""
+                 max_per_tile: int = 0, camera_model: str = "pinhole",
+                 dist: tuple | None = None):
+    """Render [N,4,4] c2w poses; yields [H,W,3] images. camera_model
+    opencv/fisheye routes projection through the unscented transform
+    (ops/gaussians.project_gaussians_ut, the 3DGUT path)."""
     from holoscene_tpu.ops.splat import (
         auto_max_per_tile,
         render_gaussians,
@@ -56,6 +59,7 @@ def render_views(g: dict, poses, intrinsics, img_res, sh_degree: int = 3,
             width=w, height=h, max_per_tile=max_per_tile,
             sh_degree=sh_degree,
             background=jnp.ones(3),
+            camera_model=camera_model, dist=dist,
         )
         yield np.asarray(out["rgb"])
 
@@ -82,14 +86,19 @@ def main(argv=None):
     ap.add_argument("--max_num_images", type=int, default=-1)
     ap.add_argument("--renderer", choices=["raster", "trace"],
                     default="raster")
-    ap.add_argument("--camera", choices=["pinhole", "fisheye"],
+    ap.add_argument("--camera", choices=["pinhole", "opencv", "fisheye"],
                     default="pinhole",
-                    help="fisheye requires --renderer trace")
+                    help="raster routes non-pinhole models through the "
+                         "unscented-transform projection (3DGUT); trace "
+                         "supports pinhole + fisheye ray generation")
+    ap.add_argument("--dist", type=float, nargs="*", default=None,
+                    help="distortion coeffs: opencv k1 k2 p1 p2 [k3]; "
+                         "fisheye k1 k2 k3 k4")
     ap.add_argument("--max_hits", type=int, default=128,
                     help="tracer hits per ray")
     args = ap.parse_args(argv)
-    if args.camera == "fisheye" and args.renderer != "trace":
-        ap.error("--camera fisheye requires --renderer trace")
+    if args.camera == "opencv" and args.renderer == "trace":
+        ap.error("--camera opencv is raster-only (trace supports fisheye)")
 
     if args.dataset == "nerf":
         from holoscene_tpu.datasets.gs_datasets import NerfSyntheticDataset
@@ -131,8 +140,12 @@ def main(argv=None):
 
         images = _images()
     else:
-        images = render_views(g, poses, ds.intrinsics[:3, :3], ds.img_res,
-                              args.sh_degree, args.max_per_tile)
+        images = render_views(
+            g, poses, ds.intrinsics[:3, :3], ds.img_res,
+            args.sh_degree, args.max_per_tile,
+            camera_model=args.camera,
+            dist=tuple(args.dist) if args.dist else None,
+        )
     metrics = []
     for i, img in enumerate(images):
         Image.fromarray(
