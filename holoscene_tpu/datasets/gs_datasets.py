@@ -127,6 +127,37 @@ _SINGLE_FOCAL = {"SIMPLE_PINHOLE", "SIMPLE_RADIAL", "RADIAL",
                  "SIMPLE_RADIAL_FISHEYE", "RADIAL_FISHEYE"}
 
 
+def _colmap_distortion(cam: dict) -> tuple[str, tuple | None]:
+    """COLMAP camera model -> (renderer camera_model, dist coeffs) in the
+    layout ops/gaussians.camera_project expects: opencv (k1,k2,p1,p2[,k3]),
+    fisheye (k1,k2,k3,k4). Pinhole models carry no distortion."""
+    model = cam["model"]
+    tail = tuple(float(v) for v in cam["params"][
+        3 if model in _SINGLE_FOCAL else 4:
+    ])
+    if model in ("SIMPLE_PINHOLE", "PINHOLE"):
+        return "pinhole", None
+    if model == "SIMPLE_RADIAL":
+        return "opencv", (tail[0], 0.0, 0.0, 0.0)
+    if model == "RADIAL":
+        return "opencv", (tail[0], tail[1], 0.0, 0.0)
+    if model == "OPENCV":
+        return "opencv", tail[:4]
+    if model == "FULL_OPENCV":                 # k1 k2 p1 p2 k3 (k4-k6 drop)
+        return "opencv", tail[:5]
+    if model == "OPENCV_FISHEYE":
+        return "fisheye", tail[:4]
+    if model == "SIMPLE_RADIAL_FISHEYE":
+        return "fisheye", (tail[0], 0.0, 0.0, 0.0)
+    if model == "RADIAL_FISHEYE":
+        return "fisheye", (tail[0], tail[1], 0.0, 0.0)
+    import warnings
+
+    warnings.warn(f"ColmapDataset: unsupported distortion model {model}; "
+                  "rendering as undistorted pinhole")
+    return "pinhole", None
+
+
 def read_colmap_cameras_bin(path: str) -> dict:
     cams = {}
     with open(path, "rb") as f:
@@ -230,6 +261,12 @@ class ColmapDataset:
                 fx, fy, cx, cy = p[0], p[1], p[2], p[3]
             intr_all.append(np.array(
                 [[fx, 0, cx], [0, fy, cy], [0, 0, 1]], np.float32))
+        # distortion of the (first) camera -> the renderer's camera model
+        # (project_gaussians_ut); COLMAP leaves coefficients after the
+        # focal/principal block
+        self.camera_model, self.dist = _colmap_distortion(
+            cams[imgs[order[0]]["camera_id"]]
+        )
         intr_all = np.stack(intr_all)
         if not np.allclose(intr_all, intr_all[0], rtol=1e-3):
             import warnings

@@ -99,6 +99,7 @@ def main(argv=None):
     args = ap.parse_args(argv)
     if args.camera == "opencv" and args.renderer == "trace":
         ap.error("--camera opencv is raster-only (trace supports fisheye)")
+    auto_camera = args.camera == "pinhole" and args.dist is None
 
     if args.dataset == "nerf":
         from holoscene_tpu.datasets.gs_datasets import NerfSyntheticDataset
@@ -140,11 +141,15 @@ def main(argv=None):
 
         images = _images()
     else:
+        camera, dist = args.camera, tuple(args.dist) if args.dist else None
+        if auto_camera and getattr(ds, "camera_model", "pinhole") != "pinhole":
+            # COLMAP reconstructions carry their distortion model — adopt it
+            camera, dist = ds.camera_model, ds.dist
+            print(f"[gs_render] dataset camera: {camera} dist={dist}")
         images = render_views(
             g, poses, ds.intrinsics[:3, :3], ds.img_res,
             args.sh_degree, args.max_per_tile,
-            camera_model=args.camera,
-            dist=tuple(args.dist) if args.dist else None,
+            camera_model=camera, dist=dist,
         )
     metrics = []
     for i, img in enumerate(images):

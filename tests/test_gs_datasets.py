@@ -51,6 +51,14 @@ def _write_colmap_scene(root, n=4, res=16, model="PINHOLE"):
         elif model == "SIMPLE_RADIAL":  # (f, cx, cy, k) — COLMAP's default
             f.write(struct.pack("<iiQQ", 1, 2, res, res))
             f.write(struct.pack("<4d", 20.0, res / 2, res / 2, 0.01))
+        elif model == "OPENCV":  # (fx, fy, cx, cy, k1, k2, p1, p2)
+            f.write(struct.pack("<iiQQ", 1, 4, res, res))
+            f.write(struct.pack("<8d", 20.0, 20.0, res / 2, res / 2,
+                                0.05, 0.01, 0.001, 0.002))
+        elif model == "OPENCV_FISHEYE":  # (fx, fy, cx, cy, k1..k4)
+            f.write(struct.pack("<iiQQ", 1, 5, res, res))
+            f.write(struct.pack("<8d", 20.0, 20.0, res / 2, res / 2,
+                                0.03, 0.001, 0.0, 0.0))
         else:
             raise ValueError(model)
 
@@ -155,3 +163,61 @@ def test_gs_render_cli(tmp_path):
     with open(os.path.join(out, "metrics.json")) as f:
         m = json.load(f)
     assert np.isfinite(m["mean"]["psnr"])
+
+
+def test_colmap_distortion_models_surface_camera():
+    """COLMAP distortion params must reach the renderer: OPENCV -> opencv
+    (k1,k2,p1,p2), OPENCV_FISHEYE -> fisheye (k1..k4), SIMPLE_RADIAL ->
+    opencv (k,0,0,0), PINHOLE -> pinhole/None (the 3DGUT UT-projection
+    inputs; ops/gaussians.camera_project layout)."""
+    from holoscene_tpu.datasets.gs_datasets import ColmapDataset
+
+    cases = {
+        "PINHOLE": ("pinhole", None),
+        "SIMPLE_RADIAL": ("opencv", (0.01, 0.0, 0.0, 0.0)),
+        "OPENCV": ("opencv", (0.05, 0.01, 0.001, 0.002)),
+        "OPENCV_FISHEYE": ("fisheye", (0.03, 0.001, 0.0, 0.0)),
+    }
+    import tempfile
+    from pathlib import Path
+
+    for model, (want_cam, want_dist) in cases.items():
+        with tempfile.TemporaryDirectory() as d:
+            _write_colmap_scene(Path(d), model=model)
+            ds = ColmapDataset(d, test_every=0)
+            assert ds.camera_model == want_cam, model
+            if want_dist is None:
+                assert ds.dist is None
+            else:
+                np.testing.assert_allclose(ds.dist, want_dist, atol=1e-12)
+
+
+def test_gs_render_cli_adopts_colmap_distortion(tmp_path):
+    from holoscene_tpu.models.gom import write_gaussian_ply
+
+    _write_colmap_scene(tmp_path, model="OPENCV")
+    rng = np.random.default_rng(1)
+    n = 64
+    g = {
+        "means": rng.uniform(-0.5, 0.5, (n, 3)).astype(np.float32),
+        "quats": np.tile([1, 0, 0, 0], (n, 1)).astype(np.float32),
+        "log_scales": np.full((n, 3), -3.0, np.float32),
+        "opacity_logits": np.full((n,), 2.0, np.float32),
+        "features_dc": rng.uniform(0, 1, (n, 3)).astype(np.float32),
+        "features_rest": np.zeros((n, 15, 3), np.float32),
+    }
+    ply = str(tmp_path / "g.ply")
+    write_gaussian_ply(ply, g)
+    out = str(tmp_path / "renders")
+    env = dict(os.environ)
+    env.setdefault("JAX_PLATFORMS", "cpu")
+    res = subprocess.run(
+        [sys.executable, "-m", "holoscene_tpu.training.gs_render",
+         "--ply", ply, "--dataset", "colmap",
+         "--data_root", str(tmp_path), "--split", "train", "--out", out],
+        capture_output=True, text=True, cwd="/root/repo", env=env,
+        timeout=600,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "dataset camera: opencv" in res.stdout, res.stdout
+    assert os.path.exists(os.path.join(out, "metrics.json"))
