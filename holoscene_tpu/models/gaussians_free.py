@@ -43,6 +43,10 @@ class FreeGaussianConfig:
     tile_size: int = 16
     max_per_tile: int = 512
     use_pallas: bool | None = None  # fused Pallas kernels; None = auto (TPU)
+    # camera model for training/eval renders: pinhole | opencv | fisheye
+    # (+ dist coeffs) — non-pinhole routes through the UT projection
+    camera_model: str = "pinhole"
+    dist: tuple | None = None
 
 
 def init_free_gaussians(
@@ -126,6 +130,9 @@ def render_free_gaussians(params, state, cfg: FreeGaussianConfig, pose_c2w,
         width, height, tile_size=cfg.tile_size, max_per_tile=cfg.max_per_tile,
         sh_degree=cfg.sh_degree, background=background,
         use_pallas=cfg.use_pallas,
+        # non-pinhole models ride the UT projection (ops/gaussians) — the
+        # 3DGUT train-on-distorted-captures capability
+        camera_model=cfg.camera_model, dist=cfg.dist,
     )
 
 

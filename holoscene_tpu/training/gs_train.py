@@ -69,9 +69,16 @@ def main(argv=None):
     if hasattr(ds, "seed_points"):
         seed_pts, seed_cols = ds.seed_points(min(args.capacity, 50_000))
 
+    # COLMAP reconstructions carry a distortion model — train through it
+    # (UT projection) rather than pretending the captures are pinhole
+    cam = getattr(ds, "camera_model", "pinhole")
+    dist = getattr(ds, "dist", None)
+    if cam != "pinhole" and not args.quiet:
+        print(f"[gs_train] dataset camera: {cam} dist={dist}")
     trainer = GSTrainer(
         ds, FreeGaussianConfig(capacity=args.capacity,
-                               sh_degree=args.sh_degree),
+                               sh_degree=args.sh_degree,
+                               camera_model=cam, dist=dist),
         seed_points=seed_pts, seed_colors=seed_cols,
         warmup=args.warmup, refine_every=args.refine_every,
         strategy=args.strategy, seed=args.seed, quiet=args.quiet,

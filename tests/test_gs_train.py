@@ -80,3 +80,20 @@ def test_gs_trainer_checkpoint_roundtrip_exact(tmp_path):
         )
     assert a.iter_step == c.iter_step == 4
     assert bool(jax.numpy.array_equal(a.key, c.key))
+
+
+def test_gs_train_on_distorted_colmap(tmp_path):
+    """Training adopts the COLMAP camera's distortion model (UT projection
+    in the jitted loss) — the 3DGUT train-on-distorted-captures path."""
+    from tests.test_gs_datasets import _write_colmap_scene
+
+    from holoscene_tpu.training.gs_train import main as gs_train
+
+    _write_colmap_scene(tmp_path, model="OPENCV_FISHEYE")
+    out = tmp_path / "out"
+    m = gs_train([
+        "--dataset", "colmap", "--data_root", str(tmp_path),
+        "--out", str(out), "--iters", "6", "--capacity", "64",
+        "--warmup", "100",
+    ])
+    assert np.isfinite(m["psnr"])
