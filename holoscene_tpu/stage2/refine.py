@@ -101,6 +101,9 @@ def invisible_view_loss(
     lama_rgb_weight: float | None = None,
     lama_nm_weight: float | None = None,
     lama_nm_l1_weight: float | None = None,
+    gen_depth: jnp.ndarray | None = None,     # [M] ortho-frame depth
+    gen_depth_mask: jnp.ndarray | None = None,  # [M] depth-validity mask
+    depth_weight: float = 0.0,
 ):
     """Supervise the object's isolated orthographic render against one
     generated view (calculate_invisible_loss, holoscene_train_post.py:458).
@@ -153,11 +156,19 @@ def invisible_view_loss(
     nm_l1_l = jnp.sum(jnp.abs(n_pred - n_gt) * mn * w_nl1) / (
         jnp.maximum(mn.sum() * 3, 1.0)
     )
-    acc = jnp.clip(out["acc"], 1e-4, 1 - 1e-4)
-    mask_l = jnp.mean(
-        -(m[:, 0] * jnp.log(acc) + (1 - m[:, 0]) * jnp.log(1 - acc))
-    )
-    return rgb_l + normal_l + nm_l1_l + mask_weight * mask_l
+    # opacity supervision is MSE like the reference (:584/:604), not BCE —
+    # the conf lambdas are tuned for it
+    mask_l = jnp.mean((out["acc"].reshape(-1) - m[:, 0]) ** 2)
+    total = rgb_l + normal_l + nm_l1_l + mask_weight * mask_l
+    if gen_depth is not None:
+        md = (m if gen_depth_mask is None
+              else gen_depth_mask.reshape(-1, 1))
+        depth_l = jnp.sum(
+            jnp.abs(out["depth_values"].reshape(-1, 1) - gen_depth.reshape(-1, 1))
+            * md
+        ) / jnp.maximum(md.sum(), 1.0)
+        total = total + depth_weight * depth_l
+    return total
 
 
 @dataclasses.dataclass(frozen=True)
@@ -178,6 +189,7 @@ class FinetuneConfig:
     nm_cos_weight: float = 0.5
     nm_l1_weight: float = 0.0
     mask_weight: float = 0.5
+    depth_weight: float = 0.0
     lama_rgb_weight: float | None = None
     lama_nm_cos_weight: float | None = None
     lama_nm_l1_weight: float | None = None
@@ -195,6 +207,7 @@ class FinetuneConfig:
                 "lambda_nm_cos": "nm_cos_weight",
                 "lambda_nm_l1": "nm_l1_weight",
                 "lambda_mask": "mask_weight",
+                "lambda_depth": "depth_weight",
                 "lambda_lama_rgb": "lama_rgb_weight",
                 "lambda_lama_nm_cos": "lama_nm_cos_weight",
                 "lambda_lama_nm_l1": "lama_nm_l1_weight",
@@ -253,6 +266,9 @@ def make_object_finetune_step(
                     lama_rgb_weight=fcfg.lama_rgb_weight,
                     lama_nm_weight=fcfg.lama_nm_cos_weight,
                     lama_nm_l1_weight=fcfg.lama_nm_l1_weight,
+                    gen_depth=gen_view.get("depth"),
+                    gen_depth_mask=gen_view.get("depth_mask"),
+                    depth_weight=fcfg.depth_weight,
                 )
                 total = total + fcfg.invis_weight * invis_on * inv
                 losses = {**losses, "invis_loss": inv}

@@ -296,17 +296,21 @@ class Stage2Runner:
             return []
         packs = []
         for pose, v in zip(rig, views):
-            packs.append(
-                {
-                    # recorded packs (CachedArtifactNovelViewProvider) carry
-                    # their own camera; live providers inherit the rig pose
-                    "pose": np.asarray(v.get("pose", pose), dtype=np.float32),
-                    "half_extent": float(v.get("half_extent", half_extent)),
-                    "rgb": np.asarray(v["rgb"], dtype=np.float32),
-                    "normal": np.asarray(v["normal"], dtype=np.float32),
-                    "mask": np.asarray(v["mask"], dtype=bool),
-                }
-            )
+            pack = {
+                # recorded packs (CachedArtifactNovelViewProvider) carry
+                # their own camera; live providers inherit the rig pose
+                "pose": np.asarray(v.get("pose", pose), dtype=np.float32),
+                "half_extent": float(v.get("half_extent", half_extent)),
+                "rgb": np.asarray(v["rgb"], dtype=np.float32),
+                "normal": np.asarray(v["normal"], dtype=np.float32),
+                "mask": np.asarray(v["mask"], dtype=bool),
+            }
+            if v.get("depth") is not None:  # recorded packs may carry depth
+                pack["depth"] = np.asarray(v["depth"], dtype=np.float32)
+                pack["depth_mask"] = np.asarray(
+                    v.get("depth_mask", v["mask"]), dtype=bool
+                )
+            packs.append(pack)
         return packs
 
     def object_view_packs(
@@ -358,6 +362,7 @@ class Stage2Runner:
                     "depth": gated["depth"].astype(np.float32),
                     "mask": gated["mask"].astype(bool),
                     "nm_mask": gated["nm_mask"].astype(bool),
+                    "depth_mask": gated["depth_mask"].astype(bool),
                     "sm_mask": gated["sm_mask"].astype(bool),
                     "weight": float(weight),
                     "deviated": bool(gated.get("deviated", False)),
@@ -541,6 +546,15 @@ class Stage2Runner:
                 # weights those pixels with the conf's lambda_lama_* terms
                 # (reference invis_loss{} section)
                 inp_mask = view.get("sm_mask", np.zeros_like(view["mask"]))
+                # depth supervision only where the view provides it (lambda
+                # _depth, reference :589/:621); provider packs without depth
+                # get a zeroed mask -> the term vanishes
+                depth = view.get("depth")
+                dmask = (view.get("depth_mask", view["mask"])
+                         if depth is not None
+                         else np.zeros_like(view["mask"]))
+                if depth is None:
+                    depth = np.zeros_like(np.asarray(view["mask"]), np.float32)
                 gen_view = {
                     "pose": jnp.asarray(view["pose"]),
                     "half_extent": jnp.asarray(view["half_extent"]),
@@ -557,6 +571,12 @@ class Stage2Runner:
                         np.asarray(inp_mask).reshape(-1)[pix],
                         dtype=jnp.float32,
                     ),
+                    "depth": jnp.asarray(
+                        np.asarray(depth, np.float32).reshape(-1)[pix]
+                    ),
+                    "depth_mask": jnp.asarray(
+                        np.asarray(dmask).reshape(-1)[pix], dtype=jnp.float32
+                    ),
                     "uv": jnp.asarray(uv_unit, dtype=jnp.float32),
                 }
             else:
@@ -565,6 +585,7 @@ class Stage2Runner:
                     "pose": jnp.eye(4), "half_extent": jnp.asarray(1.0),
                     "rgb": zero, "normal": zero, "mask": jnp.zeros(m),
                     "nm_mask": jnp.zeros(m), "inp_mask": jnp.zeros(m),
+                    "depth": jnp.zeros(m), "depth_mask": jnp.zeros(m),
                     "uv": jnp.zeros((m, 2)),
                 }
             coll_pts, coll_sdf = sample_collision_points(

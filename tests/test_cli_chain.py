@@ -42,6 +42,7 @@ invis_loss{
     lambda_nm_cos = 25.0
     lambda_rgb = 2.0
     lambda_mask = 5.0
+    lambda_depth = 20.0
     lambda_lama_rgb = 2.0
     lambda_lama_nm_l1 = 20.0
     lambda_lama_nm_cos = 20.0

@@ -38,6 +38,7 @@ def test_scene_conf_parses_into_configs(path):
         assert fcfg.nm_cos_weight == 25.0
         assert fcfg.nm_l1_weight == 25.0
         assert fcfg.mask_weight == 5.0
+        assert fcfg.depth_weight == 20.0
         assert fcfg.lama_rgb_weight == 2.0
         assert fcfg.lama_nm_cos_weight == 20.0
         assert fcfg.lama_nm_l1_weight == 20.0
@@ -142,3 +143,35 @@ def test_finetune_config_from_conf_overrides():
     # no section at all -> pure defaults
     assert FinetuneConfig.from_conf(ConfigFactory.parse_string("a = 1")) \
         == FinetuneConfig()
+
+
+def test_invisible_view_loss_depth_term():
+    """lambda_depth supervises the ortho-render depth on depth_mask pixels
+    (reference :589/:621): the term must move the loss iff the mask is
+    nonzero and react to the weight."""
+    params, cfg = _tiny_scene()
+    M = 24
+    rng = np.random.default_rng(1)
+    pose = jnp.eye(4)
+    kw = dict(
+        gen_rgb=jnp.asarray(rng.uniform(0, 1, (M, 3)), jnp.float32),
+        gen_normal=jnp.asarray(rng.normal(size=(M, 3)), jnp.float32),
+        gen_mask=jnp.ones((M,)),
+        uv_unit=jnp.asarray(rng.uniform(-1, 1, (M, 2)), jnp.float32),
+        gen_depth=jnp.asarray(rng.uniform(0.5, 1.5, (M,)), jnp.float32),
+    )
+    key = jax.random.PRNGKey(2)
+
+    def run(dmask, w):
+        return float(invisible_view_loss(
+            params, cfg, key, (0,), pose, jnp.asarray(0.5), **kw,
+            gen_depth_mask=dmask, depth_weight=w,
+        ))
+
+    ones, zeros = jnp.ones((M,)), jnp.zeros((M,))
+    base = run(zeros, 20.0)
+    assert run(ones, 20.0) > base            # depth error contributes
+    assert run(ones, 40.0) - base == pytest.approx(
+        2 * (run(ones, 20.0) - base), rel=1e-4
+    )
+    assert run(zeros, 40.0) == pytest.approx(base, rel=1e-6)
