@@ -104,6 +104,7 @@ def invisible_view_loss(
     gen_depth: jnp.ndarray | None = None,     # [M] ortho-frame depth
     gen_depth_mask: jnp.ndarray | None = None,  # [M] depth-validity mask
     depth_weight: float = 0.0,
+    mask_boost: jnp.ndarray | float | None = None,  # 25 on FRONT views (:566)
 ):
     """Supervise the object's isolated orthographic render against one
     generated view (calculate_invisible_loss, holoscene_train_post.py:458).
@@ -159,6 +160,8 @@ def invisible_view_loss(
     # opacity supervision is MSE like the reference (:584/:604), not BCE —
     # the conf lambdas are tuned for it
     mask_l = jnp.mean((out["acc"].reshape(-1) - m[:, 0]) ** 2)
+    if mask_boost is not None:
+        mask_l = mask_l * mask_boost
     total = rgb_l + normal_l + nm_l1_l + mask_weight * mask_l
     if gen_depth is not None:
         md = (m if gen_depth_mask is None
@@ -269,6 +272,7 @@ def make_object_finetune_step(
                     gen_depth=gen_view.get("depth"),
                     gen_depth_mask=gen_view.get("depth_mask"),
                     depth_weight=fcfg.depth_weight,
+                    mask_boost=gen_view.get("mask_boost"),
                 )
                 total = total + fcfg.invis_weight * invis_on * inv
                 losses = {**losses, "invis_loss": inv}

@@ -295,7 +295,7 @@ class Stage2Runner:
         if views is None:
             return []
         packs = []
-        for pose, v in zip(rig, views):
+        for vi, (pose, v) in enumerate(zip(rig, views)):
             pack = {
                 # recorded packs (CachedArtifactNovelViewProvider) carry
                 # their own camera; live providers inherit the rig pose
@@ -304,6 +304,9 @@ class Stage2Runner:
                 "rgb": np.asarray(v["rgb"], dtype=np.float32),
                 "normal": np.asarray(v["normal"], dtype=np.float32),
                 "mask": np.asarray(v["mask"], dtype=bool),
+                # rig[0] is the observed FRONT view — its silhouette is
+                # trusted 25x (reference lambda_mask boost, :566)
+                "front": bool(v.get("front", vi == 0)),
             }
             if v.get("depth") is not None:  # recorded packs may carry depth
                 pack["depth"] = np.asarray(v["depth"], dtype=np.float32)
@@ -578,6 +581,12 @@ class Stage2Runner:
                         np.asarray(dmask).reshape(-1)[pix], dtype=jnp.float32
                     ),
                     "uv": jnp.asarray(uv_unit, dtype=jnp.float32),
+                    # observed front views carry a 25x-trusted silhouette
+                    # (reference lambda_mask boost, holoscene_train_post
+                    # .py:566)
+                    "mask_boost": jnp.asarray(
+                        25.0 if view.get("front") else 1.0
+                    ),
                 }
             else:
                 zero = jnp.zeros((m, 3))
@@ -586,7 +595,7 @@ class Stage2Runner:
                     "rgb": zero, "normal": zero, "mask": jnp.zeros(m),
                     "nm_mask": jnp.zeros(m), "inp_mask": jnp.zeros(m),
                     "depth": jnp.zeros(m), "depth_mask": jnp.zeros(m),
-                    "uv": jnp.zeros((m, 2)),
+                    "uv": jnp.zeros((m, 2)), "mask_boost": jnp.asarray(1.0),
                 }
             coll_pts, coll_sdf = sample_collision_points(
                 self.params, self.cfg, bbox_center, bbox_scale, parent_ids,
