@@ -196,6 +196,12 @@ class FinetuneConfig:
     lama_rgb_weight: float | None = None
     lama_nm_cos_weight: float | None = None
     lama_nm_l1_weight: float | None = None
+    # background-reconstruction normal/depth weights (reference bg_nm_l1 /
+    # bg_nm_cos / bg_depth in invis_loss{}, holoscene_train_post.py:668-671);
+    # None keeps the stage-1 loss weights
+    bg_nm_l1: float | None = None
+    bg_nm_cos: float | None = None
+    bg_depth: float | None = None
 
     @classmethod
     def from_conf(cls, conf, **overrides):
@@ -214,6 +220,9 @@ class FinetuneConfig:
                 "lambda_lama_rgb": "lama_rgb_weight",
                 "lambda_lama_nm_cos": "lama_nm_cos_weight",
                 "lambda_lama_nm_l1": "lama_nm_l1_weight",
+                "bg_nm_l1": "bg_nm_l1",
+                "bg_nm_cos": "bg_nm_cos",
+                "bg_depth": "bg_depth",
             }
             for src, dst in remap.items():
                 if src in s and dst not in kw:

@@ -450,8 +450,27 @@ class Stage2Runner:
         if bg_packs:
             save_vis_info(os.path.join(self.out_dir, "bg_info.pkl"), bg_packs)
 
+        # inpainted-bg supervision uses the post conf's bg_nm_l1/bg_nm_cos
+        # (and optional bg_depth) weights — 25x the stage-1 normal weights
+        # in the reference confs (calculate_background_recon_loss :668-671)
+        bg_lcfg = self.lcfg
+        if bg_packs and self.fcfg.bg_nm_l1 is not None:
+            import dataclasses as _dc
+
+            bg_lcfg = _dc.replace(
+                self.lcfg,
+                normal_l1_weight=self.fcfg.bg_nm_l1,
+                normal_cos_weight=(
+                    self.fcfg.bg_nm_cos
+                    if self.fcfg.bg_nm_cos is not None else self.fcfg.bg_nm_l1
+                ),
+                depth_weight=(
+                    self.fcfg.bg_depth if self.fcfg.bg_depth is not None
+                    else self.lcfg.depth_weight
+                ),
+            )
         step, optimizer = make_object_finetune_step(
-            self.cfg, self.lcfg, self.fcfg, 0
+            self.cfg, bg_lcfg, self.fcfg, 0
         )
         opt_state = optimizer.init(self.params)
         total = n_iters or self.fcfg.iters

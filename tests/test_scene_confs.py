@@ -175,3 +175,12 @@ def test_invisible_view_loss_depth_term():
         2 * (run(ones, 20.0) - base), rel=1e-4
     )
     assert run(zeros, 40.0) == pytest.approx(base, rel=1e-6)
+
+
+def test_bg_lambdas_from_post_conf():
+    conf = ConfigFactory.parse_file(
+        os.path.join(CONF_DIR, "replica_room0_post.conf")
+    )
+    fcfg = FinetuneConfig.from_conf(conf)
+    assert fcfg.bg_nm_l1 == 25.0 and fcfg.bg_nm_cos == 25.0
+    assert fcfg.bg_depth is None  # reference confs carry no bg_depth
