@@ -103,6 +103,20 @@ def test_cli_chain(workdir, monkeypatch):
         os.path.join(r1.checkpoints_path, "ModelParameters", "latest.msgpack")
     )
 
+    # mv_predict (reference run_mv_prediction.py analog): precompute the
+    # per-object novel-view caches the post stage can replay
+    from holoscene_tpu.stage2 import mv_predict
+
+    caches = mv_predict.main(
+        ["--conf", "micro.conf", "--mesh_resolution", "24",
+         "--seeds", "42", "--quiet"]
+    )
+    assert caches and all(os.path.exists(p) for p in caches)
+    from holoscene_tpu.stage2.providers import load_vis_info
+
+    views = load_vis_info(caches[0])
+    assert views and {"pose", "rgb", "normal", "mask"} <= set(views[0])
+
     from holoscene_tpu.training import exp_runner_post
 
     result2 = exp_runner_post.main(
