@@ -292,7 +292,8 @@ class ColmapDataset:
         self.rgb_images = flat[~is_test]
         self.n_images = len(self.pose_all)
         self.test = (
-            {"pose_all": poses[is_test], "rgb_images": flat[is_test]}
+            {"pose_all": poses[is_test], "rgb_images": flat[is_test],
+             "intrinsics_all": intr_all[is_test]}
             if is_test.any() else None
         )
 

@@ -25,10 +25,12 @@ import numpy as np
 
 def render_views(g: dict, poses, intrinsics, img_res, sh_degree: int = 3,
                  max_per_tile: int = 0, camera_model: str = "pinhole",
-                 dist: tuple | None = None):
+                 dist: tuple | None = None, intrinsics_all=None):
     """Render [N,4,4] c2w poses; yields [H,W,3] images. camera_model
     opencv/fisheye routes projection through the unscented transform
-    (ops/gaussians.project_gaussians_ut, the 3DGUT path)."""
+    (ops/gaussians.project_gaussians_ut, the 3DGUT path). intrinsics_all
+    [N,3,3] renders each view with its own camera matrix (heterogeneous
+    COLMAP reconstructions)."""
     from holoscene_tpu.ops.splat import (
         auto_max_per_tile,
         render_gaussians,
@@ -52,10 +54,12 @@ def render_views(g: dict, poses, intrinsics, img_res, sh_degree: int = 3,
         counts = tile_overlap_counts(means, quats, scales, vm0, intr, w, h)
         max_per_tile = auto_max_per_tile(np.asarray(counts))
 
-    for pose in poses:
+    for vi, pose in enumerate(poses):
         viewmat = jnp.linalg.inv(jnp.asarray(pose))
+        k = (intr if intrinsics_all is None
+             else jnp.asarray(intrinsics_all[vi]))
         out = render_gaussians(
-            means, quats, scales, opac, sh_j, viewmat, intr,
+            means, quats, scales, opac, sh_j, viewmat, k,
             width=w, height=h, max_per_tile=max_per_tile,
             sh_degree=sh_degree,
             background=jnp.ones(3),
@@ -120,9 +124,15 @@ def main(argv=None):
     if args.split == "test" and getattr(ds, "test", None):
         poses = ds.test["pose_all"]
         gts = ds.test["rgb_images"]
+        intr_all = ds.test.get("intrinsics_all") \
+            if isinstance(ds.test, dict) else None
     else:
         poses = ds.pose_all
         gts = ds.rgb_images
+        intr_all = getattr(ds, "intrinsics_all", None)
+    # heterogeneous per-view intrinsics only matter when they differ
+    if intr_all is not None and np.allclose(intr_all, intr_all[0], rtol=1e-6):
+        intr_all = None
 
     g = read_gaussian_ply(args.ply)
     os.makedirs(args.out, exist_ok=True)
@@ -149,7 +159,7 @@ def main(argv=None):
         images = render_views(
             g, poses, ds.intrinsics[:3, :3], ds.img_res,
             args.sh_degree, args.max_per_tile,
-            camera_model=camera, dist=dist,
+            camera_model=camera, dist=dist, intrinsics_all=intr_all,
         )
     metrics = []
     for i, img in enumerate(images):
