@@ -267,6 +267,15 @@ class ColmapDataset:
         self.camera_model, self.dist = _colmap_distortion(
             cams[imgs[order[0]]["camera_id"]]
         )
+        used_cams = {imgs[i]["camera_id"] for i in order}
+        models = {_colmap_distortion(cams[c]) for c in used_cams}
+        if len(models) > 1:
+            import warnings
+            warnings.warn(
+                "ColmapDataset: reconstruction mixes distortion models "
+                f"{sorted(m for m, _ in models)}; all views render through "
+                f"the first camera's ({self.camera_model}, {self.dist})"
+            )
         intr_all = np.stack(intr_all)
         if not np.allclose(intr_all, intr_all[0], rtol=1e-3):
             import warnings

@@ -42,8 +42,10 @@ def _rundir(args) -> str:
 
 
 def _collect_meshes(plots_dir: str):
-    """(meshes, texture_png_bytes, texture_paths) ordered by object id.
-    Textured Stage-3 surfaces win over Stage-2 coarse meshes per object."""
+    """(meshes, texture_png_bytes, texture_paths) indexed BY OBJECT ID —
+    a failed/missing object leaves a None gap so translations (keyed by id
+    in translation_dict.pkl) never shift onto the wrong mesh. Textured
+    Stage-3 surfaces win over Stage-2 coarse meshes per object."""
     from holoscene_tpu.utils.mesh import read_obj, read_ply
 
     def obj_id(path: str) -> int:
@@ -56,16 +58,16 @@ def _collect_meshes(plots_dir: str):
         by_id[obj_id(p)] = p
     assert by_id, f"no meshes (surface_*.obj / coarse_recon_obj_*.ply) in {plots_dir}"
 
-    meshes, pngs, png_paths = [], [], {}
-    for i in sorted(by_id):
-        p = by_id[i]
-        meshes.append(read_obj(p) if p.endswith(".obj") else read_ply(p))
+    n = max(by_id) + 1
+    meshes: list = [None] * n
+    pngs: list = [None] * n
+    png_paths: dict[int, str] = {}
+    for i, p in by_id.items():
+        meshes[i] = read_obj(p) if p.endswith(".obj") else read_ply(p)
         png = os.path.splitext(p)[0] + ".png"
         if p.endswith(".obj") and os.path.exists(png):
-            pngs.append(open(png, "rb").read())
-            png_paths[len(meshes) - 1] = png
-        else:
-            pngs.append(None)
+            pngs[i] = open(png, "rb").read()
+            png_paths[i] = png
     return meshes, pngs, png_paths
 
 
@@ -106,10 +108,18 @@ def main(argv=None):
     if args.what == "glb":
         from holoscene_tpu.export.glb import export_glb
 
+        # export_glb applies translations by list position — compact the
+        # id-indexed lists and remap the id-keyed translations accordingly
+        keep = [i for i, m in enumerate(meshes) if m is not None]
+        glb_meshes = [meshes[i] for i in keep]
+        glb_pngs = [pngs[i] for i in keep]
+        glb_tr = {pos: translations[i] for pos, i in enumerate(keep)
+                  if i in translations}
         out = args.out or os.path.join(plots_dir, "scene.glb")
-        export_glb(out, meshes, textures_png=pngs, translations=translations)
-        print(f"wrote {out} ({len(meshes)} meshes, "
-              f"{sum(p is not None for p in pngs)} textured)")
+        export_glb(out, glb_meshes, textures_png=glb_pngs,
+                   translations=glb_tr)
+        print(f"wrote {out} ({len(glb_meshes)} meshes, "
+              f"{sum(p is not None for p in glb_pngs)} textured)")
         return out
 
     from holoscene_tpu.export.usd import export_usd

@@ -121,6 +121,18 @@ class HoloSceneConfig:
                 raise ValueError(
                     "render_fine_top_f requires forward_grad_mode='fused'"
                 )
+            # the tier branch only runs when the fused encode is eligible
+            # (render_rays fused_ok) — reject configs where it would be
+            # silently inert rather than train untiered without warning
+            ic = self.implicit
+            if not (ic.color_grid_feature and ic.level_dim == 2
+                    and ic.use_grid_feature
+                    and ic.grid_interp == "trilinear"):
+                raise ValueError(
+                    "render_fine_top_f requires the fused-encode-eligible "
+                    "implicit config (color_grid_feature, level_dim=2, "
+                    "use_grid_feature, trilinear interp)"
+                )
 
     @property
     def num_semantic(self) -> int:

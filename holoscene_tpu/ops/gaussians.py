@@ -164,28 +164,12 @@ def project_gaussians(
     cov2d = jnp.einsum("nij,njk,nlk->nil", j, w_cov, j)
     cov2d = cov2d + blur * jnp.eye(2)
 
-    a = cov2d[:, 0, 0]
-    b = cov2d[:, 0, 1]
-    c = cov2d[:, 1, 1]
-    det = a * c - b * b
-    det = jnp.maximum(det, 1e-12)
-    conic = jnp.stack([c / det, -b / det, a / det], axis=-1)
-
-    mid = 0.5 * (a + c)
-    eig = mid + jnp.sqrt(jnp.maximum(mid * mid - det, 1e-12))
-    radius = jnp.ceil(3.0 * jnp.sqrt(eig))
-
     if ortho:
         xy = jnp.stack([fx * x + cx, fy * y + cy], axis=-1)
     else:
         xy = jnp.stack([fx * x / zc + cx, fy * y / zc + cy], axis=-1)
-    on_screen = (
-        (xy[:, 0] + radius > 0)
-        & (xy[:, 0] - radius < width)
-        & (xy[:, 1] + radius > 0)
-        & (xy[:, 1] - radius < height)
-    )
-    return xy, z, conic, radius, valid & on_screen
+    conic, radius, ok = _finalize_cov2d(xy, z, cov2d, width, height, near)
+    return xy, z, conic, radius, valid & ok
 
 
 def _finalize_cov2d(xy, z, cov2d, width, height, near):

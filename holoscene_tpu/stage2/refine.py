@@ -202,6 +202,10 @@ class FinetuneConfig:
     bg_nm_l1: float | None = None
     bg_nm_cos: float | None = None
     bg_depth: float | None = None
+    # lambda_smooth: smoothness weight during the finetune steps (replaces
+    # the stage-1 loss{} smooth_weight when set — the reference carries it
+    # in the invis_loss{} section)
+    smooth_weight: float | None = None
 
     @classmethod
     def from_conf(cls, conf, **overrides):
@@ -223,6 +227,7 @@ class FinetuneConfig:
                 "bg_nm_l1": "bg_nm_l1",
                 "bg_nm_cos": "bg_nm_cos",
                 "bg_depth": "bg_depth",
+                "lambda_smooth": "smooth_weight",
             }
             for src, dst in remap.items():
                 if src in s and dst not in kw:
@@ -246,6 +251,8 @@ def make_object_finetune_step(
       coll_sdf    — [P] recorded parent/self sdf targets
       coll_mode   — static: 'contain' | 'maintain' | 'match'
     """
+    if fcfg.smooth_weight is not None:  # invis_loss{} lambda_smooth
+        lcfg = dataclasses.replace(lcfg, smooth_weight=fcfg.smooth_weight)
     optimizer = make_optimizer(fcfg.lr, fcfg.lr_factor_for_grid, fcfg.iters)
 
     @partial(jax.jit, static_argnames=("use_invis", "coll_mode"),

@@ -454,15 +454,19 @@ class Stage2Runner:
         # (and optional bg_depth) weights — 25x the stage-1 normal weights
         # in the reference confs (calculate_background_recon_loss :668-671)
         bg_lcfg = self.lcfg
-        if bg_packs and self.fcfg.bg_nm_l1 is not None:
+        bg_set = (self.fcfg.bg_nm_l1, self.fcfg.bg_nm_cos, self.fcfg.bg_depth)
+        if bg_packs and any(v is not None for v in bg_set):
             import dataclasses as _dc
 
             bg_lcfg = _dc.replace(
                 self.lcfg,
-                normal_l1_weight=self.fcfg.bg_nm_l1,
+                normal_l1_weight=(
+                    self.fcfg.bg_nm_l1 if self.fcfg.bg_nm_l1 is not None
+                    else self.lcfg.normal_l1_weight
+                ),
                 normal_cos_weight=(
-                    self.fcfg.bg_nm_cos
-                    if self.fcfg.bg_nm_cos is not None else self.fcfg.bg_nm_l1
+                    self.fcfg.bg_nm_cos if self.fcfg.bg_nm_cos is not None
+                    else self.lcfg.normal_cos_weight
                 ),
                 depth_weight=(
                     self.fcfg.bg_depth if self.fcfg.bg_depth is not None

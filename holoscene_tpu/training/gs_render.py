@@ -139,6 +139,16 @@ def main(argv=None):
     h, w = ds.img_res
 
     if args.renderer == "trace":
+        if getattr(ds, "camera_model", "pinhole") != "pinhole":
+            import warnings
+
+            warnings.warn(
+                f"dataset carries a {ds.camera_model} distortion model the "
+                "trace renderer does not apply (trace supports pinhole + "
+                "coefficient-free equidistant fisheye ray generation) — "
+                "metrics vs the distorted GT will be depressed; use "
+                "--renderer raster for UT-projected distortion"
+            )
         from holoscene_tpu.ops.gs_trace import trace_image
 
         def _images():

@@ -66,7 +66,8 @@ def main(argv=None):
     os.makedirs(args.out, exist_ok=True)
     ds = load_dataset(args.dataset, args.data_root, args.max_num_images)
     seed_pts = seed_cols = None
-    if hasattr(ds, "seed_points"):
+    # COLMAP reconstructions without points3D.bin fall back to random init
+    if hasattr(ds, "seed_points") and getattr(ds, "points_xyz", True) is not None:
         seed_pts, seed_cols = ds.seed_points(min(args.capacity, 50_000))
 
     # COLMAP reconstructions carry a distortion model — train through it

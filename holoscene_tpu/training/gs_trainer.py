@@ -108,9 +108,10 @@ class GSTrainer:
         (the reference trainer's in-run validation cadence,
         threedgrut/trainer.py:807); ckpt_every>0 checkpoints to ckpt_path."""
         h, w = self.dataset.img_res
-        end = self.iter_step + n_iters
+        start = self.iter_step  # fixed rate baseline: mid-run checkpoints
+        end = start + n_iters   # mutate self.iter_step (resume cursor)
         t0 = time.time()
-        for it in range(self.iter_step, end):
+        for it in range(start, end):
             frame = int(self.rng.integers(0, self.dataset.n_images))
             self.key, k = jax.random.split(self.key)
             self.params, self.state, self.moments, loss, psnr = self._step(
@@ -138,7 +139,7 @@ class GSTrainer:
                 m = {"iter": it, "loss": float(loss), "psnr": float(psnr),
                      "n_alive": int(self.state["alive"].sum()),
                      "splats_per_sec": int(self.state["alive"].sum())
-                     * (it - self.iter_step + 1) / max(time.time() - t0, 1e-9)}
+                     * (it - start + 1) / max(time.time() - t0, 1e-9)}
                 self.history.append(m)
                 if not self.quiet:
                     print(f"[gs] it {it} loss={m['loss']:.4f} psnr={m['psnr']:.2f}")

@@ -13,7 +13,8 @@ run() {  # run <tag> <timeout-sec> <cmd...>
   local tag=$1 to=$2; shift 2
   echo "=== [$tag] $(date -u +%H:%M:%S) :: $*"
   timeout "$to" "$@" 2>&1 | tail -40
-  echo "=== [$tag] rc=$? $(date -u +%H:%M:%S)"
+  # rc of the COMMAND, not the tail stage (timeout kills report 124 here)
+  echo "=== [$tag] rc=${PIPESTATUS[0]} $(date -u +%H:%M:%S)"
 }
 
 # 0. relay sanity (fail fast if still down)
