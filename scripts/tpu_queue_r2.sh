@@ -66,8 +66,11 @@ run pipeline_tpu 14400 env HOLOSCENE_PIPE_WORK=/tmp/pipeline_tpu \
     --img_res 256 --stage1_iters 5000 --stage2_iters 200 \
     --stage3_iters 1500 --stage4_iters 2000
 
-# 7. annealed flagship 512² (sampled bwd until 7k, exact after) — long
-run flagship_anneal 43200 env FLAGSHIP_WORK=/tmp/tpu_flagship512_anneal \
+# 7. annealed flagship 512² (sampled bwd until 7k, exact after).
+# Timeout bounded at 3.5h so a wedged run cannot hold the chip into the
+# driver's own end-of-round bench (expected wall ~90 min at 2300/1734
+# rays/s mixed; supervisor restarts are checkpointed).
+run flagship_anneal 12600 env FLAGSHIP_WORK=/tmp/tpu_flagship512_anneal \
     FLAGSHIP_RES=512 FLAGSHIP_ITERS=10000 FLAGSHIP_EXACT_FROM=7000 \
     FLAGSHIP_GRAD_MODE=fused FLAGSHIP_TOP_M=64 \
     python scripts/tpu_supervise.py --stall-sec 1500 -- \
