@@ -6,7 +6,7 @@
 # (backend init HANGS while the relay is down — timeout is the signal).
 set -u
 cd /root/repo
-export PYTHONPATH=/root/repo
+export PYTHONPATH=/root/.axon_site:/root/repo
 
 PROBE='
 import jax, jax.numpy as jnp, time
