@@ -131,10 +131,12 @@ def bench_stage4(n: int = 100_000, res: int = 512, timed_steps: int = 20):
     shapes: 100k mesh-anchored gaussians, 512^2 full-frame render, fwd+bwd
     through the Pallas compositing kernels. The gaussians sit on surfaces
     (floor plane + spheres) like GoM's mesh-anchored splats, and the
-    compositing depth K is auto-picked from the scene's p99 tile overlap
-    (ops/splat.py auto_max_per_tile) — the shipped Stage-4 default."""
+    compositing depth K is saturation-calibrated under the p99-tile-overlap
+    bound (ops/splat.py calibrate_max_per_tile) — the shipped Stage-4
+    default."""
     from holoscene_tpu.ops.splat import (
         auto_max_per_tile,
+        calibrate_max_per_tile,
         render_gaussians,
         tile_overlap_counts,
     )
@@ -174,7 +176,16 @@ def bench_stage4(n: int = 100_000, res: int = 512, timed_steps: int = 20):
         params["means"], quats, jnp.exp(params["scales"]), viewmat, intr,
         res, res,
     )
-    k = auto_max_per_tile(np.asarray(counts))
+    k_geom = auto_max_per_tile(np.asarray(counts))
+
+    def render_k(k):
+        return render_gaussians(
+            params["means"], quats, jnp.exp(params["scales"]),
+            jax.nn.sigmoid(params["opac"]), params["colors"], viewmat, intr,
+            width=res, height=res, tile_size=16, max_per_tile=k,
+        )["rgb"]
+
+    k = calibrate_max_per_tile(render_k, hi=k_geom)
 
     def loss(p):
         out = render_gaussians(

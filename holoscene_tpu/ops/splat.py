@@ -92,7 +92,11 @@ def auto_max_per_tile(
     tile occupancy rounded up to a power of two, clamped to [lo, hi].
     Tiles deeper than K still terminate correctly (transmittance saturates);
     K bounds the per-step cost, which is linear in it (K=256 measured 2x
-    faster than 512 at the flagship stage-4 shapes)."""
+    faster than 512 at the flagship stage-4 shapes).
+
+    Geometric overlap is an UPPER bound on the useful depth — with opaque
+    content transmittance saturates long before deep tiles are exhausted.
+    Use `calibrate_max_per_tile` to refine the pick empirically."""
     import numpy as np
 
     c = np.asarray(counts).reshape(-1)
@@ -103,6 +107,43 @@ def auto_max_per_tile(
     while k < p and k < hi:
         k *= 2
     return int(min(max(k, lo), hi))
+
+
+def calibrate_max_per_tile(
+    render_k, lo: int = 64, hi: int = 1024, psnr_thresh: float = 45.0,
+    verbose: bool = False,
+) -> int:
+    """Empirical compositing-depth pick: double K until the render stops
+    changing (PSNR(render(K), render(2K)) >= psnr_thresh), i.e. until the
+    gaussians truncated past K are hidden behind saturated transmittance.
+
+    `render_k(k) -> rgb array` renders ONE representative camera at
+    compositing depth k. At most log2(hi/lo)+1 probe renders — negligible
+    at trainer start, and unlike an analytic saturation model it is exact
+    for the scene at hand: truncation error decays with the footprint-
+    coverage-discounted alpha (a tile's list entries only partially cover
+    each pixel), which geometry-free models get badly wrong (measured 28 dB
+    truncation error on a dense slab where the p99-overlap pick was exact).
+    gsplat needs no such knob only because its per-pixel CUDA walk is
+    dynamic; a static-shape TPU kernel buys the same effect by bounding K
+    at the measured saturation depth."""
+    import numpy as np
+
+    lo = max(1, int(lo))
+    hi = max(lo, int(hi))
+    k = lo
+    prev = np.asarray(render_k(k))
+    while k < hi:
+        k2 = min(2 * k, hi)
+        cur = np.asarray(render_k(k2))
+        mse = float(np.mean((prev - cur) ** 2))
+        psnr = -10.0 * np.log10(max(mse, 1e-12))
+        if verbose:
+            print(f"[calibrate_max_per_tile] K={k} vs {k2}: {psnr:.1f} dB")
+        if psnr >= psnr_thresh:
+            return k
+        k, prev = k2, cur
+    return hi
 
 
 @partial(

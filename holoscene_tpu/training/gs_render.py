@@ -33,6 +33,7 @@ def render_views(g: dict, poses, intrinsics, img_res, sh_degree: int = 3,
     COLMAP reconstructions)."""
     from holoscene_tpu.ops.splat import (
         auto_max_per_tile,
+        calibrate_max_per_tile,
         render_gaussians,
         tile_overlap_counts,
     )
@@ -52,7 +53,15 @@ def render_views(g: dict, poses, intrinsics, img_res, sh_degree: int = 3,
     if max_per_tile <= 0:
         vm0 = jnp.linalg.inv(jnp.asarray(poses[0]))
         counts = tile_overlap_counts(means, quats, scales, vm0, intr, w, h)
-        max_per_tile = auto_max_per_tile(np.asarray(counts))
+        k_geom = auto_max_per_tile(np.asarray(counts))
+        max_per_tile = calibrate_max_per_tile(
+            lambda k: render_gaussians(
+                means, quats, scales, opac, sh_j, vm0, intr, width=w,
+                height=h, max_per_tile=int(k), sh_degree=sh_degree,
+                camera_model=camera_model, dist=dist,
+            )["rgb"],
+            hi=k_geom,
+        )
 
     for vi, pose in enumerate(poses):
         viewmat = jnp.linalg.inv(jnp.asarray(pose))

@@ -94,14 +94,18 @@ class Stage4Runner:
         self.params = init_gom_params(self.static, cfg)
 
         if cfg.max_per_tile <= 0:
-            # auto-K: p99 tile overlap of the seeded gaussians from the
-            # first training camera (compositing cost is linear in K)
+            # auto-K: geometric p99 tile overlap bounds the search; the
+            # empirical saturation calibration (render at K vs 2K until the
+            # image stops changing) picks the shipped depth — compositing
+            # cost is linear in K, and deep tiles are mostly saturated
             import dataclasses as _dc
 
             from holoscene_tpu.models.gom import gom_means as _means
             from holoscene_tpu.models.gom import gom_quats as _quats
+            from holoscene_tpu.models.gom import render_gom as _render
             from holoscene_tpu.ops.splat import (
                 auto_max_per_tile,
+                calibrate_max_per_tile,
                 tile_overlap_counts,
             )
 
@@ -116,12 +120,22 @@ class Stage4Runner:
                 jnp.linalg.inv(jnp.asarray(pose)), jnp.asarray(intr),
                 int(w), int(h), tile_size=cfg.tile_size,
             )
-            k = auto_max_per_tile(counts)
+            k_geom = auto_max_per_tile(counts)
+
+            def _render_k(k):
+                kcfg = _dc.replace(cfg, max_per_tile=int(k))
+                return _render(
+                    self.params, self.static, kcfg, jnp.asarray(pose),
+                    jnp.asarray(intr), int(w), int(h),
+                    background=jnp.zeros(3),
+                )["rgb"]
+
+            k = calibrate_max_per_tile(_render_k, hi=k_geom)
             cfg = _dc.replace(cfg, max_per_tile=k)
             self.cfg = cfg
             if not quiet:
-                print(f"[stage4] auto max_per_tile={k} "
-                      f"(p99 tile overlap of seeded gaussians)")
+                print(f"[stage4] auto max_per_tile={k} (saturation-"
+                      f"calibrated under the p99 overlap bound {k_geom})")
 
         n_iters = max_total_iters or 200 * len(meshes)
         self.max_total_iters = n_iters

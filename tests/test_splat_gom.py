@@ -287,3 +287,70 @@ def test_gom_render_pallas_path_matches_and_trains():
         scale = max(1e-4, float(np.abs(gj).max()))
         np.testing.assert_allclose(gp, gj, atol=1e-3 * scale, err_msg=name)
         assert np.abs(gj).sum() > 0, name
+
+
+# ---------------------------------------------------------------------------
+# saturation-capped auto max_per_tile
+# ---------------------------------------------------------------------------
+
+
+def test_calibrate_max_per_tile_matches_full_depth():
+    """The empirical saturation calibration must pick a K whose render
+    matches the FULL-depth render on a dense slab where the geometric p99
+    overlap is ~1700 — and must stop early (small K) when the scene's
+    footprints are large and saturate immediately
+    (ops/splat.py calibrate_max_per_tile)."""
+    from holoscene_tpu.ops.splat import (
+        auto_max_per_tile,
+        calibrate_max_per_tile,
+        tile_overlap_counts,
+    )
+
+    rng = np.random.default_rng(7)
+    n, res = 4000, 64
+    # all gaussians in one small slab -> every tile is deep
+    means = jnp.asarray(
+        np.stack(
+            [rng.uniform(-0.5, 0.5, n), rng.uniform(-0.5, 0.5, n),
+             rng.uniform(-0.05, 0.05, n)], axis=-1,
+        ).astype(np.float32)
+    )
+    quats = jnp.asarray(np.tile([1.0, 0, 0, 0], (n, 1)).astype(np.float32))
+    scales = jnp.asarray(
+        rng.uniform(0.02, 0.05, (n, 3)).astype(np.float32)
+    )
+    opac = jnp.asarray(rng.uniform(0.6, 0.95, n).astype(np.float32))
+    colors = jnp.asarray(rng.uniform(0, 1, (n, 3)).astype(np.float32))
+    viewmat = jnp.eye(4).at[2, 3].set(2.0)
+    intr = jnp.array([[res * 0.9, 0, res / 2], [0, res * 0.9, res / 2],
+                      [0, 0, 1.0]])
+
+    def render(k):
+        return render_gaussians(
+            means, quats, scales, opac, colors, viewmat, intr,
+            width=res, height=res, max_per_tile=int(k), use_pallas=False,
+        )["rgb"]
+
+    counts = tile_overlap_counts(means, quats, scales, viewmat, intr,
+                                 res, res)
+    k_geom = auto_max_per_tile(np.asarray(counts), hi=4096)
+    assert k_geom >= 1024  # the scene is genuinely deep
+    k = calibrate_max_per_tile(render, hi=k_geom, psnr_thresh=45.0)
+    assert k < k_geom, (k, k_geom)
+
+    mse = float(jnp.mean((render(n) - render(k)) ** 2))
+    psnr = -10.0 * np.log10(max(mse, 1e-12))
+    assert psnr > 40.0, psnr
+
+    # big-footprint variant: 16x larger gaussians saturate within the first
+    # doublings -> calibration must stop well below the geometric bound
+    big = jnp.asarray(rng.uniform(0.3, 0.6, (n, 3)).astype(np.float32))
+
+    def render_big(k):
+        return render_gaussians(
+            means, quats, big, opac, colors, viewmat, intr,
+            width=res, height=res, max_per_tile=int(k), use_pallas=False,
+        )["rgb"]
+
+    k_big = calibrate_max_per_tile(render_big, hi=4096, psnr_thresh=45.0)
+    assert k_big <= 256, k_big
