@@ -47,7 +47,8 @@ TERM_EPS = 1e-4  # stop a tile once every pixel's transmittance is below this
 
 
 def _composite_tile_kernel(xy_ref, conic_ref, rgbz_ref, op_ref, origin_ref,
-                           count_ref, out_ref, *, tile_size: int):
+                           count_ref, out_ref, *, tile_size: int,
+                           cumprod_mode: str = "log"):
     """One program = one tile.
 
     Block shapes:
@@ -82,6 +83,7 @@ def _composite_tile_kernel(xy_ref, conic_ref, rgbz_ref, op_ref, origin_ref,
     row = jax.lax.broadcasted_iota(jnp.int32, (K_CHUNK, K_CHUNK), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (K_CHUNK, K_CHUNK), 1)
     lower = (row < col).astype(jnp.float32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (p, K_CHUNK), 1)
 
     def cond(carry):
         kc, trans, _ = carry
@@ -105,6 +107,28 @@ def _composite_tile_kernel(xy_ref, conic_ref, rgbz_ref, op_ref, origin_ref,
         power = -0.5 * (ca * dx * dx + 2.0 * cb * dx * dy + cc * dy * dy)
         a = jnp.minimum(0.999, op * jnp.exp(jnp.minimum(power, 0.0)))
         a = jnp.where(a >= 1.0 / 255.0, a, 0.0)  # [P, C]
+
+        if cumprod_mode == "scan":
+            # transcendental-free within-chunk cumprod: log2(C) rounds of
+            # lane-rolled multiplies (the walk is VPU/transcendental bound,
+            # not MXU bound — PERF.md stage-4 attribution). Products of
+            # (1-a) in f32 are exact enough (positive, <= 1) and skip the
+            # log1p+exp round trip of the matmul trick.
+            one_m = 1.0 - a
+            y = one_m  # inclusive cumprod after the rounds below
+            s = 1
+            while s < K_CHUNK:
+                y = y * jnp.where(lane >= s, pltpu.roll(y, s, 1), 1.0)
+                s *= 2
+            t_ex = jnp.where(lane >= 1, pltpu.roll(y, 1, 1), 1.0)
+            w = a * t_ex * trans  # [P, C]
+            chunk_total = jnp.sum(
+                jnp.where(lane == K_CHUNK - 1, y, 0.0), axis=1, keepdims=True
+            )
+            acc = acc + jnp.dot(w, rgbz, preferred_element_type=jnp.float32,
+                                precision=jax.lax.Precision.HIGHEST)
+            trans = trans * chunk_total
+            return kc + 1, trans, acc
 
         log1m = jnp.log1p(-a)
         # HIGHEST: the MXU's default bf16 rounding costs ~1e-3 in the
@@ -248,7 +272,7 @@ def _composite_bwd_kernel(xy_ref, conic_ref, op_ref, u_ref, v_ref, origin_ref,
 
 
 def _core_fwd_impl(g_xy, g_conic, g_rgb, g_op, g_z, origins, counts,
-                   tile_size, interpret):
+                   tile_size, interpret, cumprod_mode="log"):
     t, k = g_op.shape
     p = tile_size * tile_size
     xy_t = jnp.swapaxes(g_xy, 1, 2)  # [T, 2, K]
@@ -263,7 +287,8 @@ def _core_fwd_impl(g_xy, g_conic, g_rgb, g_op, g_z, origins, counts,
     counts2 = jnp.stack([ci, ci], axis=-1)[:, None, :]  # [T, 1, 2]
 
     out = pl.pallas_call(
-        partial(_composite_tile_kernel, tile_size=tile_size),
+        partial(_composite_tile_kernel, tile_size=tile_size,
+                cumprod_mode=cumprod_mode),
         out_shape=jax.ShapeDtypeStruct((t, p, 8), jnp.float32),
         grid=(t,),
         in_specs=[
@@ -283,29 +308,31 @@ def _core_fwd_impl(g_xy, g_conic, g_rgb, g_op, g_z, origins, counts,
     return out[:, :, :3], out[:, :, 3], out[:, :, 4], used
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+@partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
 def _composite_core(g_xy, g_conic, g_rgb, g_op, g_z, origins, counts,
-                    tile_size, interpret):
+                    tile_size, interpret, cumprod_mode):
     """Fused tile compositing; returns (rgb [T,P,3], depth_acc [T,P],
     alpha [T,P]) — depth is UNNORMALIZED. K must be a K_CHUNK multiple;
     g_op is the effective (live-masked) opacity; counts [T] int32 bounds
     each tile's walk to its live prefix."""
     rgb, depth_acc, alpha, _ = _core_fwd_impl(
-        g_xy, g_conic, g_rgb, g_op, g_z, origins, counts, tile_size, interpret
+        g_xy, g_conic, g_rgb, g_op, g_z, origins, counts, tile_size,
+        interpret, cumprod_mode
     )
     return rgb, depth_acc, alpha
 
 
 def _core_fwd(g_xy, g_conic, g_rgb, g_op, g_z, origins, counts, tile_size,
-              interpret):
+              interpret, cumprod_mode):
     rgb, depth_acc, alpha, used = _core_fwd_impl(
-        g_xy, g_conic, g_rgb, g_op, g_z, origins, counts, tile_size, interpret
+        g_xy, g_conic, g_rgb, g_op, g_z, origins, counts, tile_size,
+        interpret, cumprod_mode
     )
     return (rgb, depth_acc, alpha), (g_xy, g_conic, g_rgb, g_op, g_z, origins,
                                      counts, used)
 
 
-def _core_bwd(tile_size, interpret, res, cts):
+def _core_bwd(tile_size, interpret, cumprod_mode, res, cts):
     g_xy, g_conic, g_rgb, g_op, g_z, origins, counts, used = res
     ct_rgb, ct_depth, ct_alpha = cts
     t, k = g_op.shape
@@ -368,7 +395,8 @@ def _core_bwd(tile_size, interpret, res, cts):
 _composite_core.defvjp(_core_fwd, _core_bwd)
 
 
-@partial(jax.jit, static_argnames=("tile_size", "interpret"))
+@partial(jax.jit, static_argnames=("tile_size", "interpret",
+                                    "cumprod_mode"))
 def composite_tiles_pallas(
     g_xy: jnp.ndarray,      # [T, K, 2]
     g_conic: jnp.ndarray,   # [T, K, 3]
@@ -380,6 +408,7 @@ def composite_tiles_pallas(
     tile_size: int = 16,
     interpret: bool = False,
     n_live: jnp.ndarray | None = None,  # [T] live-prefix length per tile
+    cumprod_mode: str | None = None,    # "log" | "scan"; None -> env/default
 ):
     """Returns (rgb [T, P, 3], depth [T, P] alpha-normalized, alpha [T, P]).
 
@@ -410,8 +439,15 @@ def composite_tiles_pallas(
     else:
         counts = n_live.astype(jnp.float32)
 
+    if cumprod_mode is None:
+        # experimental A/B knob (PERF.md stage-4 walk attribution): "scan"
+        # replaces the forward's log-space cumprod with lane-rolled
+        # multiplies; backward is formulation-independent (custom_vjp)
+        import os
+
+        cumprod_mode = os.environ.get("HOLOSCENE_SPLAT_CUMPROD", "log")
     rgb, depth_acc, alpha = _composite_core(
         g_xy, g_conic, g_rgb, g_op * live, g_z, origins, counts, tile_size,
-        interpret
+        interpret, cumprod_mode
     )
     return rgb, depth_acc / jnp.maximum(alpha, 1e-10), alpha

@@ -248,3 +248,46 @@ def test_early_termination_saturated_tile():
     assert bool(jnp.all(jnp.isfinite(g)))
     # the far tail (behind saturation) must carry ~zero gradient
     assert float(jnp.abs(g[:, -32:]).max()) < 1e-3
+
+
+def test_scan_cumprod_mode_matches_log():
+    """The transcendental-free lane-rolled cumprod ("scan") must match the
+    log-space matmul formulation bit-tight, including partial/zero live
+    prefixes and gradients through the custom_vjp (the backward is
+    formulation-independent)."""
+    from holoscene_tpu.ops.splat_pallas import composite_tiles_pallas
+
+    rng = np.random.default_rng(3)
+    T, K, ts = 4, 256, 8
+    g_xy = jnp.asarray(rng.uniform(0, ts, (T, K, 2)).astype(np.float32))
+    g_conic = jnp.asarray(
+        np.stack([np.full((T, K), 0.3), np.zeros((T, K)),
+                  np.full((T, K), 0.3)], -1).astype(np.float32)
+    )
+    g_rgb = jnp.asarray(rng.uniform(0, 1, (T, K, 3)).astype(np.float32))
+    g_op = jnp.asarray(rng.uniform(0.2, 0.9, (T, K)).astype(np.float32))
+    g_z = jnp.asarray(np.sort(rng.uniform(1, 3, (T, K)), axis=1)
+                      .astype(np.float32))
+    live = jnp.ones((T, K))
+    origins = jnp.zeros((T, 2))
+    n_live = jnp.asarray(np.array([K, K // 2, 37, 0], np.float32))
+
+    def run(mode):
+        return composite_tiles_pallas(
+            g_xy, g_conic, g_rgb, g_op, g_z, live, origins, tile_size=ts,
+            interpret=True, n_live=n_live, cumprod_mode=mode,
+        )
+
+    for a, b in zip(run("log"), run("scan")):
+        assert float(jnp.max(jnp.abs(a - b))) < 1e-5
+
+    def loss(op, mode):
+        r, _, al = composite_tiles_pallas(
+            g_xy, g_conic, g_rgb, op, g_z, live, origins, tile_size=ts,
+            interpret=True, n_live=n_live, cumprod_mode=mode,
+        )
+        return jnp.sum(r ** 2) + jnp.sum(al)
+
+    g1 = jax.grad(lambda o: loss(o, "log"))(g_op)
+    g2 = jax.grad(lambda o: loss(o, "scan"))(g_op)
+    assert float(jnp.max(jnp.abs(g1 - g2))) < 1e-4
