@@ -21,4 +21,10 @@ run() {  # run <tag> <timeout-sec> <cmd...>
 run bench_combo 3600 env BENCH_FINE_TOP_F=32 BENCH_FINE_LEVELS=6 \
     BENCH_SAMPLER_ITERS=4 python bench.py
 
+# stage-4 attribution: candidate gather/scatter vs walk, K sweep
+run splat_attrib 3600 python scripts/probe_splat_attrib.py
+
+# stage-4 walk formulation A/B (+ validates Mosaic lowers pltpu.roll)
+run splat_cumprod 3600 python scripts/probe_splat_cumprod.py
+
 echo "=== QUEUE B DONE $(date -u)"
