@@ -150,7 +150,8 @@ def calibrate_max_per_tile(
     jax.jit,
     static_argnames=(
         "width", "height", "tile_size", "max_per_tile", "sh_degree",
-        "use_pallas", "ortho", "camera_model", "dist",
+        "use_pallas", "ortho", "camera_model", "dist", "fetch",
+        "cumprod",
     ),
 )
 def render_gaussians(
@@ -172,6 +173,8 @@ def render_gaussians(
     camera_model: str = "pinhole",
     dist: tuple | None = None,
     viewmat_end: jnp.ndarray | None = None,
+    fetch: str | None = None,
+    cumprod: str | None = None,
 ):
     """Returns dict(rgb [H,W,3], depth [H,W] alpha-normalized expected depth,
     alpha [H,W]).
@@ -310,6 +313,8 @@ def render_gaussians(
         ty0 = jnp.concatenate([ty0, jnp.zeros(pad, ty0.dtype)])
 
     if use_pallas:
+        import os
+
         from holoscene_tpu.ops.splat_pallas import composite_tiles_pallas
 
         def select_only(carry, chunk_idx):
@@ -325,10 +330,37 @@ def render_gaussians(
             [x0s.reshape(-1), y0s.reshape(-1)], axis=-1
         )[:n_tiles].astype(jnp.float32)
 
+        # fetch is static (part of the jit cache key); the env var is only
+        # the process-level default for A/B probes
+        if fetch is None:
+            fetch = os.environ.get("HOLOSCENE_SPLAT_FETCH", "split")
+        if fetch == "packed":
+            # experimental A/B (PERF.md stage-4 attribution): ONE width-16
+            # row gather fetches the whole candidate payload — the gather
+            # engine costs per ROW, and the backward becomes one row
+            # scatter instead of five element scatters. Whether XLA keeps
+            # the [T, K, 16] intermediate lane-compact decides the win;
+            # bench deltas only (layout traps, PERF.md pitfalls).
+            payload = jnp.concatenate(
+                [xy, conic, rgb_n, opacities[:, None], depth[:, None],
+                 jnp.zeros((n, 6), xy.dtype)], axis=-1,
+            )  # [N, 16]
+            cand = jnp.take(payload, top_idx.reshape(-1), axis=0).reshape(
+                n_tiles, k, 16
+            )
+            g_xy, g_conic, g_rgb = (
+                cand[..., 0:2], cand[..., 2:5], cand[..., 5:8]
+            )
+            g_op, g_z = cand[..., 8], cand[..., 9]
+        else:
+            g_xy, g_conic, g_rgb = xy[top_idx], conic[top_idx], rgb_n[top_idx]
+            g_op, g_z = opacities[top_idx], depth[top_idx]
+
         rgb_t, depth_tn, alpha_t = composite_tiles_pallas(
-            xy[top_idx], conic[top_idx], rgb_n[top_idx],
-            opacities[top_idx] * live, depth[top_idx],
+            g_xy, g_conic, g_rgb,
+            g_op * live, g_z,
             jnp.ones_like(live), origins, tile_size=tile_size,
+            cumprod_mode=cumprod,
             # Mosaic kernels only lower on TPU; fall back to the pallas
             # interpreter elsewhere so the flag works on any backend.
             interpret=jax.default_backend() != "tpu",

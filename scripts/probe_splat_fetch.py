@@ -1,14 +1,14 @@
-"""TPU A/B of the splat compositing walk's cumprod formulation.
+"""TPU A/B of the splat candidate fetch: "split" (five per-array gathers,
+five transpose element-scatters in the backward) vs "packed" (ONE width-16
+payload row gather, one row scatter).
 
-"log" (shipped): within-chunk exclusive cumprod via log1p -> triangular
-MXU matmul -> exp (3 transcendental passes per chunk).
-"scan": lane-rolled multiplies (log2(C) rounds, zero extra transcendentals).
+The gather engine costs per ROW; the five split gathers are ~5M rows while
+the packed payload is 1M width-16 rows (PERF.md row-op economics). The
+backward is the bigger prize: one [M,16] row scatter (~17M rows/s = ~272M
+elem/s) vs ~10M element scatters (~88M elem/s). Layout risk: the [T,K,16]
+intermediate must stay lane-compact. Run serial on an idle chip:
 
-PERF.md stage-4 attribution argues the walk is VPU/transcendental bound;
-this probe decides whether "scan" ships. Also validates that Mosaic lowers
-pltpu.roll at these shapes at all. Run serial on an idle chip:
-
-  PYTHONPATH=/root/.axon_site:/root/repo python scripts/probe_splat_cumprod.py
+  PYTHONPATH=/root/.axon_site:/root/repo python scripts/probe_splat_fetch.py
 """
 import sys
 import time
@@ -60,7 +60,7 @@ def timed(fn, *args, steps=20):
     return (time.perf_counter() - t0) / steps
 
 
-for mode in ["log", "scan"]:
+for mode in ["split", "packed"]:
     # explicit static arg — env-var routing would silently reuse the first
     # mode's jit trace within one process
 
@@ -68,12 +68,12 @@ for mode in ["log", "scan"]:
     def fwd(m, s, o, c, mode=mode):
         return render_gaussians(m, quats, s, o, c, viewmat, intr,
                                 width=RES, height=RES, max_per_tile=K,
-                                cumprod=mode)["rgb"]
+                                fetch=mode)["rgb"]
 
     def loss(m, s, o, c, mode=mode):
         r = render_gaussians(m, quats, s, o, c, viewmat, intr,
                              width=RES, height=RES, max_per_tile=K,
-                             cumprod=mode)["rgb"]
+                             fetch=mode)["rgb"]
         return jnp.mean((r - tgt) ** 2)
 
     step = jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3)))
@@ -83,10 +83,10 @@ for mode in ["log", "scan"]:
         print(f"{mode}: fwd {t_f*1e3:.1f} ms ({N/t_f/1e6:.2f} M splats/s)  "
               f"fwd+bwd {t_s*1e3:.1f} ms ({N/t_s/1e6:.2f} M splats/s)",
               flush=True)
-        if mode == "log":
+        if mode == "split":
             ref = np.asarray(fwd(means, scales, opac, colors))
         else:
             cur = np.asarray(fwd(means, scales, opac, colors))
-            print(f"scan-vs-log max|diff| {np.abs(cur - ref).max():.2e}")
+            print(f"packed-vs-split max|diff| {np.abs(cur - ref).max():.2e}")
     except Exception as e:
         print(f"{mode}: FAILED {type(e).__name__}: {e}", flush=True)

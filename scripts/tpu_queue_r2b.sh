@@ -27,4 +27,7 @@ run splat_attrib 3600 python scripts/probe_splat_attrib.py
 # stage-4 walk formulation A/B (+ validates Mosaic lowers pltpu.roll)
 run splat_cumprod 3600 python scripts/probe_splat_cumprod.py
 
+# stage-4 candidate-fetch A/B (one width-16 row gather vs five gathers)
+run splat_fetch 3600 python scripts/probe_splat_fetch.py
+
 echo "=== QUEUE B DONE $(date -u)"

@@ -105,3 +105,49 @@ def test_render_gaussians_pallas_grads_match_jax():
             err_msg=f"grad mismatch: {nm}",
         )
         assert float(jnp.max(jnp.abs(gj))) > 0  # non-degenerate test
+
+
+def test_packed_fetch_matches_split():
+    """fetch="packed" (one width-16 payload row gather feeding the Pallas
+    compositor) must match fetch="split" exactly, outputs and gradients
+    (ops/splat.py render_gaussians)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from holoscene_tpu.ops.splat import render_gaussians
+
+    rng = np.random.default_rng(1)
+    n, res = 1500, 48
+    means = jnp.asarray(rng.uniform(-0.8, 0.8, (n, 3)).astype(np.float32))
+    quats = jnp.asarray(np.tile([1.0, 0, 0, 0], (n, 1)).astype(np.float32))
+    scales = jnp.asarray(rng.uniform(0.01, 0.06, (n, 3)).astype(np.float32))
+    opac = jnp.asarray(rng.uniform(0.2, 0.9, n).astype(np.float32))
+    colors = jnp.asarray(rng.uniform(0, 1, (n, 3)).astype(np.float32))
+    viewmat = jnp.eye(4).at[2, 3].set(2.0)
+    intr = jnp.array([[res * 0.9, 0, res / 2], [0, res * 0.9, res / 2],
+                      [0, 0, 1.0]])
+
+    def render(fetch):
+        return render_gaussians(
+            means, quats, scales, opac, colors, viewmat, intr, width=res,
+            height=res, max_per_tile=128, use_pallas=True, fetch=fetch,
+        )
+
+    a, b = render("split"), render("packed")
+    for key in ["rgb", "alpha"]:
+        assert float(jnp.max(jnp.abs(a[key] - b[key]))) < 1e-5
+
+    def loss(m, s, o, c, fetch):
+        out = render_gaussians(
+            m, quats, s, o, c, viewmat, intr, width=res, height=res,
+            max_per_tile=128, use_pallas=True, fetch=fetch,
+        )
+        return jnp.sum(out["rgb"] ** 2) + jnp.sum(out["alpha"])
+
+    g1 = jax.grad(loss, argnums=(0, 1, 2, 3))(means, scales, opac, colors,
+                                              "split")
+    g2 = jax.grad(loss, argnums=(0, 1, 2, 3))(means, scales, opac, colors,
+                                              "packed")
+    for ga, gb in zip(g1, g2):
+        assert float(jnp.max(jnp.abs(ga - gb))) < 1e-4
