@@ -30,4 +30,7 @@ run splat_cumprod 3600 python scripts/probe_splat_cumprod.py
 # stage-4 candidate-fetch A/B (one width-16 row gather vs five gathers)
 run splat_fetch 3600 python scripts/probe_splat_fetch.py
 
+# re-attribute the full-step backward on current code (the 60ms "other")
+run bwd_split 3600 python scripts/profile_backward_split.py
+
 echo "=== QUEUE B DONE $(date -u)"
