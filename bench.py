@@ -82,9 +82,10 @@ def flagship_config() -> HoloSceneConfig:
         sampler=SamplerConfig(
             N_samples=64, N_samples_eval=128, N_samples_extra=32,
             eps=0.1, beta_iters=10,
-            # upsample rounds; reference default 5. A/B knob only — placement
-            # error of fewer rounds is probed offline first (PERF.md)
-            max_total_iters=int(os.environ.get("BENCH_SAMPLER_ITERS", "5")),
+            # upsample rounds; reference default 5. 4 rounds match 5 on
+            # sample placement (offline probe) and passed the combined
+            # 2500-iter train gate with the tiered fine levels (PERF.md)
+            max_total_iters=int(os.environ.get("BENCH_SAMPLER_ITERS", "4")),
         ),
         use_bg_reg=False,  # hot-loop iteration (bg patch runs every 10th)
         # coarse-level SDF probes for sample placement (render stays exact);
@@ -100,8 +101,8 @@ def flagship_config() -> HoloSceneConfig:
         # tiered fine levels: top-F of the kept M get all 16 levels, the
         # tail gets the 8 coarse levels (holoscene.py render_fine_top_f);
         # offline error probe: PERF.md round-2 (0 = off)
-        render_fine_top_f=int(os.environ.get("BENCH_FINE_TOP_F", "0")),
-        render_fine_levels=int(os.environ.get("BENCH_FINE_LEVELS", "8")),
+        render_fine_top_f=int(os.environ.get("BENCH_FINE_TOP_F", "32")),
+        render_fine_levels=int(os.environ.get("BENCH_FINE_LEVELS", "6")),
     )
 
 

@@ -151,7 +151,7 @@ def calibrate_max_per_tile(
     static_argnames=(
         "width", "height", "tile_size", "max_per_tile", "sh_degree",
         "use_pallas", "ortho", "camera_model", "dist", "fetch",
-        "cumprod",
+        "cumprod", "chunk",
     ),
 )
 def render_gaussians(
@@ -175,6 +175,7 @@ def render_gaussians(
     viewmat_end: jnp.ndarray | None = None,
     fetch: str | None = None,
     cumprod: str | None = None,
+    chunk: int | None = None,
 ):
     """Returns dict(rgb [H,W,3], depth [H,W] alpha-normalized expected depth,
     alpha [H,W]).
@@ -333,7 +334,11 @@ def render_gaussians(
         # fetch is static (part of the jit cache key); the env var is only
         # the process-level default for A/B probes
         if fetch is None:
-            fetch = os.environ.get("HOLOSCENE_SPLAT_FETCH", "split")
+            # packed default (2026-08-19 A/B, idle chip, 100k/512^2/K=512):
+            # fwd+bwd 35.2 ms vs split's 67.9 ms (1.93x), bitwise-identical
+            # renders — the gather engine costs per ROW, and the backward
+            # becomes one row scatter instead of five element scatters
+            fetch = os.environ.get("HOLOSCENE_SPLAT_FETCH", "packed")
         if fetch == "packed":
             # experimental A/B (PERF.md stage-4 attribution): ONE width-16
             # row gather fetches the whole candidate payload — the gather
@@ -360,13 +365,17 @@ def render_gaussians(
             g_xy, g_conic, g_rgb,
             g_op * live, g_z,
             jnp.ones_like(live), origins, tile_size=tile_size,
-            cumprod_mode=cumprod,
+            cumprod_mode=cumprod, chunk_size=chunk,
             # Mosaic kernels only lower on TPU; fall back to the pallas
             # interpreter elsewhere so the flag works on any backend.
             interpret=jax.default_backend() != "tpu",
             # approx_max_k puts dead (-inf depth) entries at the end, so
             # live is a prefix — its sum bounds each tile's chunk walk
             n_live=live.sum(axis=1),
+            # lets edge tiles' saturation early-exit ignore the out-of-image
+            # pixels (they never saturate otherwise); those pixels fall
+            # outside the [:height, :width] crop below
+            img_w=width, img_h=height,
         )
         # re-accumulate the unnormalized depth for a shared epilogue
         depth_t = depth_tn * alpha_t

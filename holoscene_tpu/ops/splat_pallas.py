@@ -3,8 +3,8 @@
 The pure-JAX tile renderer (ops/splat.py) materializes [tiles, K, pixels]
 alpha/transmittance tensors in HBM (~33 MB per tile chunk at K=512). These
 kernels keep the whole compositing loop in VMEM and on the MXU: each grid
-program owns one tile and walks its K depth-sorted gaussians in chunks of
-128 along the LANE dimension —
+program owns one tile and walks its K depth-sorted gaussians in lane-dim
+chunks (default 128; `chunk_size`, any multiple of 128) —
 
   * alpha for a chunk is one [P, 128] VPU broadcast (pixels in sublanes,
     gaussians in lanes);
@@ -48,7 +48,8 @@ TERM_EPS = 1e-4  # stop a tile once every pixel's transmittance is below this
 
 def _composite_tile_kernel(xy_ref, conic_ref, rgbz_ref, op_ref, origin_ref,
                            count_ref, out_ref, *, tile_size: int,
-                           cumprod_mode: str = "log"):
+                           cumprod_mode: str = "log", chunk: int = K_CHUNK,
+                           img_w: int = 0, img_h: int = 0):
     """One program = one tile.
 
     Block shapes:
@@ -71,8 +72,8 @@ def _composite_tile_kernel(xy_ref, conic_ref, rgbz_ref, op_ref, origin_ref,
     p = tile_size * tile_size
     k_total = op_ref.shape[2]
     n_chunks = jnp.minimum(
-        k_total // K_CHUNK,
-        (count_ref[0, 0, 0] + K_CHUNK - 1) // K_CHUNK,
+        k_total // chunk,
+        (count_ref[0, 0, 0] + chunk - 1) // chunk,
     )
 
     pix_id = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0).astype(jnp.float32)
@@ -80,10 +81,10 @@ def _composite_tile_kernel(xy_ref, conic_ref, rgbz_ref, op_ref, origin_ref,
     py = origin_ref[0, 0, 1] + (pix_id // tile_size) + 0.5
 
     # strictly-lower-triangular ones: cumsum_exclusive along lanes via MXU
-    row = jax.lax.broadcasted_iota(jnp.int32, (K_CHUNK, K_CHUNK), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (K_CHUNK, K_CHUNK), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
     lower = (row < col).astype(jnp.float32)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (p, K_CHUNK), 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (p, chunk), 1)
 
     def cond(carry):
         kc, trans, _ = carry
@@ -93,14 +94,14 @@ def _composite_tile_kernel(xy_ref, conic_ref, rgbz_ref, op_ref, origin_ref,
 
     def body(carry):
         kc, trans, acc = carry  # [P, 1], [P, 4]
-        lo = pl.multiple_of(kc * K_CHUNK, K_CHUNK)
-        gx = xy_ref[0, 0:1, pl.ds(lo, K_CHUNK)]  # [1, C]
-        gy = xy_ref[0, 1:2, pl.ds(lo, K_CHUNK)]
-        ca = conic_ref[0, 0:1, pl.ds(lo, K_CHUNK)]
-        cb = conic_ref[0, 1:2, pl.ds(lo, K_CHUNK)]
-        cc = conic_ref[0, 2:3, pl.ds(lo, K_CHUNK)]
-        op = op_ref[0, 0:1, pl.ds(lo, K_CHUNK)]
-        rgbz = rgbz_ref[0, pl.ds(lo, K_CHUNK), :]  # [C, 4]
+        lo = pl.multiple_of(kc * chunk, chunk)
+        gx = xy_ref[0, 0:1, pl.ds(lo, chunk)]  # [1, C]
+        gy = xy_ref[0, 1:2, pl.ds(lo, chunk)]
+        ca = conic_ref[0, 0:1, pl.ds(lo, chunk)]
+        cb = conic_ref[0, 1:2, pl.ds(lo, chunk)]
+        cc = conic_ref[0, 2:3, pl.ds(lo, chunk)]
+        op = op_ref[0, 0:1, pl.ds(lo, chunk)]
+        rgbz = rgbz_ref[0, pl.ds(lo, chunk), :]  # [C, 4]
 
         dx = px - gx  # [P, C]
         dy = py - gy
@@ -117,13 +118,13 @@ def _composite_tile_kernel(xy_ref, conic_ref, rgbz_ref, op_ref, origin_ref,
             one_m = 1.0 - a
             y = one_m  # inclusive cumprod after the rounds below
             s = 1
-            while s < K_CHUNK:
+            while s < chunk:
                 y = y * jnp.where(lane >= s, pltpu.roll(y, s, 1), 1.0)
                 s *= 2
             t_ex = jnp.where(lane >= 1, pltpu.roll(y, 1, 1), 1.0)
             w = a * t_ex * trans  # [P, C]
             chunk_total = jnp.sum(
-                jnp.where(lane == K_CHUNK - 1, y, 0.0), axis=1, keepdims=True
+                jnp.where(lane == chunk - 1, y, 0.0), axis=1, keepdims=True
             )
             acc = acc + jnp.dot(w, rgbz, preferred_element_type=jnp.float32,
                                 precision=jax.lax.Precision.HIGHEST)
@@ -144,7 +145,14 @@ def _composite_tile_kernel(xy_ref, conic_ref, rgbz_ref, op_ref, origin_ref,
         )
         return kc + 1, trans, acc
 
-    trans0 = jnp.ones((p, 1), jnp.float32)
+    if img_w > 0 and img_h > 0:
+        # edge tiles: out-of-image pixels start fully saturated (trans=0) so
+        # the saturation early-exit tracks only real pixels; their outputs
+        # (alpha=1, rgb=0) lie beyond the caller's [:height, :width] crop
+        valid = (px < float(img_w)) & (py < float(img_h))
+        trans0 = valid.astype(jnp.float32)
+    else:
+        trans0 = jnp.ones((p, 1), jnp.float32)
     acc0 = jnp.zeros((p, 4), jnp.float32)
     kc, trans, acc = jax.lax.while_loop(cond, body, (0, trans0, acc0))
 
@@ -156,7 +164,8 @@ def _composite_tile_kernel(xy_ref, conic_ref, rgbz_ref, op_ref, origin_ref,
 
 
 def _composite_bwd_kernel(xy_ref, conic_ref, op_ref, u_ref, v_ref, origin_ref,
-                          used_ref, dgeom_ref, du_ref, *, tile_size: int):
+                          used_ref, dgeom_ref, du_ref, *, tile_size: int,
+                          chunk: int = K_CHUNK):
     """One program = one tile, reverse chunk walk over the chunks the
     forward actually composited (used_ref; gaussians behind the saturation
     point carry < TERM_EPS of weight — gsplat truncates them identically).
@@ -182,18 +191,18 @@ def _composite_bwd_kernel(xy_ref, conic_ref, op_ref, u_ref, v_ref, origin_ref,
     px = origin_ref[0, 0, 0] + (pix_id % tile_size) + 0.5  # [P, 1]
     py = origin_ref[0, 0, 1] + (pix_id // tile_size) + 0.5
 
-    row = jax.lax.broadcasted_iota(jnp.int32, (K_CHUNK, K_CHUNK), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (K_CHUNK, K_CHUNK), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
     lower = (row < col).astype(jnp.float32)   # exclusive prefix along lanes
     upper = (row > col).astype(jnp.float32)   # exclusive suffix along lanes
 
     def chunk_geom(lo):
-        gx = xy_ref[0, 0:1, pl.ds(lo, K_CHUNK)]
-        gy = xy_ref[0, 1:2, pl.ds(lo, K_CHUNK)]
-        ca = conic_ref[0, 0:1, pl.ds(lo, K_CHUNK)]
-        cb = conic_ref[0, 1:2, pl.ds(lo, K_CHUNK)]
-        cc = conic_ref[0, 2:3, pl.ds(lo, K_CHUNK)]
-        op = op_ref[0, 0:1, pl.ds(lo, K_CHUNK)]
+        gx = xy_ref[0, 0:1, pl.ds(lo, chunk)]
+        gy = xy_ref[0, 1:2, pl.ds(lo, chunk)]
+        ca = conic_ref[0, 0:1, pl.ds(lo, chunk)]
+        cb = conic_ref[0, 1:2, pl.ds(lo, chunk)]
+        cc = conic_ref[0, 2:3, pl.ds(lo, chunk)]
+        op = op_ref[0, 0:1, pl.ds(lo, chunk)]
         dx = px - gx  # [P, C]
         dy = py - gy
         power = -0.5 * (ca * dx * dx + 2.0 * cb * dx * dy + cc * dy * dy)
@@ -207,7 +216,7 @@ def _composite_bwd_kernel(xy_ref, conic_ref, op_ref, u_ref, v_ref, origin_ref,
     # pass 1: total log-transmittance per pixel (so the reverse walk can
     # reconstruct T_k = exp(total - suffix) without storing [P, K])
     def body1(kc, tot):
-        lo = pl.multiple_of(kc * K_CHUNK, K_CHUNK)
+        lo = pl.multiple_of(kc * chunk, chunk)
         a = chunk_geom(lo)[7]
         return tot + jnp.sum(jnp.log1p(-a), axis=1, keepdims=True)
 
@@ -220,9 +229,9 @@ def _composite_bwd_kernel(xy_ref, conic_ref, op_ref, u_ref, v_ref, origin_ref,
     def body2(i, carry):
         suffix_log, s_after = carry  # [P, 1] each
         c = n_chunks - 1 - i
-        lo = pl.multiple_of(c * K_CHUNK, K_CHUNK)
+        lo = pl.multiple_of(c * chunk, chunk)
         dx, dy, ca, cb, cc, e, a_pre, a, keep, power = chunk_geom(lo)
-        u = u_ref[0, :, pl.ds(lo, K_CHUNK)]  # [8, C]
+        u = u_ref[0, :, pl.ds(lo, chunk)]  # [8, C]
 
         log1m = jnp.log1p(-a)
         chunk_sum = jnp.sum(log1m, axis=1, keepdims=True)
@@ -247,14 +256,14 @@ def _composite_bwd_kernel(xy_ref, conic_ref, op_ref, u_ref, v_ref, origin_ref,
         def red(x):  # reduce over pixels (sublanes) -> [1, C]
             return jnp.sum(x, axis=0, keepdims=True)
 
-        sl = pl.ds(lo, K_CHUNK)
+        sl = pl.ds(lo, chunk)
         dgeom_ref[0, 0:1, sl] = red(dpow * (ca * dx + cb * dy))
         dgeom_ref[0, 1:2, sl] = red(dpow * (cb * dx + cc * dy))
         dgeom_ref[0, 2:3, sl] = red(dpow * (-0.5 * dx * dx))
         dgeom_ref[0, 3:4, sl] = red(dpow * (-dx * dy))
         dgeom_ref[0, 4:5, sl] = red(dpow * (-0.5 * dy * dy))
         dgeom_ref[0, 5:6, sl] = red(da * e)
-        zero_row = jnp.zeros((1, K_CHUNK), jnp.float32)
+        zero_row = jnp.zeros((1, chunk), jnp.float32)
         dgeom_ref[0, 6:7, sl] = zero_row
         dgeom_ref[0, 7:8, sl] = zero_row
         for ch in range(8):
@@ -272,7 +281,8 @@ def _composite_bwd_kernel(xy_ref, conic_ref, op_ref, u_ref, v_ref, origin_ref,
 
 
 def _core_fwd_impl(g_xy, g_conic, g_rgb, g_op, g_z, origins, counts,
-                   tile_size, interpret, cumprod_mode="log"):
+                   tile_size, interpret, cumprod_mode="log",
+                   chunk=K_CHUNK, img_w=0, img_h=0):
     t, k = g_op.shape
     p = tile_size * tile_size
     xy_t = jnp.swapaxes(g_xy, 1, 2)  # [T, 2, K]
@@ -288,7 +298,8 @@ def _core_fwd_impl(g_xy, g_conic, g_rgb, g_op, g_z, origins, counts,
 
     out = pl.pallas_call(
         partial(_composite_tile_kernel, tile_size=tile_size,
-                cumprod_mode=cumprod_mode),
+                cumprod_mode=cumprod_mode, chunk=chunk, img_w=img_w,
+                img_h=img_h),
         out_shape=jax.ShapeDtypeStruct((t, p, 8), jnp.float32),
         grid=(t,),
         in_specs=[
@@ -308,31 +319,32 @@ def _core_fwd_impl(g_xy, g_conic, g_rgb, g_op, g_z, origins, counts,
     return out[:, :, :3], out[:, :, 3], out[:, :, 4], used
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+@partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12))
 def _composite_core(g_xy, g_conic, g_rgb, g_op, g_z, origins, counts,
-                    tile_size, interpret, cumprod_mode):
+                    tile_size, interpret, cumprod_mode, chunk, img_w, img_h):
     """Fused tile compositing; returns (rgb [T,P,3], depth_acc [T,P],
     alpha [T,P]) — depth is UNNORMALIZED. K must be a K_CHUNK multiple;
     g_op is the effective (live-masked) opacity; counts [T] int32 bounds
     each tile's walk to its live prefix."""
     rgb, depth_acc, alpha, _ = _core_fwd_impl(
         g_xy, g_conic, g_rgb, g_op, g_z, origins, counts, tile_size,
-        interpret, cumprod_mode
+        interpret, cumprod_mode, chunk, img_w, img_h
     )
     return rgb, depth_acc, alpha
 
 
 def _core_fwd(g_xy, g_conic, g_rgb, g_op, g_z, origins, counts, tile_size,
-              interpret, cumprod_mode):
+              interpret, cumprod_mode, chunk, img_w, img_h):
     rgb, depth_acc, alpha, used = _core_fwd_impl(
         g_xy, g_conic, g_rgb, g_op, g_z, origins, counts, tile_size,
-        interpret, cumprod_mode
+        interpret, cumprod_mode, chunk, img_w, img_h
     )
     return (rgb, depth_acc, alpha), (g_xy, g_conic, g_rgb, g_op, g_z, origins,
                                      counts, used)
 
 
-def _core_bwd(tile_size, interpret, cumprod_mode, res, cts):
+def _core_bwd(tile_size, interpret, cumprod_mode, chunk, img_w, img_h,
+              res, cts):
     g_xy, g_conic, g_rgb, g_op, g_z, origins, counts, used = res
     ct_rgb, ct_depth, ct_alpha = cts
     t, k = g_op.shape
@@ -357,7 +369,7 @@ def _core_bwd(tile_size, interpret, cumprod_mode, res, cts):
     )  # [T, P, 8]
 
     dgeom, du = pl.pallas_call(
-        partial(_composite_bwd_kernel, tile_size=tile_size),
+        partial(_composite_bwd_kernel, tile_size=tile_size, chunk=chunk),
         out_shape=(
             jax.ShapeDtypeStruct((t, 8, k), jnp.float32),
             jax.ShapeDtypeStruct((t, 8, k), jnp.float32),
@@ -396,7 +408,8 @@ _composite_core.defvjp(_core_fwd, _core_bwd)
 
 
 @partial(jax.jit, static_argnames=("tile_size", "interpret",
-                                    "cumprod_mode"))
+                                    "cumprod_mode", "chunk_size",
+                                    "img_w", "img_h"))
 def composite_tiles_pallas(
     g_xy: jnp.ndarray,      # [T, K, 2]
     g_conic: jnp.ndarray,   # [T, K, 3]
@@ -409,6 +422,9 @@ def composite_tiles_pallas(
     interpret: bool = False,
     n_live: jnp.ndarray | None = None,  # [T] live-prefix length per tile
     cumprod_mode: str | None = None,    # "log" | "scan"; None -> env/default
+    chunk_size: int | None = None,      # lane-chunk length; None -> env/128
+    img_w: int = 0,                     # image extent for edge-tile
+    img_h: int = 0,                     # saturation masking (0 = off)
 ):
     """Returns (rgb [T, P, 3], depth [T, P] alpha-normalized, alpha [T, P]).
 
@@ -421,8 +437,16 @@ def composite_tiles_pallas(
     bounds each tile's chunk walk to its live prefix: per-tile cost tracks
     actual overlap instead of the global K bound. Omitted -> every tile
     walks all K lanes (identical results, just slower)."""
+    import os
+
+    if chunk_size is None:
+        # A/B knob (PERF.md stage-4 walk attribution): 256 halves the number
+        # of loop trips / per-trip overheads; must stay a multiple of 128
+        # (Mosaic lane-start divisibility)
+        chunk_size = int(os.environ.get("HOLOSCENE_SPLAT_CHUNK", str(K_CHUNK)))
+    assert chunk_size % K_CHUNK == 0, chunk_size
     k = g_op.shape[1]
-    pad = (-k) % K_CHUNK
+    pad = (-k) % chunk_size
     if pad:
         def padk(x, fill=0.0):
             shape = list(x.shape)
@@ -443,11 +467,9 @@ def composite_tiles_pallas(
         # experimental A/B knob (PERF.md stage-4 walk attribution): "scan"
         # replaces the forward's log-space cumprod with lane-rolled
         # multiplies; backward is formulation-independent (custom_vjp)
-        import os
-
         cumprod_mode = os.environ.get("HOLOSCENE_SPLAT_CUMPROD", "log")
     rgb, depth_acc, alpha = _composite_core(
         g_xy, g_conic, g_rgb, g_op * live, g_z, origins, counts, tile_size,
-        interpret, cumprod_mode
+        interpret, cumprod_mode, chunk_size, img_w, img_h
     )
     return rgb, depth_acc / jnp.maximum(alpha, 1e-10), alpha

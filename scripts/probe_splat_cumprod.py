@@ -90,3 +90,33 @@ for mode in ["log", "scan"]:
             print(f"scan-vs-log max|diff| {np.abs(cur - ref).max():.2e}")
     except Exception as e:
         print(f"{mode}: FAILED {type(e).__name__}: {e}", flush=True)
+
+# chunk-length A/B (PERF.md stage-4 lever d): 256 halves loop trips /
+# per-trip overheads at the cost of bigger triangular matmuls
+for mode in ["log", "scan"]:
+    for ch in [256]:
+
+        @jax.jit
+        def fwd(m, s, o, c, mode=mode, ch=ch):
+            return render_gaussians(m, quats, s, o, c, viewmat, intr,
+                                    width=RES, height=RES, max_per_tile=K,
+                                    cumprod=mode, chunk=ch)["rgb"]
+
+        def loss(m, s, o, c, mode=mode, ch=ch):
+            r = render_gaussians(m, quats, s, o, c, viewmat, intr,
+                                 width=RES, height=RES, max_per_tile=K,
+                                 cumprod=mode, chunk=ch)["rgb"]
+            return jnp.mean((r - tgt) ** 2)
+
+        step = jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3)))
+        try:
+            t_f = timed(fwd, means, scales, opac, colors)
+            t_s = timed(step, means, scales, opac, colors)
+            cur = np.asarray(fwd(means, scales, opac, colors))
+            print(f"{mode}/chunk{ch}: fwd {t_f*1e3:.1f} ms "
+                  f"({N/t_f/1e6:.2f} M splats/s)  fwd+bwd {t_s*1e3:.1f} ms "
+                  f"({N/t_s/1e6:.2f} M splats/s)  "
+                  f"max|diff| {np.abs(cur - ref).max():.2e}", flush=True)
+        except Exception as e:
+            print(f"{mode}/chunk{ch}: FAILED {type(e).__name__}: {e}",
+                  flush=True)

@@ -35,8 +35,8 @@ import dataclasses
 runner.model_cfg = dataclasses.replace(
     runner.model_cfg, sampler_grid_levels=8, use_bg_reg=False,
     render_top_m=int(os.environ.get("FLAGSHIP_TOP_M", "64")),
-    render_fine_top_f=int(os.environ.get("FLAGSHIP_FINE_TOP_F", "0")),
-    render_fine_levels=int(os.environ.get("FLAGSHIP_FINE_LEVELS", "8")),
+    render_fine_top_f=int(os.environ.get("FLAGSHIP_FINE_TOP_F", "32")),
+    render_fine_levels=int(os.environ.get("FLAGSHIP_FINE_LEVELS", "6")),
     forward_grad_mode=os.environ.get("FLAGSHIP_GRAD_MODE", "vjp"),
     implicit=dataclasses.replace(
         runner.model_cfg.implicit,

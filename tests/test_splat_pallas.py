@@ -291,3 +291,109 @@ def test_scan_cumprod_mode_matches_log():
     g1 = jax.grad(lambda o: loss(o, "log"))(g_op)
     g2 = jax.grad(lambda o: loss(o, "scan"))(g_op)
     assert float(jnp.max(jnp.abs(g1 - g2))) < 1e-4
+
+
+def test_chunk256_matches_default():
+    """chunk_size=256 (PERF.md stage-4 lever d) is a pure scheduling change:
+    values and gradients must match the default 128-lane walk, in both
+    cumprod formulations, including with an n_live prefix bound."""
+    rng = np.random.default_rng(11)
+    t, k, ts = 2, 384, 8
+    p = ts * ts
+    origins = (rng.integers(0, 4, (t, 2)) * ts).astype(np.float32)
+    g_xy = origins[:, None, :] + rng.uniform(0, ts, (t, k, 2)).astype(np.float32)
+    g_conic = np.zeros((t, k, 3), np.float32)
+    g_conic[..., 0] = rng.uniform(0.05, 0.3, (t, k))
+    g_conic[..., 2] = rng.uniform(0.05, 0.3, (t, k))
+    g_rgb = rng.uniform(0, 1, (t, k, 3)).astype(np.float32)
+    g_op = rng.uniform(0.2, 0.9, (t, k)).astype(np.float32)
+    g_z = np.sort(rng.uniform(0.5, 3.0, (t, k)).astype(np.float32), axis=1)
+    n_live = np.array([37, 300], np.int32)
+    live = (np.arange(k)[None, :] < n_live[:, None]).astype(np.float32)
+    args = tuple(
+        jnp.asarray(x) for x in (g_xy, g_conic, g_rgb, g_op, g_z, live)
+    )
+    ct_rgb = jnp.asarray(rng.normal(size=(t, p, 3)).astype(np.float32))
+
+    for mode in ["log", "scan"]:
+        def loss(ch, *a, mode=mode):
+            rgb, _, alpha = composite_tiles_pallas(
+                *a, jnp.asarray(origins), tile_size=ts, interpret=True,
+                n_live=jnp.asarray(n_live), cumprod_mode=mode, chunk_size=ch,
+            )
+            return jnp.sum(rgb * ct_rgb) + jnp.sum(alpha)
+
+        base = composite_tiles_pallas(
+            *args, jnp.asarray(origins), tile_size=ts, interpret=True,
+            n_live=jnp.asarray(n_live), cumprod_mode=mode, chunk_size=128,
+        )
+        wide = composite_tiles_pallas(
+            *args, jnp.asarray(origins), tile_size=ts, interpret=True,
+            n_live=jnp.asarray(n_live), cumprod_mode=mode, chunk_size=256,
+        )
+        for b, w in zip(base, wide):
+            np.testing.assert_allclose(
+                np.asarray(w), np.asarray(b), atol=5e-6, err_msg=mode
+            )
+        g128 = jax.grad(lambda *a: loss(128, *a), argnums=range(6))(*args)
+        g256 = jax.grad(lambda *a: loss(256, *a), argnums=range(6))(*args)
+        for nm, a_, b_ in zip(["xy", "conic", "rgb", "op", "z", "live"],
+                              g128, g256):
+            np.testing.assert_allclose(
+                np.asarray(b_), np.asarray(a_), atol=2e-5,
+                err_msg=f"{mode}/{nm}",
+            )
+
+
+def test_edge_tile_saturation_mask_preserves_valid_pixels():
+    """img_w/img_h masking zeroes the initial transmittance of out-of-image
+    pixels (so edge tiles can early-exit); in-image pixels must be bitwise
+    unaffected, and out-of-image pixels must not leak gradient."""
+    rng = np.random.default_rng(5)
+    t, k, ts = 1, 128, 8
+    p = ts * ts
+    origins = np.zeros((t, 2), np.float32)
+    img_w, img_h = 5, 6  # tile extends past a 5x6 image
+    g_xy = rng.uniform(0, ts, (t, k, 2)).astype(np.float32)
+    g_conic = np.zeros((t, k, 3), np.float32)
+    g_conic[..., 0] = rng.uniform(0.05, 0.3, (t, k))
+    g_conic[..., 2] = rng.uniform(0.05, 0.3, (t, k))
+    g_rgb = rng.uniform(0, 1, (t, k, 3)).astype(np.float32)
+    g_op = rng.uniform(0.2, 0.9, (t, k)).astype(np.float32)
+    g_z = np.sort(rng.uniform(0.5, 3.0, (t, k)).astype(np.float32), axis=1)
+    live = np.ones((t, k), np.float32)
+    args = tuple(
+        jnp.asarray(x) for x in (g_xy, g_conic, g_rgb, g_op, g_z, live)
+    )
+    base = composite_tiles_pallas(
+        *args, jnp.asarray(origins), tile_size=ts, interpret=True,
+    )
+    masked = composite_tiles_pallas(
+        *args, jnp.asarray(origins), tile_size=ts, interpret=True,
+        img_w=img_w, img_h=img_h,
+    )
+    py, px = np.mgrid[0:ts, 0:ts]
+    valid = ((px.ravel() + 0.5 < img_w) & (py.ravel() + 0.5 < img_h))
+    for b, m in zip(base, masked):
+        np.testing.assert_allclose(
+            np.asarray(m)[:, valid], np.asarray(b)[:, valid], atol=1e-6
+        )
+
+    # cotangents confined to valid pixels -> identical gradients
+    ct = jnp.asarray(
+        (rng.normal(size=(t, p, 3)) * valid[None, :, None]).astype(np.float32)
+    )
+
+    def loss(use_mask, *a):
+        kw = dict(img_w=img_w, img_h=img_h) if use_mask else {}
+        rgb, _, _ = composite_tiles_pallas(
+            *a, jnp.asarray(origins), tile_size=ts, interpret=True, **kw
+        )
+        return jnp.sum(rgb * ct)
+
+    g0 = jax.grad(lambda *a: loss(False, *a), argnums=range(6))(*args)
+    g1 = jax.grad(lambda *a: loss(True, *a), argnums=range(6))(*args)
+    for nm, a_, b_ in zip(["xy", "conic", "rgb", "op", "z", "live"], g0, g1):
+        np.testing.assert_allclose(
+            np.asarray(b_), np.asarray(a_), atol=1e-5, err_msg=nm
+        )
