@@ -407,10 +407,31 @@ def _core_bwd(tile_size, interpret, cumprod_mode, chunk, img_w, img_h,
 _composite_core.defvjp(_core_fwd, _core_bwd)
 
 
+def composite_tiles_pallas(*args, cumprod_mode=None, chunk_size=None, **kw):
+    """Un-jitted entry: resolves the HOLOSCENE_SPLAT_{CUMPROD,CHUNK} env
+    A/B knobs EAGERLY so flipping them between calls in one process takes
+    effect (the jitted inner would otherwise bake the first-seen value
+    into its cache key — ADVICE r2)."""
+    import os
+
+    if chunk_size is None:
+        # A/B knob (PERF.md stage-4 walk attribution): 256 halves the number
+        # of loop trips / per-trip overheads; must stay a multiple of 128
+        # (Mosaic lane-start divisibility)
+        chunk_size = int(os.environ.get("HOLOSCENE_SPLAT_CHUNK", str(K_CHUNK)))
+    if cumprod_mode is None:
+        # experimental A/B knob: "scan" replaces the forward's log-space
+        # cumprod with lane-rolled multiplies; backward is
+        # formulation-independent (custom_vjp)
+        cumprod_mode = os.environ.get("HOLOSCENE_SPLAT_CUMPROD", "log")
+    return _composite_tiles_pallas_jit(
+        *args, cumprod_mode=cumprod_mode, chunk_size=chunk_size, **kw)
+
+
 @partial(jax.jit, static_argnames=("tile_size", "interpret",
                                     "cumprod_mode", "chunk_size",
                                     "img_w", "img_h"))
-def composite_tiles_pallas(
+def _composite_tiles_pallas_jit(
     g_xy: jnp.ndarray,      # [T, K, 2]
     g_conic: jnp.ndarray,   # [T, K, 3]
     g_rgb: jnp.ndarray,     # [T, K, 3]
@@ -437,13 +458,6 @@ def composite_tiles_pallas(
     bounds each tile's chunk walk to its live prefix: per-tile cost tracks
     actual overlap instead of the global K bound. Omitted -> every tile
     walks all K lanes (identical results, just slower)."""
-    import os
-
-    if chunk_size is None:
-        # A/B knob (PERF.md stage-4 walk attribution): 256 halves the number
-        # of loop trips / per-trip overheads; must stay a multiple of 128
-        # (Mosaic lane-start divisibility)
-        chunk_size = int(os.environ.get("HOLOSCENE_SPLAT_CHUNK", str(K_CHUNK)))
     assert chunk_size % K_CHUNK == 0, chunk_size
     k = g_op.shape[1]
     pad = (-k) % chunk_size
@@ -463,11 +477,6 @@ def composite_tiles_pallas(
     else:
         counts = n_live.astype(jnp.float32)
 
-    if cumprod_mode is None:
-        # experimental A/B knob (PERF.md stage-4 walk attribution): "scan"
-        # replaces the forward's log-space cumprod with lane-rolled
-        # multiplies; backward is formulation-independent (custom_vjp)
-        cumprod_mode = os.environ.get("HOLOSCENE_SPLAT_CUMPROD", "log")
     rgb, depth_acc, alpha = _composite_core(
         g_xy, g_conic, g_rgb, g_op * live, g_z, origins, counts, tile_size,
         interpret, cumprod_mode, chunk_size, img_w, img_h

@@ -37,7 +37,7 @@ runner.model_cfg = dataclasses.replace(
     render_top_m=int(os.environ.get("FLAGSHIP_TOP_M", "64")),
     render_fine_top_f=int(os.environ.get("FLAGSHIP_FINE_TOP_F", "32")),
     render_fine_levels=int(os.environ.get("FLAGSHIP_FINE_LEVELS", "6")),
-    forward_grad_mode=os.environ.get("FLAGSHIP_GRAD_MODE", "vjp"),
+    forward_grad_mode=os.environ.get("FLAGSHIP_GRAD_MODE", "fused"),
     implicit=dataclasses.replace(
         runner.model_cfg.implicit,
         fused_dual_grid=os.environ.get("FLAGSHIP_DUAL", "1") == "1",
