@@ -151,7 +151,7 @@ def calibrate_max_per_tile(
     static_argnames=(
         "width", "height", "tile_size", "max_per_tile", "sh_degree",
         "use_pallas", "ortho", "camera_model", "dist", "fetch",
-        "cumprod", "chunk",
+        "cumprod", "chunk", "flat_plan",
     ),
 )
 def render_gaussians(
@@ -176,6 +176,7 @@ def render_gaussians(
     fetch: str | None = None,
     cumprod: str | None = None,
     chunk: int | None = None,
+    flat_plan=None,
 ):
     """Returns dict(rgb [H,W,3], depth [H,W] alpha-normalized expected depth,
     alpha [H,W]).
@@ -190,7 +191,13 @@ def render_gaussians(
     or a `viewmat_end` (linear rolling shutter) switches projection from
     EWA linearization to the unscented transform over sigma points
     (ops/gaussians.project_gaussians_ut) — the 3DGUT capability the
-    reference gets from its CUDA UT rasterizer (threedgut_tracer)."""
+    reference gets from its CUDA UT rasterizer (threedgut_tracer).
+
+    flat_plan (ops/splat_flat.FlatPlan, static): switches binning +
+    compositing to the flat sorted-candidate pipeline — no per-tile K
+    truncation (`max_per_tile` is ignored), cost tracks actual tile
+    overlap, and the gsplat-style saturation calibration disappears.
+    Probe it once per scene with ops/splat_flat.plan_flat."""
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     n = means.shape[0]
@@ -226,6 +233,19 @@ def render_gaussians(
         rgb_n = jnp.clip(eval_sh(colors, dirs, sh_degree), 0.0, None)
     else:
         rgb_n = colors
+
+    if flat_plan is not None:
+        from holoscene_tpu.ops.splat_flat import composite_tiles_flat
+
+        rgb_t, depth_norm_t, alpha_t, _ovf = composite_tiles_flat(
+            xy, depth, conic, opacities, rgb_n, valid,
+            width, height, tile_size, flat_plan,
+            interpret=jax.default_backend() != "tpu",
+        )
+        return _image_epilogue(
+            rgb_t, depth_norm_t * alpha_t, alpha_t, tiles_x, tiles_y,
+            tile_size, width, height, background,
+        )
 
     # tile geometry
     t_idx = jnp.arange(n_tiles)
@@ -387,6 +407,15 @@ def render_gaussians(
         rgb_t = rgb_t.reshape(-1, tile_size * tile_size, 3)[:n_tiles]
         depth_t = depth_t.reshape(-1, tile_size * tile_size)[:n_tiles]
         alpha_t = alpha_t.reshape(-1, tile_size * tile_size)[:n_tiles]
+
+    return _image_epilogue(rgb_t, depth_t, alpha_t, tiles_x, tiles_y,
+                           tile_size, width, height, background)
+
+
+def _image_epilogue(rgb_t, depth_t, alpha_t, tiles_x, tiles_y, tile_size,
+                    width, height, background):
+    """[n_tiles, P(,C)] tile buffers -> image dict (shared by the top-K and
+    flat pipelines)."""
 
     def tiles_to_image(tiles_flat, channels):
         img = tiles_flat.reshape(

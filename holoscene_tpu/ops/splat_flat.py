@@ -1,0 +1,707 @@
+"""Flat sorted-candidate gaussian splat pipeline (Pallas TPU, fwd + bwd).
+
+This is the TPU-native analog of gsplat's tile binning (reference:
+threedgut_tracer/src/kernels/cuda/gutRenderer.cu tile-range walk;
+gsplat's projection->sort->per-tile-range rasterization used by
+model/gom.py:1120): instead of the per-tile dense top-K selection of
+ops/splat.py (approx_max_k over a [tiles, N] matrix — measured 21 ms of a
+47.8 ms step at the flagship shapes, with a [tiles, K] fetch that pays for
+dead padding), candidates are expanded per gaussian over their tile span,
+culled by an exact anisotropic max-alpha bound, sorted ONCE by a fused
+(tile, depth) key (lax.sort: 1.7 ms / 1M keys on v5e — the gather/scatter
+engine is the bottleneck on this chip, not sort), and compacted into a
+flat 128-aligned segment list. Every phase then costs O(live candidates)
+instead of O(tiles x K):
+
+  * no K truncation: the renderer composites EXACTLY the candidates whose
+    in-tile max alpha can reach the 1/255 compositing threshold, so the
+    `max_per_tile` knob and its saturation calibration disappear;
+  * the walk is a SEQUENTIAL Pallas grid over 128-candidate chunks with
+    transmittance/accumulator carries in VMEM scratch and the per-tile
+    output block revisited across a tile's chunks (flash-attention-style);
+    per-tile cost tracks actual overlap;
+  * the backward is a single REVERSE pass (the forward stashes each
+    pixel's total log-transmittance), emitting per-chunk gradient blocks
+    that flow back to gaussian parameters through the transpose of the
+    candidate gather.
+
+Static-shape contract: `FlatPlan` (tile span + flat capacity) is probed
+from the scene once (`plan_flat`) and becomes part of the jit cache key;
+an `overflow` output flags when the scene outgrows the plan so trainers
+can re-plan (gsplat's buffer-realloc analog).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+CHUNK = 128          # candidates per grid step (lane width)
+TERM_EPS = 1e-4      # tile saturation threshold (matches ops/splat_pallas)
+ALPHA_EPS = 1.0 / 255.0
+HIGH = jax.lax.Precision.HIGHEST
+
+
+@dataclass(frozen=True)
+class FlatPlan:
+    """Static shape plan for the flat pipeline (part of the jit cache key)."""
+
+    span_x: int      # max tiles a gaussian may cover along x
+    span_y: int
+    c_max: int       # flat candidate capacity (multiple of CHUNK)
+
+    def __post_init__(self):
+        assert self.c_max % CHUNK == 0, self.c_max
+        assert self.span_x >= 1 and self.span_y >= 1
+
+
+# ---------------------------------------------------------------------------
+# candidate expansion + binning (pure JAX, inside the caller's jit)
+# ---------------------------------------------------------------------------
+
+
+def _alpha_extents(conic, opac):
+    """Per-axis half-extents of the {alpha >= 1/255} superlevel set.
+
+    The set is the ellipse q(d) <= thr with q = d^T conic d and
+    thr = 2 ln(255 * op). Its axis-aligned bounding box half-widths are
+    sqrt(thr * cov_xx) / sqrt(thr * cov_yy) with cov = conic^{-1} — tight
+    for anisotropic footprints where the circumscribed circle of
+    ops/splat.py over-counts tiles badly (e.g. a floor at grazing angle).
+    """
+    a, b, c = conic[:, 0], conic[:, 1], conic[:, 2]
+    det = jnp.maximum(a * c - b * b, 1e-12)
+    thr = 2.0 * jnp.log(jnp.maximum(opac, 1e-6) * 255.0)
+    thr = jnp.maximum(thr, 0.0)
+    wx = jnp.sqrt(thr * c / det)
+    wy = jnp.sqrt(thr * a / det)
+    return wx, wy, thr
+
+
+def _schur_qmin(conic, dxm, dym):
+    """Lower bound on min over a tile rect of q(d) = d^T conic d, where
+    dxm/dym are the per-axis distances from the gaussian center to the
+    rect (0 when the center's coordinate lies inside the interval):
+    minimizing q over one free coordinate gives the Schur complements
+    (a - b^2/c) dx^2 and (c - b^2/a) dy^2; their max never exceeds the
+    true rect minimum, so culling on it never drops a contributor."""
+    a, b, c = conic[:, 0], conic[:, 1], conic[:, 2]
+    sx = jnp.maximum(a - b * b / jnp.maximum(c, 1e-12), 0.0)
+    sy = jnp.maximum(c - b * b / jnp.maximum(a, 1e-12), 0.0)
+    return jnp.maximum(sx[:, None] * dxm * dxm, sy[:, None] * dym * dym)
+
+
+def _propagate(values, positions, c_max, fill=0):
+    """Piecewise-constant propagation: out[p] = values[t] for the largest t
+    with positions[t] <= p. `values` must be non-decreasing in t (cummax
+    carries them forward). positions must be strictly increasing."""
+    base = jnp.full((c_max,), fill, values.dtype)
+    base = base.at[positions].max(values, mode="drop")
+    return jax.lax.cummax(base)
+
+
+def build_flat_candidates(
+    xy, depth, conic, opac, valid,
+    tiles_x: int, tiles_y: int, tile_size: int, plan: FlatPlan,
+):
+    """Expansion -> cull -> fused-key sort -> aligned compaction.
+
+    Returns dict with:
+      gidx    [c_max] int32 — gaussian index per flat slot (N = trash/dead)
+      chunk_tile / chunk_pos / chunk_last / chunk_skip  [c_max/CHUNK] int32
+      overflow  [] int32 — 1 if the scene needed more than c_max slots
+    Only index computations happen here (no gradient path)."""
+    n = xy.shape[0]
+    n_tiles = tiles_x * tiles_y
+    ts = float(tile_size)
+    sx, sy = plan.span_x, plan.span_y
+    s_tot = sx * sy
+    c_max = plan.c_max
+
+    # depth-quantization bits for the fused i32 sort key
+    bits = 0
+    while ((n_tiles + 1) << (bits + 1)) <= 2**31 - 1 and bits < 20:
+        bits += 1
+    assert bits >= 10, f"too many tiles for fused i32 keys: {n_tiles}"
+    dq_max = (1 << bits) - 2  # reserve top code for per-tile dummies
+
+    xy = jax.lax.stop_gradient(xy)
+    depth_sg = jax.lax.stop_gradient(depth)
+    conic = jax.lax.stop_gradient(conic)
+    opac = jax.lax.stop_gradient(opac)
+
+    wx, wy, thr = _alpha_extents(conic, opac)
+    valid = valid & (opac >= ALPHA_EPS)
+
+    dmin = jnp.min(jnp.where(valid, depth_sg, jnp.inf))
+    dmax = jnp.max(jnp.where(valid, depth_sg, -jnp.inf))
+    dq = jnp.clip(
+        (depth_sg - dmin) / jnp.maximum(dmax - dmin, 1e-9) * dq_max,
+        0, dq_max,
+    ).astype(jnp.int32)
+
+    tx_lo = jnp.clip(jnp.floor((xy[:, 0] - wx) / ts), 0, tiles_x - 1
+                     ).astype(jnp.int32)
+    tx_hi = jnp.clip(jnp.floor((xy[:, 0] + wx) / ts), 0, tiles_x - 1
+                     ).astype(jnp.int32)
+    ty_lo = jnp.clip(jnp.floor((xy[:, 1] - wy) / ts), 0, tiles_y - 1
+                     ).astype(jnp.int32)
+    ty_hi = jnp.clip(jnp.floor((xy[:, 1] + wy) / ts), 0, tiles_y - 1
+                     ).astype(jnp.int32)
+    # spans wider than the plan are clamped (footprint corners dropped);
+    # plan_flat sizes the span off the scene so this only bites outliers
+    tx_hi = jnp.minimum(tx_hi, tx_lo + sx - 1)
+    ty_hi = jnp.minimum(ty_hi, ty_lo + sy - 1)
+
+    off = jnp.arange(s_tot, dtype=jnp.int32)
+    ox = off % sx            # [S]
+    oy = off // sx
+    tx = tx_lo[:, None] + ox[None, :]          # [N, S]
+    ty = ty_lo[:, None] + oy[None, :]
+    in_span = (tx <= tx_hi[:, None]) & (ty <= ty_hi[:, None])
+
+    # exact-bound cull: distance from center to the tile rect, per axis
+    rx0 = tx.astype(jnp.float32) * ts
+    ry0 = ty.astype(jnp.float32) * ts
+    dxm = jnp.maximum(
+        jnp.maximum(rx0 - xy[:, 0:1], xy[:, 0:1] - (rx0 + ts)), 0.0)
+    dym = jnp.maximum(
+        jnp.maximum(ry0 - xy[:, 1:2], xy[:, 1:2] - (ry0 + ts)), 0.0)
+    q_lb = _schur_qmin(conic, dxm, dym)
+    keep = in_span & valid[:, None] & (q_lb <= thr[:, None])
+
+    tile_id = ty * tiles_x + tx
+    key = jnp.where(
+        keep,
+        (tile_id << bits) | dq[:, None],
+        jnp.int32(n_tiles << bits),
+    ).reshape(-1)
+    gidx = jnp.broadcast_to(
+        jnp.arange(n, dtype=jnp.int32)[:, None], (n, s_tot)
+    ).reshape(-1)
+
+    # one dummy per tile keeps every tile's output block visited (empty
+    # tiles must still write alpha=0) — sorts to the back of its tile
+    dummy_key = (jnp.arange(n_tiles, dtype=jnp.int32) << bits) | (dq_max + 1)
+    key = jnp.concatenate([key, dummy_key])
+    gidx = jnp.concatenate(
+        [gidx, jnp.full((n_tiles,), n, jnp.int32)])
+
+    skey, sgidx = jax.lax.sort((key, gidx), num_keys=1)
+
+    # per-tile live counts (incl. the dummy) via compare_all searchsorted
+    starts = jnp.searchsorted(
+        skey, (jnp.arange(n_tiles + 1, dtype=jnp.int32) << bits),
+        method="compare_all",
+    ).astype(jnp.int32)
+    counts = starts[1:] - starts[:-1]          # [T] >= 1 (dummy)
+    aligned = -(-counts // CHUNK) * CHUNK
+    aoff = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(aligned)])
+    c_total = aoff[n_tiles]
+    overflow = (c_total > c_max).astype(jnp.int32)
+
+    t_ids = jnp.arange(n_tiles, dtype=jnp.int32)
+    pos_t = jnp.clip(aoff[:n_tiles], 0, c_max - 1)
+    tile_of_p = _propagate(t_ids, pos_t, c_max)
+    aoff_p = _propagate(aoff[:n_tiles], pos_t, c_max)
+    roff_p = _propagate(starts[:n_tiles], pos_t, c_max)
+    rend_p = _propagate(starts[:n_tiles] + counts, pos_t, c_max)
+    anext_p = _propagate(aoff[1:], pos_t, c_max)
+
+    p = jnp.arange(c_max, dtype=jnp.int32)
+    slot = p - aoff_p
+    src = roff_p + slot
+    live = src < rend_p
+    gidx_flat = jnp.where(
+        live, jnp.take(sgidx, jnp.minimum(src, skey.shape[0] - 1)), n)
+
+    chunk_tile = tile_of_p[::CHUNK]
+    chunk_pos = (slot[::CHUNK] // CHUNK).astype(jnp.int32)
+    chunk_last = ((p[::CHUNK] + CHUNK) == anext_p[::CHUNK]).astype(jnp.int32)
+    chunk_skip = (~live[::CHUNK]).astype(jnp.int32)
+
+    # per-tile chunk ranges for the tile-grid walk kernels: tiles whose
+    # aligned range would spill past c_max (overflow) are clamped to empty
+    start_c = jnp.minimum(aoff[:n_tiles] // CHUNK, c_max // CHUNK)
+    end_c = jnp.minimum(aoff[1:] // CHUNK, c_max // CHUNK)
+    tile_chunk_start = start_c.astype(jnp.int32)
+    tile_chunk_cnt = jnp.maximum(end_c - start_c, 0).astype(jnp.int32)
+
+    return dict(
+        gidx=gidx_flat, chunk_tile=chunk_tile, chunk_pos=chunk_pos,
+        chunk_last=chunk_last, chunk_skip=chunk_skip, overflow=overflow,
+        tile_chunk_start=tile_chunk_start, tile_chunk_cnt=tile_chunk_cnt,
+    )
+
+
+@partial(jax.jit, static_argnames=("tiles_x", "tiles_y", "tile_size",
+                                   "span_x", "span_y"))
+def _plan_counts_device(xy, conic, opac, valid, tiles_x, tiles_y, tile_size,
+                        span_x, span_y):
+    """Per-tile candidate counts mirroring build_flat_candidates' keep logic
+    (span clamp + Schur-bound cull) — one device pass."""
+    ts = float(tile_size)
+    s_tot = span_x * span_y
+    wx, wy, thr = _alpha_extents(conic, opac)
+    v = valid & (opac >= ALPHA_EPS)
+    tx_lo = jnp.clip(jnp.floor((xy[:, 0] - wx) / ts), 0, tiles_x - 1
+                     ).astype(jnp.int32)
+    tx_hi = jnp.clip(jnp.floor((xy[:, 0] + wx) / ts), 0, tiles_x - 1
+                     ).astype(jnp.int32)
+    ty_lo = jnp.clip(jnp.floor((xy[:, 1] - wy) / ts), 0, tiles_y - 1
+                     ).astype(jnp.int32)
+    ty_hi = jnp.clip(jnp.floor((xy[:, 1] + wy) / ts), 0, tiles_y - 1
+                     ).astype(jnp.int32)
+    tx_hi = jnp.minimum(tx_hi, tx_lo + span_x - 1)
+    ty_hi = jnp.minimum(ty_hi, ty_lo + span_y - 1)
+    off = jnp.arange(s_tot, dtype=jnp.int32)
+    tx = tx_lo[:, None] + (off % span_x)[None, :]
+    ty = ty_lo[:, None] + (off // span_x)[None, :]
+    in_span = (tx <= tx_hi[:, None]) & (ty <= ty_hi[:, None])
+    rx0 = tx.astype(jnp.float32) * ts
+    ry0 = ty.astype(jnp.float32) * ts
+    dxm = jnp.maximum(
+        jnp.maximum(rx0 - xy[:, 0:1], xy[:, 0:1] - (rx0 + ts)), 0.0)
+    dym = jnp.maximum(
+        jnp.maximum(ry0 - xy[:, 1:2], xy[:, 1:2] - (ry0 + ts)), 0.0)
+    q_lb = _schur_qmin(conic, dxm, dym)
+    keep = in_span & v[:, None] & (q_lb <= thr[:, None])
+    tile_id = jnp.where(keep, ty * tiles_x + tx, tiles_x * tiles_y)
+    return jnp.bincount(
+        tile_id.reshape(-1), length=tiles_x * tiles_y + 1)[:-1]
+
+
+def plan_flat(counts_like_xy, conic, opac, valid, tiles_x, tiles_y,
+              tile_size, margin: float = 1.3,
+              span_cap: int = 8) -> FlatPlan:
+    """Probe a projected scene (once per trainer start / densify) and derive
+    the static FlatPlan. The span covers every gaussian up to span_cap tiles
+    per axis (wider outliers get their footprint corners clamped);
+    c_max = margin x the aligned candidate total. Counting runs on device
+    (one pass + two small readbacks); the FlatPlan itself is a host-side
+    static that keys the jit cache."""
+    import numpy as np
+
+    ts = float(tile_size)
+    wx, wy, _ = _alpha_extents(jnp.asarray(conic), jnp.asarray(opac))
+    xyj = jnp.asarray(counts_like_xy)
+    tx_lo = jnp.clip(jnp.floor((xyj[:, 0] - wx) / ts), 0, tiles_x - 1)
+    tx_hi = jnp.clip(jnp.floor((xyj[:, 0] + wx) / ts), 0, tiles_x - 1)
+    ty_lo = jnp.clip(jnp.floor((xyj[:, 1] - wy) / ts), 0, tiles_y - 1)
+    ty_hi = jnp.clip(jnp.floor((xyj[:, 1] + wy) / ts), 0, tiles_y - 1)
+    v = jnp.asarray(valid)
+    span_x = int(min(span_cap, max(1, int(jnp.max(jnp.where(
+        v, tx_hi - tx_lo + 1, 1))))))
+    span_y = int(min(span_cap, max(1, int(jnp.max(jnp.where(
+        v, ty_hi - ty_lo + 1, 1))))))
+
+    counts = np.asarray(_plan_counts_device(
+        xyj, jnp.asarray(conic), jnp.asarray(opac), v,
+        tiles_x, tiles_y, tile_size, span_x, span_y))
+    aligned = (-(-(counts + 1) // CHUNK) * CHUNK).sum()  # +1 = per-tile dummy
+    c_max = int(-(-int(aligned * margin) // CHUNK) * CHUNK)
+    return FlatPlan(span_x=span_x, span_y=span_y, c_max=max(c_max, CHUNK))
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernels — tile-grid walk with manual double-buffered DMA
+# ---------------------------------------------------------------------------
+#
+# One grid step = ONE TILE; the kernel walks the tile's depth-sorted chunk
+# range with a lax.while_loop, DMA-ing each 128-candidate block from HBM
+# only when it is actually needed. This is what gives the TPU the shape of
+# gsplat's per-pixel early exit (gutRenderer.cu:46): saturated tiles stop
+# both COMPUTE and LOADS, dead padding is never touched, and per-tile
+# accumulators live in loop carries instead of revisited VMEM scratch.
+#
+# Candidate layout: cand [n_chunks, 16, 128] f32, rows
+#   0 x, 1 y, 2 conic_a, 3 conic_b, 4 conic_c, 5 opacity,
+#   6 r, 7 g, 8 b, 9 depth, 10 one (alpha payload), 11-15 pad
+# — one contiguous 8 KB block per chunk, ONE DMA each.
+
+CAND_ROWS = 16
+
+
+def _flat_fwd_kernel2(cs_ref, cc_ref, cand_hbm, out_ref, buf, sem,
+                      *, tile_size: int, tiles_x: int,
+                      img_w: int, img_h: int):
+    """Forward tile walk.
+
+    cs/cc: scalar-prefetched per-tile chunk start/count (chunk units).
+    cand_hbm: [n_chunks, 16, 128] in ANY/HBM (manual DMA).
+    out: [1, P, 8] per tile — rgb(3), depth_acc, alpha, used_chunks,
+         total_log1m, pad.
+    buf: VMEM (2, 16, 128) double buffer; sem: DMA((2,)).
+    """
+    t = pl.program_id(0)
+    p = tile_size * tile_size
+    c0 = cs_ref[t]
+    m = cc_ref[t]
+
+    ox = (t % tiles_x) * tile_size
+    oy = (t // tiles_x) * tile_size
+    pix_id = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
+    px = (ox + pix_id % tile_size).astype(jnp.float32) + 0.5
+    py = (oy + pix_id // tile_size).astype(jnp.float32) + 0.5
+
+    if img_w > 0 and img_h > 0:
+        in_img = (px < float(img_w)) & (py < float(img_h))
+        trans0 = in_img.astype(jnp.float32)
+    else:
+        trans0 = jnp.ones((p, 1), jnp.float32)
+
+    row = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1)
+    lower = (row < col).astype(jnp.float32)
+
+    def dma(kc, slot):
+        return pltpu.make_async_copy(
+            cand_hbm.at[c0 + kc], buf.at[slot], sem.at[slot])
+
+    @pl.when(m > 0)
+    def _prefetch_first():
+        dma(0, 0).start()
+
+    def cond(carry):
+        kc, trans, _acc, _tot = carry
+        return (kc < m) & (jnp.max(trans) > TERM_EPS)
+
+    def body(carry):
+        kc, trans, acc, tot = carry
+        slot = jax.lax.rem(kc, 2)
+
+        @pl.when(kc + 1 < m)
+        def _prefetch_next():
+            dma(kc + 1, jax.lax.rem(kc + 1, 2)).start()
+
+        dma(kc, slot).wait()
+        c = buf[slot]                     # [16, CHUNK]
+        gx, gy = c[0:1, :], c[1:2, :]
+        ca, cb, cc_ = c[2:3, :], c[3:4, :], c[4:5, :]
+        op = c[5:6, :]
+        dx = px - gx                      # [P, C]
+        dy = py - gy
+        power = -0.5 * (ca * dx * dx + 2.0 * cb * dx * dy + cc_ * dy * dy)
+        a = jnp.minimum(0.999, op * jnp.exp(jnp.minimum(power, 0.0)))
+        a = jnp.where(a >= ALPHA_EPS, a, 0.0)
+
+        log1m = jnp.log1p(-a)
+        cums = jnp.dot(log1m, lower, preferred_element_type=jnp.float32,
+                       precision=HIGH)
+        w = a * jnp.exp(cums) * trans     # [P, C]
+        acc = acc + jax.lax.dot_general(
+            w, c[6:10, :], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=HIGH)  # [P, 4]
+        csum = jnp.sum(log1m, axis=1, keepdims=True)
+        return kc + 1, trans * jnp.exp(csum), acc, tot + csum
+
+    kc, trans, acc, tot = jax.lax.while_loop(
+        cond, body,
+        (0, trans0, jnp.zeros((p, 4), jnp.float32),
+         jnp.zeros((p, 1), jnp.float32)),
+    )
+
+    # an early exit leaves DMA(kc) in flight (started by iteration kc-1 or
+    # the warmup); consume its semaphore before this grid step ends
+    @pl.when(kc < m)
+    def _drain():
+        dma(kc, jax.lax.rem(kc, 2)).wait()
+
+    used = jnp.full((p, 1), 1.0, jnp.float32) * kc.astype(jnp.float32)
+    out_ref[0, :, :] = jnp.concatenate(
+        [acc, 1.0 - trans, used, tot, jnp.zeros((p, 1), jnp.float32)],
+        axis=1)
+
+
+def _flat_bwd_kernel2(cs_ref, cc_ref, cand_hbm, fwd_ref, v_ref, dcand_hbm,
+                      buf, obuf, sem, osem,
+                      *, tile_size: int, tiles_x: int,
+                      img_w: int, img_h: int):
+    """Reverse tile walk over the chunks the forward actually composited.
+
+    fwd: [1, P, 8] forward outputs (used in ch 5, total log1m in ch 6).
+    v:   [1, 8, P] cotangents transposed (rows drgb(3), ddepth, dalpha, pad).
+    dcand_hbm: [n_chunks, 16, 128] gradient blocks (ANY/HBM, DMA'd out);
+    only chunks walked here are written — the caller masks the rest.
+    buf/obuf: VMEM (2, 16, 128) in/out staging; sem/osem: DMA((2,)).
+    """
+    t = pl.program_id(0)
+    p = tile_size * tile_size
+    c0 = cs_ref[t]
+    used = fwd_ref[0, 0, 5].astype(jnp.int32)
+
+    ox = (t % tiles_x) * tile_size
+    oy = (t // tiles_x) * tile_size
+    pix_id = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
+    px = (ox + pix_id % tile_size).astype(jnp.float32) + 0.5
+    py = (oy + pix_id // tile_size).astype(jnp.float32) + 0.5
+
+    if img_w > 0 and img_h > 0:
+        in_img = ((px < float(img_w)) & (py < float(img_h))
+                  ).astype(jnp.float32)
+    else:
+        in_img = jnp.ones((p, 1), jnp.float32)
+
+    row = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1)
+    lower = (row < col).astype(jnp.float32)
+    upper = (row > col).astype(jnp.float32)
+
+    total = fwd_ref[0, :, 6:7]            # [P, 1]
+    v = v_ref[0]                          # [8, P]
+
+    def dma_in(j, slot):
+        # reverse walk: j-th visited chunk is used-1-j
+        return pltpu.make_async_copy(
+            cand_hbm.at[c0 + used - 1 - j], buf.at[slot], sem.at[slot])
+
+    def dma_out(j, slot):
+        return pltpu.make_async_copy(
+            obuf.at[slot], dcand_hbm.at[c0 + used - 1 - j], osem.at[slot])
+
+    @pl.when(used > 0)
+    def _prefetch_first():
+        dma_in(0, 0).start()
+
+    def body(j, carry):
+        suffix, s_after = carry           # [P, 1] each
+        slot = jax.lax.rem(j, 2)
+
+        @pl.when(j + 1 < used)
+        def _prefetch_next():
+            dma_in(j + 1, jax.lax.rem(j + 1, 2)).start()
+
+        dma_in(j, slot).wait()
+        c = buf[slot]
+        gx, gy = c[0:1, :], c[1:2, :]
+        ca, cb, cc_ = c[2:3, :], c[3:4, :], c[4:5, :]
+        op = c[5:6, :]
+        dx = px - gx
+        dy = py - gy
+        power = -0.5 * (ca * dx * dx + 2.0 * cb * dx * dy + cc_ * dy * dy)
+        e = jnp.exp(jnp.minimum(power, 0.0))
+        a_pre = op * e
+        a_cap = jnp.minimum(0.999, a_pre)
+        keep = a_cap >= ALPHA_EPS
+        a = jnp.where(keep, a_cap, 0.0)
+
+        log1m = jnp.log1p(-a)
+        csum = jnp.sum(log1m, axis=1, keepdims=True)
+        prefix = total - suffix - csum
+        log_t = prefix + jnp.dot(log1m, lower,
+                                 preferred_element_type=jnp.float32,
+                                 precision=HIGH)
+        tr = jnp.exp(log_t) * in_img      # [P, C]
+        w = a * tr
+
+        s = jax.lax.dot_general(
+            v, c[6:14, :], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=HIGH)  # [P, C]
+        ws = w * s
+        s_k = jnp.dot(ws, upper, preferred_element_type=jnp.float32,
+                      precision=HIGH) + s_after
+
+        da = tr * s - s_k / (1.0 - a)
+        da = jnp.where(keep & (a_pre < 0.999), da, 0.0)
+        dpow = jnp.where(power < 0.0, da * a, 0.0)
+
+        def red(x):
+            return jnp.sum(x, axis=0, keepdims=True)  # [1, C]
+
+        # wait for the previous use of this output slot before overwriting
+        @pl.when(j >= 2)
+        def _reclaim():
+            pltpu.make_async_copy(
+                obuf.at[slot], dcand_hbm.at[c0 + used + 1 - j],
+                osem.at[slot]).wait()
+
+        du = jax.lax.dot_general(
+            v[0:4, :], w, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=HIGH)  # [4, C]
+        obuf[slot] = jnp.concatenate([
+            red(dpow * (ca * dx + cb * dy)),
+            red(dpow * (cb * dx + cc_ * dy)),
+            red(dpow * (-0.5 * dx * dx)),
+            red(dpow * (-dx * dy)),
+            red(dpow * (-0.5 * dy * dy)),
+            red(da * e),
+            du,
+            jnp.zeros((6, CHUNK), jnp.float32),
+        ], axis=0)
+        dma_out(j, slot).start()
+
+        return suffix + csum, s_after + jnp.sum(ws, axis=1, keepdims=True)
+
+    jax.lax.fori_loop(
+        0, used, body,
+        (jnp.zeros((p, 1), jnp.float32), jnp.zeros((p, 1), jnp.float32)),
+    )
+
+    # drain the last (up to two) output DMAs
+    @pl.when(used >= 1)
+    def _drain_last():
+        pltpu.make_async_copy(
+            obuf.at[jax.lax.rem(used - 1, 2)], dcand_hbm.at[c0],
+            osem.at[jax.lax.rem(used - 1, 2)]).wait()
+
+    @pl.when(used >= 2)
+    def _drain_prev():
+        pltpu.make_async_copy(
+            obuf.at[jax.lax.rem(used - 2, 2)], dcand_hbm.at[c0 + 1],
+            osem.at[jax.lax.rem(used - 2, 2)]).wait()
+
+
+
+# ---------------------------------------------------------------------------
+# custom_vjp core over the packed candidate blocks
+# ---------------------------------------------------------------------------
+
+
+def _fwd_call2(cand, cs, cc, n_tiles, tile_size, tiles_x, img_w, img_h,
+               interpret):
+    p = tile_size * tile_size
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec(
+            (1, p, 8), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, CAND_ROWS, CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        partial(_flat_fwd_kernel2, tile_size=tile_size, tiles_x=tiles_x,
+                img_w=img_w, img_h=img_h),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, p, 8), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(cs, cc, cand)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
+def _flat_core(cand, cs, cc, chunk_tile, chunk_pos, n_tiles, tile_size,
+               tiles_x, img_w, img_h, interpret):
+    """Composite the packed candidate blocks. Returns (rgb [T,P,3],
+    depth_acc [T,P] unnormalized, alpha [T,P]). chunk_tile/chunk_pos are
+    only used by the backward's walked-chunk mask."""
+    out = _fwd_call2(cand, cs, cc, n_tiles, tile_size, tiles_x, img_w,
+                     img_h, interpret)
+    return out[:, :, :3], out[:, :, 3], out[:, :, 4]
+
+
+def _flat_core_fwd(cand, cs, cc, chunk_tile, chunk_pos, n_tiles, tile_size,
+                   tiles_x, img_w, img_h, interpret):
+    out = _fwd_call2(cand, cs, cc, n_tiles, tile_size, tiles_x, img_w,
+                     img_h, interpret)
+    return (out[:, :, :3], out[:, :, 3], out[:, :, 4]), (
+        cand, cs, cc, chunk_tile, chunk_pos, out)
+
+
+def _flat_core_bwd(n_tiles, tile_size, tiles_x, img_w, img_h, interpret,
+                   res, cts):
+    cand, cs, cc, chunk_tile, chunk_pos, out = res
+    d_rgb, d_depth, d_alpha = cts
+    n_chunks = cand.shape[0]
+    p = tile_size * tile_size
+
+    # cotangents transposed to [T, 8, P]
+    v = jnp.stack(
+        [d_rgb[:, :, 0], d_rgb[:, :, 1], d_rgb[:, :, 2], d_depth, d_alpha,
+         jnp.zeros_like(d_depth), jnp.zeros_like(d_depth),
+         jnp.zeros_like(d_depth)], axis=1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((1, p, 8), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, p), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2, CAND_ROWS, CHUNK), jnp.float32),
+            pltpu.VMEM((2, CAND_ROWS, CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    dcand = pl.pallas_call(
+        partial(_flat_bwd_kernel2, tile_size=tile_size, tiles_x=tiles_x,
+                img_w=img_w, img_h=img_h),
+        out_shape=jax.ShapeDtypeStruct((n_chunks, CAND_ROWS, CHUNK),
+                                       jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(cs, cc, cand, out, v)
+
+    # only chunks the forward actually walked carry gradients; everything
+    # else in dcand is whatever the kernel left in HBM — mask it off
+    used = out[:, 0, 5].astype(jnp.int32)            # [T]
+    walked = chunk_pos < jnp.take(used, chunk_tile)  # [n_chunks]
+    dcand = jnp.where(walked[:, None, None], dcand, 0.0)
+
+    import numpy as np
+
+    def f0(x):
+        return np.zeros(x.shape, dtype=jax.dtypes.float0)
+
+    return dcand, f0(cs), f0(cc), f0(chunk_tile), f0(chunk_pos)
+
+
+_flat_core.defvjp(_flat_core_fwd, _flat_core_bwd)
+
+
+# ---------------------------------------------------------------------------
+# public renderer
+# ---------------------------------------------------------------------------
+
+
+def composite_tiles_flat(
+    xy, depth, conic, opac, rgb, valid,
+    width: int, height: int, tile_size: int, plan: FlatPlan,
+    interpret: bool = False,
+):
+    """Project-space entry: bins + composites projected gaussians exactly
+    (no per-tile K truncation). Returns (rgb [T,P,3], depth_norm [T,P],
+    alpha [T,P], overflow []) with T = padded tile count — callers share
+    ops/splat.py's tiles_to_image epilogue."""
+    tiles_x = -(-width // tile_size)
+    tiles_y = -(-height // tile_size)
+    n_tiles = tiles_x * tiles_y
+    n = xy.shape[0]
+    n_chunks = plan.c_max // CHUNK
+
+    meta = build_flat_candidates(
+        xy, depth, conic, opac, valid, tiles_x=tiles_x, tiles_y=tiles_y,
+        tile_size=tile_size, plan=plan)
+
+    # candidate payload fetch: ONE row gather; row N is the dead/trash row.
+    # columns match the kernel's CAND_ROWS layout (x y ca cb cc op r g b z 1)
+    payload = jnp.concatenate(
+        [xy, conic, opac[:, None], rgb, depth[:, None],
+         jnp.ones((n, 1), xy.dtype)], axis=-1)       # [N, 11]
+    payload = jnp.concatenate(
+        [payload, jnp.zeros((1, 11), payload.dtype)], axis=0)
+    cand_rows = jnp.take(payload, meta["gidx"], axis=0)   # [c_max, 11]
+    cand = jnp.swapaxes(cand_rows.reshape(n_chunks, CHUNK, 11), 1, 2)
+    cand = jnp.concatenate(
+        [cand, jnp.zeros((n_chunks, CAND_ROWS - 11, CHUNK), cand.dtype)],
+        axis=1)                                      # [n_chunks, 16, CHUNK]
+
+    rgb_t, depth_acc, alpha = _flat_core(
+        cand, meta["tile_chunk_start"], meta["tile_chunk_cnt"],
+        meta["chunk_tile"], meta["chunk_pos"],
+        n_tiles, tile_size, tiles_x, width, height, interpret)
+    depth_norm = depth_acc / jnp.maximum(alpha, 1e-10)
+    return rgb_t, depth_norm, alpha, meta["overflow"]
