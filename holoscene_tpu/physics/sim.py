@@ -8,11 +8,11 @@ training/holoscene_train_post.py:767) and `sim_scene` full-scene settling
 (:638-708).
 
 Isaac Sim is CUDA/x86-specific and not available here, so validation runs
-through a provider interface:
+through a provider interface (`get_provider`, HOLOSCENE_PHYSICS to force):
 
-  * `IsaacSimProvider` — used automatically when the `isaacsim` package is
-    importable (API-compatible with the reference's flow).
-  * `QuasiStaticProvider` (default) — a dependency-free static-equilibrium
+  * `MuJoCoProvider` (default when the `mujoco` package imports) — dynamic
+    rigid-body settle mirroring the reference's PhysX flow.
+  * `QuasiStaticProvider` (fallback) — a dependency-free static-equilibrium
     oracle: find the candidate's support contacts against the other meshes
     (and the global up direction), build the support polygon in the gravity
     plane, and test whether the center of mass projects inside it. The

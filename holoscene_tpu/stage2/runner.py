@@ -42,7 +42,7 @@ from holoscene_tpu.models.holoscene import (
     HoloSceneConfig,
     render_rays_only_multi_obj,
 )
-from holoscene_tpu.physics import sim_validation
+from holoscene_tpu.physics import settle_drop, sim_scene, sim_validation
 from holoscene_tpu.stage2.providers import default_providers, save_vis_info
 from holoscene_tpu.stage2.refine import (
     FinetuneConfig,
@@ -765,6 +765,7 @@ class Stage2Runner:
 
         mesh_list = [accepted.get(i) for i in range(k)]
         translations = solve_intersection(mesh_list, graph)
+        translations, settle_report = self.scene_settle(mesh_list, translations)
         with open(os.path.join(self.out_dir, "translation_dict.pkl"), "wb") as f:
             pickle.dump({i: np.asarray(t) for i, t in translations.items()}, f)
 
@@ -772,5 +773,89 @@ class Stage2Runner:
             "meshes": mesh_list,
             "graph": graph,
             "translations": translations,
+            "scene_settle": settle_report,
             "failed_objects": self.failed_object_list,
         }
+
+    def scene_settle(
+        self,
+        mesh_list: list[Mesh | None],
+        translations: dict[int, np.ndarray],
+        max_rounds: int = 3,
+    ):
+        """Final whole-scene physics settle (reference step 6:
+        holoscene_train_post.py:2003 calling utils/sim.py:638 sim_scene).
+
+        The composed scene — every accepted mesh at its intersection-resolved
+        translation — is re-simulated as a whole; objects that drift or tip
+        get their translation updated (quasi-static drop to first contact,
+        falling back to the simulator's own settle translation) and the scene
+        is re-validated, up to `max_rounds`. The post-translation
+        configuration is therefore physically validated, not just
+        intersection-free. Writes `scene_settle.json` and returns the final
+        translations + the per-round report."""
+        import json
+
+        translations = {i: np.asarray(t, np.float64) for i, t in translations.items()}
+        idxs = [i for i, m in enumerate(mesh_list) if m is not None]
+        report: dict = {"rounds": [], "stable": True}
+        if len(idxs) < 2:
+            report["note"] = "fewer than two meshes; nothing to settle"
+            with open(os.path.join(self.out_dir, "scene_settle.json"), "w") as f:
+                json.dump(report, f, indent=1)
+            return translations, report
+
+        def composed(i):
+            return mesh_list[i].apply_translation(translations.get(i, np.zeros(3)))
+
+        move_eps = 0.01  # settle translation below this = already at rest
+        for rnd in range(max_rounds):
+            scene = [composed(i) for i in idxs]
+            results = sim_scene(scene)  # validates scene[1:] each vs others
+            row = []
+            needs_settle = []
+            for pos, res in enumerate(results, start=1):
+                obj_i = idxs[pos]
+                moved = float(np.linalg.norm(res.translation)) > move_eps
+                row.append(
+                    {
+                        "obj": int(obj_i),
+                        "drift_deg": float(res.drift_deg),
+                        "stable": bool(res.stable),
+                        "moved": bool(moved),
+                        "translation": np.asarray(res.translation, np.float64)
+                        .round(6)
+                        .tolist(),
+                    }
+                )
+                # a floating object settles by TRANSLATION with near-zero
+                # orientation drift — "stable" by the reference's drift<8°
+                # test but not at rest; the scene settle must move it
+                if not res.stable or moved:
+                    needs_settle.append((obj_i, res))
+            report["rounds"].append(row)
+            if not needs_settle:
+                report["stable"] = True
+                break
+            report["stable"] = False
+            for obj_i, res in needs_settle:
+                if res.stable:
+                    # simulator settled it by translation: adopt that pose
+                    delta = np.asarray(res.translation, np.float64)
+                else:
+                    supports = [composed(j) for j in idxs if j != obj_i]
+                    delta = settle_drop(composed(obj_i), supports)
+                    if float(np.linalg.norm(delta)) < 1e-6:
+                        # no support found below: fall back to where the
+                        # simulator itself left the object
+                        delta = np.clip(np.asarray(res.translation), -0.2, 0.2)
+                translations[obj_i] = translations.get(obj_i, np.zeros(3)) + delta
+            if not self.quiet:
+                print(
+                    f"[scene_settle] round {rnd}: re-settled "
+                    f"{[int(i) for i, _ in needs_settle]}"
+                )
+
+        with open(os.path.join(self.out_dir, "scene_settle.json"), "w") as f:
+            json.dump(report, f, indent=1)
+        return translations, report

@@ -61,3 +61,59 @@ def test_stage2_runner_end_to_end(scene, tmp_path):
     assert len(result["meshes"]) == len(scene.label_mapping)
     for t in result["translations"].values():
         assert np.all(np.isfinite(t))
+    # step 6: the composed scene was re-simulated after intersection
+    # resolution (reference holoscene_train_post.py:2003)
+    assert (tmp_path / "s2" / "scene_settle.json").exists()
+    assert result["scene_settle"]["rounds"] or "note" in result["scene_settle"]
+
+
+def _box(center, half):
+    from holoscene_tpu.utils.mesh import Mesh
+
+    c, h = np.asarray(center, float), np.asarray(half, float)
+    sgn = np.array(
+        [[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)]
+    )
+    v = c + sgn * h
+    f = np.array(
+        [[0, 1, 3], [0, 3, 2], [4, 6, 7], [4, 7, 5], [0, 4, 5], [0, 5, 1],
+         [2, 3, 7], [2, 7, 6], [0, 2, 6], [0, 6, 4], [1, 5, 7], [1, 7, 3]]
+    )
+    return Mesh(v, f)
+
+
+class _SettleStub:
+    """scene_settle only touches out_dir/quiet — unit-test it runner-free."""
+
+    quiet = True
+
+    def __init__(self, out_dir):
+        self.out_dir = out_dir
+
+
+def test_scene_settle_stable_scene_is_single_round(tmp_path):
+    floor = _box((0, 0.55, 0), (1.0, 0.05, 1.0))
+    box = _box((0, 0.3, 0), (0.2, 0.2, 0.2))  # resting on the floor (y-down)
+    stub = _SettleStub(str(tmp_path))
+    tr, report = Stage2Runner.scene_settle(
+        stub, [floor, box], {0: np.zeros(3), 1: np.zeros(3)}
+    )
+    assert report["stable"] and len(report["rounds"]) == 1
+    assert np.allclose(tr[1], 0.0)
+    assert (tmp_path / "scene_settle.json").exists()
+
+
+def test_scene_settle_moves_floating_object(tmp_path):
+    floor = _box((0, 0.9, 0), (1.0, 0.05, 1.0))  # support surface at y=0.85
+    box = _box((0, 0.3, 0), (0.1, 0.1, 0.1))  # hovering far above (y-down)
+    stub = _SettleStub(str(tmp_path))
+    tr, report = Stage2Runner.scene_settle(
+        stub, [floor, box], {0: np.zeros(3), 1: np.zeros(3)}
+    )
+    # the floating object's translation changed toward the support (either
+    # flagged unstable by the quasi-static oracle or settled-by-translation
+    # under MuJoCo dynamics — both must move it)
+    assert float(np.linalg.norm(tr[1])) > 1e-3
+    assert len(report["rounds"]) >= 1
+    r0 = report["rounds"][0][0]
+    assert (not r0["stable"]) or r0["moved"]
