@@ -73,8 +73,14 @@ _LPIPS_CACHE: dict = {}
 
 
 def lpips_fn():
-    """Returns lpips(img1_hwc01, img2_hwc01) -> float, or None if the lpips
-    package / pretrained weights are unavailable in this environment."""
+    """Returns lpips(img1_hwc01, img2_hwc01) -> float, or None when no LPIPS
+    backend is available. Resolution order:
+
+      1. the torch `lpips` package with its pretrained weights;
+      2. the hermetic JAX implementation (utils/lpips_jax.py) from a
+         converted weight file ($HOLOSCENE_LPIPS_NPZ or
+         ~/.cache/holoscene/lpips_alex.npz — scripts/export_lpips_npz.py);
+      3. None (callers report NaN with a one-time warning)."""
     if "fn" in _LPIPS_CACHE:
         return _LPIPS_CACHE["fn"]
     try:
@@ -94,6 +100,13 @@ def lpips_fn():
                 return float(net(ta, tb).item())
 
         _LPIPS_CACHE["fn"] = fn
+        return fn
+    except Exception:
+        pass
+    try:
+        from holoscene_tpu.utils.lpips_jax import lpips_from_npz
+
+        _LPIPS_CACHE["fn"] = lpips_from_npz()  # None when no weight file
     except Exception:
         _LPIPS_CACHE["fn"] = None
     return _LPIPS_CACHE["fn"]
