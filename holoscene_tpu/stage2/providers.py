@@ -219,6 +219,278 @@ class ModelRenderNovelViewProvider(NovelViewProvider):
 
 
 # ---------------------------------------------------------------------------
+# foreground extraction for generated views (SAM / rembg counterpart)
+# ---------------------------------------------------------------------------
+
+
+class ForegroundExtractor(abc.ABC):
+    @abc.abstractmethod
+    def extract(self, image: np.ndarray) -> np.ndarray:
+        """[H,W,3] float01 image on (near-)white background -> [H,W] bool
+        foreground mask."""
+
+
+class ThresholdForegroundExtractor(ForegroundExtractor):
+    """Dependency-free foreground mask for diffusion outputs rendered on a
+    white background: distance-from-white threshold + largest connected
+    region (the reference's largest_connected_region cleanup,
+    run_mv_prediction.py:337-353, applied after rembg/SAM)."""
+
+    def __init__(self, white_tol: float = 0.05, keep_largest: bool = True):
+        self.white_tol = white_tol
+        self.keep_largest = keep_largest
+
+    def extract(self, image: np.ndarray) -> np.ndarray:
+        img = np.asarray(image, np.float32)
+        fg = np.max(np.abs(1.0 - img), axis=-1) > self.white_tol
+        if self.keep_largest and fg.any():
+            from scipy.ndimage import label
+            from scipy.ndimage import sum as ndi_sum
+
+            lab, n = label(fg)
+            if n > 1:
+                sizes = ndi_sum(fg, lab, index=range(1, n + 1))
+                fg = lab == (int(np.argmax(sizes)) + 1)
+        return fg
+
+
+class RembgForegroundExtractor(ForegroundExtractor):
+    """The reference's rembg matting on generated views
+    (run_mv_prediction.py:441-455 `rembg.remove(..., alpha_matting=True)`).
+    Lazy-imports rembg; raises a clear error when unavailable."""
+
+    def __init__(self, alpha_threshold: float = 0.5):
+        try:
+            import rembg
+        except ImportError as e:  # pragma: no cover
+            raise RuntimeError(
+                "RembgForegroundExtractor needs the rembg package; use "
+                "ThresholdForegroundExtractor without it"
+            ) from e
+        self._rembg = rembg
+        self._session = rembg.new_session()
+        self.alpha_threshold = alpha_threshold
+
+    def extract(self, image: np.ndarray) -> np.ndarray:  # pragma: no cover
+        img8 = (np.clip(np.asarray(image), 0, 1) * 255).astype(np.uint8)
+        out = self._rembg.remove(
+            img8, alpha_matting=True, session=self._session
+        )
+        return np.asarray(out)[..., 3] > self.alpha_threshold * 255
+
+
+def default_foreground_extractor() -> ForegroundExtractor:
+    try:
+        return RembgForegroundExtractor()
+    except Exception:
+        return ThresholdForegroundExtractor()
+
+
+class DiffusersNovelViewProvider(NovelViewProvider):
+    """LIVE Wonder3D+ multiview hallucination (reference
+    run_mv_prediction.py:316-455 `load_wonder3d_pipeline` /
+    `pred_multiview_joint`): a single front view conditions a joint
+    normal+color diffusion over the 6-view rig (front, front_right, right,
+    back, left, front_left at zero elevation — the exact rig
+    stage2/views.py wonder3d_camera_rig builds).
+
+    Two backends, resolved from `checkpoint`:
+
+      * a FILE -> TorchScript joint denoiser (the hermetic analog of the
+        big-lama.pt pattern): called as
+            model(imgs_in [2*Nv,3,H,W], cam_embeds [2*Nv,7], noise [2*Nv,3,H,W])
+        returning [2*Nv,3,H,W] in [0,1] — first Nv images are normal-domain
+        predictions (conditioning-camera frame, wonder3d convention), last
+        Nv are colors. Export the reference pipeline to this contract with
+        torch.jit.trace over a fixed step count.
+      * a DIRECTORY -> the reference's diffusers pipeline:
+        `MVDiffusionImagePipeline.from_pretrained(dir)` with
+        `UNetMV2DConditionModel` (needs the `diffusers` package and the
+        reference's `mv_diffusion_30` package importable; checkpoint layout
+        = the published flamehaze1115/wonder3d-v1.0 HF tree). Both are
+        lazy-imported; a missing dependency raises with instructions
+        instead of silently degrading.
+
+    The conditioning batch mirrors MVDiffusionDataset
+    (mv_diffusion_30/data/single_image_dataset.py:240-300): the front view
+    composited on WHITE, resized to `img_size`; per-view camera embedding
+    [elevation_cond=0, d_elevation=0, d_azimuth, cam_type(2)=ortho], task
+    embedding [1,0] (normal) / [0,1] (color) appended. Outputs get a
+    foreground mask (rembg when available, threshold+largest-region
+    otherwise — reference :441), an optional SR pass on colors (reference
+    SR before recon, holoscene_train_post.py:1591), and normals rotated
+    from the wonder3d conditioning frame into each view's camera frame
+    (the azimuth rotation + y/z flip of run_mv_prediction.py:473-490)."""
+
+    # canonical rig azimuths, radians (run_mv_prediction.py:260 VIEWS order;
+    # matches stage2/views.py wonder3d_camera_rig offsets)
+    VIEW_AZIMUTHS = (0.0, np.pi / 4, np.pi / 2, np.pi, -np.pi / 2, -np.pi / 4)
+
+    def __init__(self, checkpoint: str, device: str = "cpu",
+                 img_size: int = 256, guidance_scale: float = 3.0,
+                 num_inference_steps: int = 50,
+                 fg_extractor: ForegroundExtractor | None = None,
+                 upsampler: "Upsampler | None" = None,
+                 sr_scale: int = 0):
+        try:
+            import torch
+        except ImportError as e:  # pragma: no cover
+            raise RuntimeError(
+                "DiffusersNovelViewProvider needs torch; use "
+                "CachedArtifactNovelViewProvider for replay without it"
+            ) from e
+        self._torch = torch
+        self.device = device
+        self.img_size = img_size
+        self.guidance_scale = guidance_scale
+        self.num_inference_steps = num_inference_steps
+        self.fg_extractor = fg_extractor or default_foreground_extractor()
+        self.upsampler = upsampler
+        self.sr_scale = sr_scale
+        if os.path.isfile(checkpoint):
+            self.model = torch.jit.load(checkpoint, map_location=device)
+            self.model.eval()
+            self._kind = "jit"
+        elif os.path.isdir(checkpoint):
+            self.model = self._load_diffusers_pipeline(checkpoint, device)
+            self._kind = "diffusers"
+        else:
+            raise FileNotFoundError(f"no Wonder3D+ checkpoint at {checkpoint}")
+
+    @staticmethod
+    def _load_diffusers_pipeline(ckpt_dir: str, device: str):
+        """Reference load_wonder3d_pipeline (run_mv_prediction.py:316-334);
+        needs `diffusers` + the reference's `mv_diffusion_30` package."""
+        try:  # pragma: no cover - exercised only with real checkpoints
+            import torch
+            from mv_diffusion_30.models.unet_mv2d_condition import (
+                UNetMV2DConditionModel,
+            )
+            from mv_diffusion_30.pipelines.pipeline_mvdiffusion_image import (
+                MVDiffusionImagePipeline,
+            )
+        except ImportError as e:
+            raise RuntimeError(
+                "directory-style Wonder3D+ checkpoints need the `diffusers` "
+                "and `mv_diffusion_30` packages; export the pipeline to "
+                "TorchScript (single-call joint denoiser) instead"
+            ) from e
+        unet_dir = os.path.join(ckpt_dir, "unet")
+        unet = UNetMV2DConditionModel.from_pretrained(  # pragma: no cover
+            unet_dir if os.path.isdir(unet_dir) else ckpt_dir
+        )
+        return MVDiffusionImagePipeline.from_pretrained(  # pragma: no cover
+            ckpt_dir, unet=unet, safety_checker=None,
+            torch_dtype=torch.float32,
+        ).to(device)
+
+    # -- conditioning ------------------------------------------------------
+
+    def _resize(self, img: np.ndarray) -> np.ndarray:
+        import jax
+
+        s = self.img_size
+        if img.shape[0] == s and img.shape[1] == s:
+            return np.asarray(img, np.float32)
+        return np.asarray(
+            jax.image.resize(
+                np.asarray(img, np.float32), (s, s) + img.shape[2:],
+                method="bilinear",
+            )
+        )
+
+    def _conditioning(self, front_rgb, front_mask):
+        """White-composited front view + the (Nv, 7) camera+task embeds."""
+        rgb = np.asarray(front_rgb, np.float32)
+        m = np.asarray(front_mask, np.float32)
+        white = rgb * m[..., None] + (1.0 - m[..., None])
+        white = np.clip(self._resize(white), 0.0, 1.0)
+        nv = len(self.VIEW_AZIMUTHS)
+        az = np.asarray(self.VIEW_AZIMUTHS, np.float32) % (2 * np.pi)
+        cam = np.stack(
+            [np.zeros(nv, np.float32), np.zeros(nv, np.float32), az], axis=-1
+        )
+        cam_type = np.tile(np.array([0.0, 1.0], np.float32), (nv, 1))  # ortho
+        cam = np.concatenate([cam, cam_type], axis=-1)  # (Nv, 5)
+        normal_task = np.tile(np.array([1.0, 0.0], np.float32), (nv, 1))
+        color_task = np.tile(np.array([0.0, 1.0], np.float32), (nv, 1))
+        embeds = np.concatenate(
+            [np.concatenate([cam, normal_task], -1),
+             np.concatenate([cam, color_task], -1)], axis=0,
+        )  # (2*Nv, 7)
+        return white, embeds
+
+    @staticmethod
+    def _normal_to_camera_frame(normal01, azimuth):
+        """Wonder3D normals are predicted in the CONDITIONING camera's frame;
+        rotate by the view azimuth about the vertical axis and flip y/z into
+        the CV camera convention (run_mv_prediction.py:473-490)."""
+        n = np.asarray(normal01, np.float32) * 2.0 - 1.0
+        c, s = np.cos(azimuth), np.sin(azimuth)
+        rot = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32)
+        n = n @ rot.T
+        n[..., 1:3] *= -1.0
+        norm = np.linalg.norm(n, axis=-1, keepdims=True)
+        return n / np.maximum(norm, 1e-8)
+
+    # -- generation --------------------------------------------------------
+
+    def generate_views(self, front_rgb, front_mask, poses, seed: int = 42,
+                       obj_i: int | None = None):
+        torch = self._torch
+        nv = len(self.VIEW_AZIMUTHS)
+        white, embeds = self._conditioning(front_rgb, front_mask)
+        chw = torch.from_numpy(white.transpose(2, 0, 1))
+        imgs_in = chw[None].repeat(2 * nv, 1, 1, 1).to(self.device)
+        cam = torch.from_numpy(embeds).to(self.device)
+        gen = torch.Generator(device="cpu").manual_seed(seed)
+
+        with torch.no_grad():
+            if self._kind == "jit":
+                noise = torch.randn(
+                    imgs_in.shape, generator=gen, dtype=imgs_in.dtype
+                ).to(self.device)
+                out = self.model(imgs_in, cam, noise)
+            else:  # pragma: no cover - needs real diffusers weights
+                out = self.model(
+                    imgs_in, cam, generator=gen, output_type="pt",
+                    guidance_scale=self.guidance_scale,
+                    num_images_per_prompt=1,
+                    num_inference_steps=self.num_inference_steps,
+                ).images
+        out = np.clip(
+            np.asarray(out.cpu()).transpose(0, 2, 3, 1), 0.0, 1.0
+        )  # [2*Nv, H, W, 3]
+        normals01, colors = out[:nv], out[nv:]
+
+        views = []
+        for vi in range(nv):
+            rgb = colors[vi]
+            mask = self.fg_extractor.extract(rgb)
+            if self.upsampler is not None and self.sr_scale > 1:
+                rgb = np.clip(
+                    self.upsampler.upsample(rgb, scale=self.sr_scale), 0, 1
+                )
+                reps = self.sr_scale
+                mask = np.repeat(np.repeat(mask, reps, 0), reps, 1)
+            normal = self._normal_to_camera_frame(
+                normals01[vi], self.VIEW_AZIMUTHS[vi]
+            )
+            if normal.shape[:2] != rgb.shape[:2]:
+                import jax
+
+                normal = np.asarray(jax.image.resize(
+                    normal, rgb.shape[:2] + (3,), method="bilinear"))
+                nn = np.linalg.norm(normal, axis=-1, keepdims=True)
+                normal = normal / np.maximum(nn, 1e-8)
+            views.append(
+                {"rgb": rgb, "normal": normal, "mask": mask,
+                 "front": vi == 0}
+            )
+        return views
+
+
+# ---------------------------------------------------------------------------
 # monocular normals (Omnidata counterpart)
 # ---------------------------------------------------------------------------
 
@@ -421,6 +693,9 @@ def default_providers(render_fn=None) -> dict:
       HOLOSCENE_NORMAL_CKPT  TorchScript Omnidata DPT              -> normal
       HOLOSCENE_SR_CKPT      TorchScript Real-ESRGAN RRDBNet       -> upsample
       HOLOSCENE_VIEW_CACHE   recorded vis_info_{i}.pkl directory   -> novel_view
+      HOLOSCENE_W3D_CKPT     Wonder3D+ TorchScript joint denoiser  -> novel_view
+                             (or diffusers checkpoint dir); wins over
+                             the cache — live hallucination when present
     """
     providers: dict = {
         "inpaint": NullInpaintProvider(),
@@ -442,4 +717,11 @@ def default_providers(render_fn=None) -> dict:
     cache = os.environ.get("HOLOSCENE_VIEW_CACHE")
     if cache:
         providers["novel_view"] = CachedArtifactNovelViewProvider(cache)
+    w3d = os.environ.get("HOLOSCENE_W3D_CKPT")
+    if w3d:
+        providers["novel_view"] = DiffusersNovelViewProvider(
+            w3d,
+            upsampler=providers["upsample"] if sr else None,
+            sr_scale=4 if sr else 0,
+        )
     return providers

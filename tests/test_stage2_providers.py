@@ -211,3 +211,132 @@ def test_cached_provider_drives_runner_novel_view_path(tmp_path):
         if p.name.startswith("vis_info_")
     ]
     assert emitted, "cached hallucinated views must flow through to artifacts"
+
+
+# ---------------------------------------------------------------------------
+# live Wonder3D+ provider (DiffusersNovelViewProvider)
+# ---------------------------------------------------------------------------
+
+
+def _make_jit_w3d(path):
+    """Tiny scripted stand-in for the Wonder3D+ joint denoiser contract:
+    model(imgs_in [2Nv,3,H,W], cam [2Nv,7], noise) -> [2Nv,3,H,W] in [0,1],
+    first Nv normal-domain, last Nv colors. Encodes the task embedding and
+    azimuth into the output so the test can verify the batch layout the
+    provider builds (run_mv_prediction.py:386-420 contract)."""
+    torch = pytest.importorskip("torch")
+
+    class StandInW3D(torch.nn.Module):
+        def forward(self, imgs, cam, noise):
+            az = cam[:, 2].view(-1, 1, 1, 1)
+            is_normal = cam[:, 5].view(-1, 1, 1, 1)  # task emb [1,0]=normal
+            # colors: keep white bg white, darken the object by azimuth
+            colors = 1.0 - (1.0 - imgs) * (0.5 + 0.4 * torch.cos(az))
+            colors = colors + 0.01 * noise
+            # normals: constant +z in the conditioning frame (n01 encoding)
+            normal01 = torch.zeros_like(imgs)
+            normal01[:, 0] = 0.5
+            normal01[:, 1] = 0.5
+            normal01[:, 2] = 1.0
+            out = is_normal * normal01 + (1.0 - is_normal) * colors
+            return torch.clamp(out, 0.0, 1.0)
+
+    torch.jit.script(StandInW3D()).save(path)
+
+
+def _front_view(res=64):
+    rng = np.random.default_rng(0)
+    rgb = np.ones((res, res, 3), np.float32)
+    mask = np.zeros((res, res), bool)
+    mask[res // 4: 3 * res // 4, res // 4: 3 * res // 4] = True
+    rgb[mask] = rng.uniform(0.0, 0.4, (mask.sum(), 3))
+    return rgb, mask
+
+
+def test_diffusers_provider_contract(tmp_path):
+    pytest.importorskip("torch")
+    from holoscene_tpu.stage2.providers import (
+        DiffusersNovelViewProvider,
+        ThresholdForegroundExtractor,
+    )
+    from holoscene_tpu.stage2.views import wonder3d_camera_rig
+
+    ckpt = str(tmp_path / "w3d.pt")
+    _make_jit_w3d(ckpt)
+    prov = DiffusersNovelViewProvider(
+        ckpt, img_size=64, fg_extractor=ThresholdForegroundExtractor()
+    )
+    rgb, mask = _front_view()
+    rig = wonder3d_camera_rig(np.zeros(3), 1.0)
+    views = prov.generate_views(rgb, mask, rig, seed=42)
+
+    assert len(views) == 6
+    for vi, v in enumerate(views):
+        assert v["rgb"].shape == (64, 64, 3)
+        assert v["normal"].shape == (64, 64, 3)
+        assert v["mask"].shape == (64, 64) and v["mask"].dtype == bool
+        assert v["front"] == (vi == 0)
+        np.testing.assert_allclose(
+            np.linalg.norm(v["normal"], axis=-1), 1.0, atol=1e-4)
+    # threshold FG extraction recovers the object region (white bg stays bg)
+    front_mask = views[0]["mask"]
+    assert front_mask[32, 32] and not front_mask[2, 2]
+    # back view (azimuth pi): +z normal in the conditioning frame maps to
+    # rot_y(pi) @ (0,0,1) = (0,0,-1), then the y/z flip -> (0,0,+1)
+    back = views[3]["normal"]
+    np.testing.assert_allclose(back[32, 32], [0.0, 0.0, 1.0], atol=1e-3)
+    # front view (azimuth 0): (0,0,1) -> flip -> (0,0,-1) (towards camera)
+    np.testing.assert_allclose(
+        views[0]["normal"][32, 32], [0.0, 0.0, -1.0], atol=1e-3)
+
+    # seed determinism: same seed reproduces, different seed differs
+    again = prov.generate_views(rgb, mask, rig, seed=42)
+    np.testing.assert_array_equal(views[1]["rgb"], again[1]["rgb"])
+    other = prov.generate_views(rgb, mask, rig, seed=7)
+    assert np.abs(views[1]["rgb"] - other[1]["rgb"]).max() > 1e-5
+
+
+def test_diffusers_provider_sr_pass(tmp_path):
+    pytest.importorskip("torch")
+    from holoscene_tpu.stage2.providers import (
+        BicubicUpsampler,
+        DiffusersNovelViewProvider,
+        ThresholdForegroundExtractor,
+    )
+    from holoscene_tpu.stage2.views import wonder3d_camera_rig
+
+    ckpt = str(tmp_path / "w3d.pt")
+    _make_jit_w3d(ckpt)
+    prov = DiffusersNovelViewProvider(
+        ckpt, img_size=32, fg_extractor=ThresholdForegroundExtractor(),
+        upsampler=BicubicUpsampler(), sr_scale=2,
+    )
+    rgb, mask = _front_view(res=32)
+    rig = wonder3d_camera_rig(np.zeros(3), 1.0)
+    views = prov.generate_views(rgb, mask, rig, seed=1)
+    for v in views:
+        assert v["rgb"].shape == (64, 64, 3)       # SR doubled
+        assert v["mask"].shape == (64, 64)
+        assert v["normal"].shape == (64, 64, 3)    # resized to match
+
+
+def test_diffusers_provider_missing_checkpoint(tmp_path):
+    pytest.importorskip("torch")
+    from holoscene_tpu.stage2.providers import DiffusersNovelViewProvider
+
+    with pytest.raises(FileNotFoundError):
+        DiffusersNovelViewProvider(str(tmp_path / "nope.pt"))
+
+
+def test_default_providers_w3d_env(tmp_path, monkeypatch):
+    pytest.importorskip("torch")
+    from holoscene_tpu.stage2.providers import (
+        DiffusersNovelViewProvider,
+        default_providers,
+    )
+
+    ckpt = str(tmp_path / "w3d.pt")
+    _make_jit_w3d(ckpt)
+    monkeypatch.setenv("HOLOSCENE_W3D_CKPT", ckpt)
+    prov = default_providers()
+    assert isinstance(prov["novel_view"], DiffusersNovelViewProvider)
