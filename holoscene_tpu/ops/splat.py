@@ -177,6 +177,7 @@ def render_gaussians(
     cumprod: str | None = None,
     chunk: int | None = None,
     flat_plan=None,
+    flat_bins: dict | None = None,
 ):
     """Returns dict(rgb [H,W,3], depth [H,W] alpha-normalized expected depth,
     alpha [H,W]).
@@ -197,7 +198,12 @@ def render_gaussians(
     compositing to the flat sorted-candidate pipeline — no per-tile K
     truncation (`max_per_tile` is ignored), cost tracks actual tile
     overlap, and the gsplat-style saturation calibration disappears.
-    Probe it once per scene with ops/splat_flat.plan_flat."""
+    Probe it once per scene with ops/splat_flat.plan_flat.
+
+    flat_bins (dict of index arrays from ops/splat_flat.build_flat_bins):
+    a cached binning plan for the amortized-binning fast path — the
+    dominant per-step sort cost is paid only when the caller refreshes the
+    plan (e.g. every few visits of a frame). Requires flat_plan."""
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     n = means.shape[0]
@@ -239,13 +245,16 @@ def render_gaussians(
 
         rgb_t, depth_norm_t, alpha_t, _ovf = composite_tiles_flat(
             xy, depth, conic, opacities, rgb_n, valid,
-            width, height, tile_size, flat_plan,
+            width, height, tile_size, flat_plan, bins=flat_bins,
             interpret=jax.default_backend() != "tpu",
         )
-        return _image_epilogue(
+        out = _image_epilogue(
             rgb_t, depth_norm_t * alpha_t, alpha_t, tiles_x, tiles_y,
             tile_size, width, height, background,
         )
+        # cached-bins callers watch this to trigger a replan
+        out["overflow"] = _ovf
+        return out
 
     # tile geometry
     t_idx = jnp.arange(n_tiles)

@@ -310,6 +310,78 @@ def plan_flat(counts_like_xy, conic, opac, valid, tiles_x, tiles_y,
 
 
 # ---------------------------------------------------------------------------
+# amortized binning: cacheable index plans + scatter-free gather transpose
+# ---------------------------------------------------------------------------
+
+
+def build_flat_bins(xy, depth, conic, opac, valid,
+                    tiles_x: int, tiles_y: int, tile_size: int,
+                    plan: FlatPlan):
+    """Index-only binning plan, cacheable across train steps.
+
+    TPU-first amortization (no reference analog — gsplat re-bins every step
+    because a CUDA radix sort is ~free; on TPU the bitonic sort IS the cost,
+    measured ~80-90% of the flat forward): the returned dict contains ONLY
+    integer index arrays, so a trainer may hold one per frame in HBM and
+    refresh it every `rebin_every` visits of that frame. Values (positions,
+    conics, colors, opacities) are re-gathered through `_planned_take` every
+    step, so gradients and the rendered image always use CURRENT parameters;
+    staleness only affects (a) candidate membership at the 1/255 cull and
+    (b) depth ORDER within a tile — both drift at the parameter step size.
+    `overflow` flags when the frozen plan's capacity is outgrown.
+
+    Besides the per-tile walk metadata this precomputes the backward
+    transpose plan: `perm` (flat slots sorted by gaussian id) and `bounds`
+    (each gaussian's run in that order), which turn the gather's VJP from a
+    676k-row scatter-add into gather + cumsum + run-boundary differences —
+    entirely on the gather path, never the scatter engine."""
+    n = xy.shape[0]
+    meta = build_flat_candidates(
+        xy, depth, conic, opac, valid,
+        tiles_x=tiles_x, tiles_y=tiles_y, tile_size=tile_size, plan=plan)
+    c_max = plan.c_max
+    _, perm = jax.lax.sort(
+        (meta["gidx"], jnp.arange(c_max, dtype=jnp.int32)), num_keys=1)
+    counts = jnp.bincount(meta["gidx"], length=n + 1)
+    bounds = jnp.concatenate(
+        [jnp.zeros((1,), counts.dtype), jnp.cumsum(counts)]
+    ).astype(jnp.int32)                              # [n + 2]
+    meta["perm"] = perm
+    meta["bounds"] = bounds
+    return meta
+
+
+def _f0_like(x):
+    import numpy as np
+
+    return np.zeros(np.shape(x), dtype=jax.dtypes.float0)
+
+
+@jax.custom_vjp
+def _planned_take(payload, gidx, perm, bounds):
+    """jnp.take(payload, gidx, axis=0) whose VJP uses the precomputed
+    transpose plan instead of a scatter-add (see build_flat_bins)."""
+    return jnp.take(payload, gidx, axis=0)
+
+
+def _planned_take_fwd(payload, gidx, perm, bounds):
+    return jnp.take(payload, gidx, axis=0), (gidx, perm, bounds)
+
+
+def _planned_take_bwd(res, ct):
+    gidx, perm, bounds = res
+    r = jnp.take(ct, perm, axis=0)                   # [c_max, D]
+    c = jnp.cumsum(r, axis=0, dtype=jnp.float32)
+    c = jnp.concatenate([jnp.zeros((1, r.shape[1]), c.dtype), c], axis=0)
+    ends = jnp.take(c, bounds, axis=0)               # [n + 2, D]
+    dpay = ends[1:] - ends[:-1]                      # [n + 1, D]
+    return dpay, _f0_like(gidx), _f0_like(perm), _f0_like(bounds)
+
+
+_planned_take.defvjp(_planned_take_fwd, _planned_take_bwd)
+
+
+# ---------------------------------------------------------------------------
 # Pallas kernels — tile-grid walk with manual double-buffered DMA
 # ---------------------------------------------------------------------------
 #
@@ -670,21 +742,27 @@ _flat_core.defvjp(_flat_core_fwd, _flat_core_bwd)
 def composite_tiles_flat(
     xy, depth, conic, opac, rgb, valid,
     width: int, height: int, tile_size: int, plan: FlatPlan,
+    bins: dict | None = None,
     interpret: bool = False,
 ):
     """Project-space entry: bins + composites projected gaussians exactly
     (no per-tile K truncation). Returns (rgb [T,P,3], depth_norm [T,P],
     alpha [T,P], overflow []) with T = padded tile count — callers share
-    ops/splat.py's tiles_to_image epilogue."""
+    ops/splat.py's tiles_to_image epilogue.
+
+    `bins`: a cached build_flat_bins plan (amortized binning). When given,
+    the per-step cost is gathers + tile walks only; when None, a fresh plan
+    is built inline (exact per-step binning, the expensive path)."""
     tiles_x = -(-width // tile_size)
     tiles_y = -(-height // tile_size)
     n_tiles = tiles_x * tiles_y
     n = xy.shape[0]
     n_chunks = plan.c_max // CHUNK
 
-    meta = build_flat_candidates(
-        xy, depth, conic, opac, valid, tiles_x=tiles_x, tiles_y=tiles_y,
-        tile_size=tile_size, plan=plan)
+    if bins is None:
+        bins = build_flat_bins(
+            xy, depth, conic, opac, valid, tiles_x=tiles_x, tiles_y=tiles_y,
+            tile_size=tile_size, plan=plan)
 
     # candidate payload fetch: ONE row gather; row N is the dead/trash row.
     # columns match the kernel's CAND_ROWS layout (x y ca cb cc op r g b z 1)
@@ -693,15 +771,16 @@ def composite_tiles_flat(
          jnp.ones((n, 1), xy.dtype)], axis=-1)       # [N, 11]
     payload = jnp.concatenate(
         [payload, jnp.zeros((1, 11), payload.dtype)], axis=0)
-    cand_rows = jnp.take(payload, meta["gidx"], axis=0)   # [c_max, 11]
+    cand_rows = _planned_take(
+        payload, bins["gidx"], bins["perm"], bins["bounds"])  # [c_max, 11]
     cand = jnp.swapaxes(cand_rows.reshape(n_chunks, CHUNK, 11), 1, 2)
     cand = jnp.concatenate(
         [cand, jnp.zeros((n_chunks, CAND_ROWS - 11, CHUNK), cand.dtype)],
         axis=1)                                      # [n_chunks, 16, CHUNK]
 
     rgb_t, depth_acc, alpha = _flat_core(
-        cand, meta["tile_chunk_start"], meta["tile_chunk_cnt"],
-        meta["chunk_tile"], meta["chunk_pos"],
+        cand, bins["tile_chunk_start"], bins["tile_chunk_cnt"],
+        bins["chunk_tile"], bins["chunk_pos"],
         n_tiles, tile_size, tiles_x, width, height, interpret)
     depth_norm = depth_acc / jnp.maximum(alpha, 1e-10)
-    return rgb_t, depth_norm, alpha, meta["overflow"]
+    return rgb_t, depth_norm, alpha, bins["overflow"]

@@ -189,3 +189,100 @@ def test_flat_empty_tiles_render_zero():
     alpha = np.asarray(out["alpha"])
     assert alpha[: res // 2, : res // 2].max() > 0.5  # content corner
     assert alpha[res // 2:, res // 2:].max() == pytest.approx(0.0, abs=1e-6)
+
+
+def test_planned_take_grad_matches_scatter():
+    """The scatter-free VJP (perm + cumsum + run-boundary diffs) must equal
+    jnp.take's scatter-add VJP exactly."""
+    from holoscene_tpu.ops.splat_flat import _planned_take
+
+    rng = np.random.default_rng(11)
+    n, c = 37, 256
+    payload = jnp.asarray(rng.normal(size=(n + 1, 5)).astype(np.float32))
+    gidx = jnp.asarray(rng.integers(0, n + 1, c).astype(np.int32))
+    _, perm = jax.lax.sort(
+        (gidx, jnp.arange(c, dtype=jnp.int32)), num_keys=1)
+    counts = jnp.bincount(gidx, length=n + 1)
+    bounds = jnp.concatenate(
+        [jnp.zeros((1,), counts.dtype), jnp.cumsum(counts)]
+    ).astype(jnp.int32)
+    ct = jnp.asarray(rng.normal(size=(c, 5)).astype(np.float32))
+
+    def loss_planned(p):
+        return jnp.sum(_planned_take(p, gidx, perm, bounds) * ct)
+
+    def loss_take(p):
+        return jnp.sum(jnp.take(p, gidx, axis=0) * ct)
+
+    np.testing.assert_allclose(
+        np.asarray(jax.grad(loss_planned)(payload)),
+        np.asarray(jax.grad(loss_take)(payload)), atol=1e-4, rtol=1e-5)
+
+
+def test_flat_cached_bins_match_fresh():
+    """Rendering with a build_flat_bins plan captured at the CURRENT params
+    must be identical (value and gradient) to inline per-step binning."""
+    from holoscene_tpu.ops.splat_flat import build_flat_bins
+
+    means, quats, scales, opac, colors, viewmat, intr = _scene(n=150, seed=7)
+    res, ts = 64, 16
+    tiles = res // ts
+    cov3d = covariance_3d(quats, scales)
+    xy, depth, conic, radius, valid = project_gaussians(
+        means, cov3d, viewmat, intr, res, res)
+    plan = plan_flat(xy, conic, opac, valid, tiles, tiles, ts)
+    bins = build_flat_bins(xy, depth, conic, opac, valid,
+                           tiles_x=tiles, tiles_y=tiles, tile_size=ts,
+                           plan=plan)
+    tgt = jnp.asarray(np.random.default_rng(2).uniform(0, 1, (res, res, 3))
+                      .astype(np.float32))
+
+    def loss(m, bins_arg):
+        out = render_gaussians(
+            m, quats, scales, opac, colors, viewmat, intr,
+            width=res, height=res, tile_size=ts, flat_plan=plan,
+            flat_bins=bins_arg, use_pallas=not INTERP)
+        return jnp.mean((out["rgb"] - tgt) ** 2), out["rgb"]
+
+    (l_cached, img_cached), g_cached = jax.value_and_grad(
+        loss, has_aux=True)(means, bins)
+    (l_fresh, img_fresh), g_fresh = jax.value_and_grad(
+        loss, has_aux=True)(means, None)
+    np.testing.assert_allclose(np.asarray(img_cached), np.asarray(img_fresh),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_cached), np.asarray(g_fresh),
+                               atol=1e-5, rtol=1e-4)
+
+
+def test_flat_cached_bins_track_small_motion():
+    """A slightly-stale plan (params nudged after binning) must still render
+    within tolerance of fresh binning — the amortized-binning contract."""
+    from holoscene_tpu.ops.splat_flat import build_flat_bins
+
+    means, quats, scales, opac, colors, viewmat, intr = _scene(n=150, seed=9)
+    res, ts = 64, 16
+    tiles = res // ts
+    cov3d = covariance_3d(quats, scales)
+    xy, depth, conic, radius, valid = project_gaussians(
+        means, cov3d, viewmat, intr, res, res)
+    plan = plan_flat(xy, conic, opac, valid, tiles, tiles, ts,
+                     margin=1.6)
+    bins = build_flat_bins(xy, depth, conic, opac, valid,
+                           tiles_x=tiles, tiles_y=tiles, tile_size=ts,
+                           plan=plan)
+
+    # ~8 optimizer steps of typical 3DGS position LR (1.6e-4 x extent)
+    nudged = means + 8 * 1.6e-4 * jnp.asarray(
+        np.random.default_rng(3).normal(size=means.shape).astype(np.float32))
+
+    def render(m, bins_arg):
+        return render_gaussians(
+            m, quats, scales, opac, colors, viewmat, intr,
+            width=res, height=res, tile_size=ts, flat_plan=plan,
+            flat_bins=bins_arg, use_pallas=not INTERP)["rgb"]
+
+    img_stale = np.asarray(render(nudged, bins))
+    img_fresh = np.asarray(render(nudged, None))
+    mse = float(np.mean((img_stale - img_fresh) ** 2))
+    psnr = -10 * np.log10(max(mse, 1e-12))
+    assert psnr > 45.0, psnr
