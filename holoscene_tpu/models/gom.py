@@ -67,6 +67,12 @@ class GoMConfig:
     # linear in K, so scenes with shallow tiles train up to ~2x faster
     max_per_tile: int = 512
     use_pallas: bool | None = None  # fused Pallas kernels; None = auto (TPU)
+    # flat sorted-candidate pipeline with amortized binning (EXACT
+    # compositing, no K truncation; ops/splat_flat.py). None = auto: on for
+    # TPU training renders. rebin_every = per-frame-visit index refresh
+    # cadence (staleness tolerance gated in tests/test_splat_flat.py)
+    use_flat: bool | None = None
+    rebin_every: int = 8
 
 
 # ---------------------------------------------------------------------------
@@ -327,6 +333,8 @@ def render_gom(
     background: jnp.ndarray,
     visible_mask=None,
     ortho: bool = False,
+    flat_plan=None,
+    flat_bins: dict | None = None,
 ):
     """Full GoM render (gom.py:1082-1170). Returns dict(rgb, depth,
     accumulation)."""
@@ -350,10 +358,49 @@ def render_gom(
         viewmat, jnp.asarray(intrinsics, dtype=jnp.float32),
         width, height, tile_size=cfg.tile_size, max_per_tile=cfg.max_per_tile,
         sh_degree=cfg.sh_degree, background=background, ortho=ortho,
-        use_pallas=cfg.use_pallas,
+        use_pallas=cfg.use_pallas, flat_plan=flat_plan, flat_bins=flat_bins,
     )
     rgb = jnp.clip(out["rgb"], 0.0, 1.0)
     return {"rgb": rgb, "depth": out["depth"], "accumulation": out["alpha"]}
+
+
+def gom_project(params, static, cfg: GoMConfig, pose_c2w, intrinsics,
+                width: int, height: int):
+    """Projected splat geometry (xy, depth, conic, valid) for the flat
+    pipeline's binning — the same EWA projection render_gom uses."""
+    from holoscene_tpu.ops.gaussians import covariance_3d, project_gaussians
+
+    means = gom_means(params, static, cfg)
+    quats = gom_quats(params, static, cfg)
+    scales = gom_scales(params, static, cfg)
+    pose = jnp.asarray(pose_c2w, dtype=jnp.float32)
+    rot = pose[:3, :3].T
+    viewmat = (
+        jnp.eye(4, dtype=jnp.float32)
+        .at[:3, :3].set(rot)
+        .at[:3, 3].set(-rot @ pose[:3, 3])
+    )
+    cov3d = covariance_3d(quats, scales)
+    xy, depth, conic, _radius, valid = project_gaussians(
+        means, cov3d, viewmat, jnp.asarray(intrinsics, dtype=jnp.float32),
+        width, height)
+    return xy, depth, conic, valid
+
+
+def gom_flat_bins(params, static, cfg: GoMConfig, pose_c2w, intrinsics,
+                  width: int, height: int, plan, visible_mask=None):
+    """build_flat_bins over the current GoM state for one camera (the
+    amortized-binning refresh; see ops/splat_flat.build_flat_bins)."""
+    from holoscene_tpu.ops.splat_flat import build_flat_bins
+
+    xy, depth, conic, valid = gom_project(
+        params, static, cfg, pose_c2w, intrinsics, width, height)
+    opac = gom_opacities(params, visible_mask)
+    tiles_x = -(-width // cfg.tile_size)
+    tiles_y = -(-height // cfg.tile_size)
+    return build_flat_bins(
+        xy, depth, conic, opac, valid, tiles_x=tiles_x, tiles_y=tiles_y,
+        tile_size=cfg.tile_size, plan=plan)
 
 
 def gom_loss(outputs, batch, cfg: GoMConfig, with_scale_reg: bool = False,

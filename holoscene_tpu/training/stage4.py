@@ -93,7 +93,16 @@ class Stage4Runner:
         self.instance_ranges = self.static["instance_ranges"]
         self.params = init_gom_params(self.static, cfg)
 
-        if cfg.max_per_tile <= 0:
+        self.use_flat = (cfg.use_flat if cfg.use_flat is not None
+                         else jax.default_backend() == "tpu")
+        self.flat_plan = None
+        self._flat_margin = 1.3
+        self._bins_cache: dict[int, dict] = {}
+        self._bins_age: dict[int, int] = {}
+        if self.use_flat:
+            self._init_flat_plan()
+
+        if cfg.max_per_tile <= 0 and not self.use_flat:
             # auto-K: geometric p99 tile overlap bounds the search; the
             # empirical saturation calibration (render at K vs 2K until the
             # image stops changing) picks the shipped depth — compositing
@@ -147,16 +156,92 @@ class Stage4Runner:
         self._mesh_cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
         self.history: list[dict] = []
 
-        static = self.static
-        cfg_ = cfg
-        optimizer = self.optimizer
+        self._build_jits()
+        self.vis_info_list = [[] for _ in range(len(meshes))]
 
-        def step_fn(params, opt_state, key, pose, intr, image, acm, mesh_depth):
+    def _init_flat_plan(self):
+        """Probe a few training cameras and derive the shared FlatPlan (max
+        span / capacity over the probed frames; ops/splat_flat.plan_flat)."""
+        from holoscene_tpu.models.gom import gom_opacities, gom_project
+        from holoscene_tpu.ops.splat_flat import FlatPlan, plan_flat
+
+        h, w = self.dataset.img_res
+        cfg = self.cfg
+        tiles_x = -(-w // cfg.tile_size)
+        tiles_y = -(-h // cfg.tile_size)
+        frames = sorted({0, self.dataset.n_images // 2,
+                         self.dataset.n_images - 1})
+        proj = jax.jit(lambda p, pose, intr: gom_project(
+            p, self.static, cfg, pose, intr, w, h))
+        opac = gom_opacities(self.params, None)
+        best = None
+        for f in frames:
+            xy, _depth, conic, valid = proj(
+                self.params, jnp.asarray(self.dataset.pose_all[f]),
+                jnp.asarray(self.dataset.intrinsics[:3, :3]))
+            pl = plan_flat(xy, conic, opac, valid, tiles_x, tiles_y,
+                           cfg.tile_size, margin=self._flat_margin)
+            best = pl if best is None else FlatPlan(
+                span_x=max(best.span_x, pl.span_x),
+                span_y=max(best.span_y, pl.span_y),
+                c_max=max(best.c_max, pl.c_max))
+        self.flat_plan = best
+        if not self.quiet:
+            print(f"[stage4] flat plan {best} "
+                  f"(rebin_every={cfg.rebin_every})")
+
+    def _grow_flat_plan(self):
+        """Overflow recovery: re-probe with a larger capacity margin and
+        re-jit (the gsplat buffer-realloc analog)."""
+        self._flat_margin *= 1.5
+        self._init_flat_plan()
+        self._bins_cache.clear()
+        self._bins_age.clear()
+        self._build_jits()
+
+    def _refresh_bins(self, frame_idx: int, pose, intr):
+        bins = self._rebin(self.params, pose, intr)
+        if int(bins["overflow"]) != 0:
+            if not self.quiet:
+                print(f"[stage4] flat plan overflow at frame {frame_idx}; "
+                      "growing capacity")
+            self._grow_flat_plan()
+            bins = self._rebin(self.params, pose, intr)
+        return bins
+
+    def _get_bins(self, frame_idx: int, pose, intr):
+        age = self._bins_age.get(frame_idx, 0)
+        if frame_idx not in self._bins_cache or \
+                age % max(self.cfg.rebin_every, 1) == 0:
+            self._bins_cache[frame_idx] = self._refresh_bins(
+                frame_idx, pose, intr)
+        self._bins_age[frame_idx] = age + 1
+        return self._bins_cache[frame_idx]
+
+    def _build_jits(self):
+        static = self.static
+        cfg_ = self.cfg
+        optimizer = self.optimizer
+        loss_scale = self.loss_scale
+        flat_plan = self.flat_plan if self.use_flat else None
+        h_ds, w_ds = self.dataset.img_res
+
+        if self.use_flat:
+            from holoscene_tpu.models.gom import gom_flat_bins
+
+            self._rebin = jax.jit(lambda p, pose, intr: gom_flat_bins(
+                p, static, cfg_, pose, intr, w_ds, h_ds, flat_plan))
+        else:
+            self._rebin = None
+
+        def step_fn(params, opt_state, key, pose, intr, image, acm,
+                    mesh_depth, bins):
             h, w = image.shape[0], image.shape[1]
             bg = jax.random.uniform(key, (3,))
 
             def loss_fn(p):
-                out = render_gom(p, static, cfg_, pose, intr, w, h, bg)
+                out = render_gom(p, static, cfg_, pose, intr, w, h, bg,
+                                 flat_plan=flat_plan, flat_bins=bins)
                 batch = {
                     "image": image * acm[..., None] + (1 - acm[..., None]) * bg,
                     "acm": acm,
@@ -216,13 +301,13 @@ class Stage4Runner:
             return params, opt_state, l1
 
         self._invis_step = jax.jit(invis_step_fn, donate_argnums=(0, 1))
-        self.vis_info_list: list[list[dict]] = [
-            [] for _ in range(len(meshes))
-        ]
 
         def render_eval(params, pose, intr, h: int, w: int):
             bg = jnp.zeros(3)
-            return render_gom(params, static, cfg_, pose, intr, w, h, bg)
+            # eval renders bin fresh (exact, no staleness) on the flat path
+            fp = flat_plan if (h, w) == (h_ds, w_ds) else None
+            return render_gom(params, static, cfg_, pose, intr, w, h, bg,
+                              flat_plan=fp)
 
         self._render_eval = jax.jit(render_eval, static_argnums=(3, 4))
 
@@ -270,11 +355,14 @@ class Stage4Runner:
             acm, mesh_depth = self._frame_mesh_raster(frame_idx)
             image = self.dataset.rgb_images[frame_idx].reshape(h, w, 3)
             self.key, k = jax.random.split(self.key)
+            pose = jnp.asarray(self.dataset.pose_all[frame_idx])
+            intr = jnp.asarray(self.dataset.intrinsics[:3, :3])
+            bins = (self._get_bins(frame_idx, pose, intr)
+                    if self.use_flat else None)
             self.params, self.opt_state, metrics = self._step(
-                self.params, self.opt_state, k,
-                jnp.asarray(self.dataset.pose_all[frame_idx]),
-                jnp.asarray(self.dataset.intrinsics[:3, :3]),
+                self.params, self.opt_state, k, pose, intr,
                 jnp.asarray(image), jnp.asarray(acm), jnp.asarray(mesh_depth),
+                bins,
             )
             if has_vis:
                 # one random object's generated view per iteration

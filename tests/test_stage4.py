@@ -116,3 +116,23 @@ def test_tile_overlap_excludes_invalid_gaussians():
         jnp.asarray(scales), jnp.eye(4), jnp.asarray(intr), 64, 64
     )
     assert int(np.asarray(counts_f).max()) > 0
+
+
+def test_stage4_flat_amortized_binning(scene, tmp_path):
+    """The flat-pipeline trainer path: per-frame cached index plans with a
+    rebin cadence, exact compositing (no K), overflow-safe."""
+    meshes = _gt_meshes()
+    cfg = GoMConfig(sh_degree=1, tile_size=16, use_flat=True, rebin_every=2)
+    runner = Stage4Runner(
+        meshes, scene, cfg=cfg, area_to_subdivide=5e-3,
+        max_total_iters=12, out_dir=str(tmp_path / "outf"), quiet=True,
+    )
+    assert runner.use_flat and runner.flat_plan is not None
+    hist = runner.run(n_iters=8, log_every=4)
+    assert all(np.isfinite(h["loss"]) for h in hist)
+    assert hist[-1]["l1"] < hist[0]["l1"] * 1.05  # optimizing, not diverging
+    # per-frame plans were cached and aged
+    assert len(runner._bins_cache) >= 1
+    assert max(runner._bins_age.values()) >= 1
+    ev = runner.eval_split("train", max_frames=1)
+    assert np.isfinite(ev["psnr"])
