@@ -194,10 +194,13 @@ def build_flat_candidates(
 
     skey, sgidx = jax.lax.sort((key, gidx), num_keys=1)
 
-    # per-tile live counts (incl. the dummy) via compare_all searchsorted
+    # per-tile live counts (incl. the dummy): binary-search searchsorted —
+    # only n_tiles+1 queries, so the O(T x c) compare_all lowering is ~7 ms
+    # of pure waste at flagship shapes; the scan lowering is 21 gathers of
+    # [T+1] rows
     starts = jnp.searchsorted(
         skey, (jnp.arange(n_tiles + 1, dtype=jnp.int32) << bits),
-        method="compare_all",
+        method="scan_unrolled",
     ).astype(jnp.int32)
     counts = starts[1:] - starts[:-1]          # [T] >= 1 (dummy)
     aligned = -(-counts // CHUNK) * CHUNK
