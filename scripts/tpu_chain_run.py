@@ -1,0 +1,119 @@
+"""Stages 2->3->4 on TPU hardware at flagship scale (VERDICT r2 #6).
+
+Resumes the flagship 512^2 Stage-1 checkpoint written by tpu_flagship_run.py
+(FLAGSHIP_WORK) and drives refinement + texture + gaussians at real scale,
+recording wall-clock, per-stage throughput, and final PSNR/SSIM — the
+reference's holoscene_train_post.py -> exp_runner_texture.py ->
+exp_runner_gaussian.py chain (SURVEY.md section 3) as one supervised run.
+
+Checkpoints land next to the stage-1 run, so a supervisor restart resumes
+stage 4 training (GoM trainer ckpts) instead of redoing it.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+import numpy as np
+
+import holoscene_tpu
+
+holoscene_tpu.setup_compile_cache()
+
+from holoscene_tpu.config import ConfigFactory
+from holoscene_tpu.losses.holoscene_loss import LossConfig
+from holoscene_tpu.models.fields import ColorFieldConfig
+from holoscene_tpu.models.gom import GoMConfig
+from holoscene_tpu.stage2.refine import FinetuneConfig
+from holoscene_tpu.stage2.runner import Stage2Runner
+from holoscene_tpu.training.stage1 import Stage1Runner
+from holoscene_tpu.training.stage3 import Stage3Runner
+from holoscene_tpu.training.stage4 import Stage4Runner
+from holoscene_tpu.utils.mesh import read_obj
+
+work = os.environ.get("FLAGSHIP_WORK", "/tmp/tpu_flagship")
+os.chdir(work)
+RES = int(os.environ.get("FLAGSHIP_RES", "512"))
+
+S2_ITERS = int(os.environ.get("CHAIN_S2_ITERS", "300"))
+S3_ITERS = int(os.environ.get("CHAIN_S3_ITERS", "1500"))
+S4_ITERS = int(os.environ.get("CHAIN_S4_ITERS", "2000"))
+MESH_RES = int(os.environ.get("CHAIN_MESH_RES", "256"))
+VIEW_RES = int(os.environ.get("CHAIN_VIEW_RES", "256"))
+
+conf = ConfigFactory.parse_file("/root/repo/confs/replica_room0.conf")
+conf.put("dataset.data_root_dir", "data")
+conf.put("dataset.data_dir", "scene_0")
+conf.put("dataset.img_res", [RES, RES])
+conf.put("dataset.fix_length", 0)
+conf.put("train.expname", "flagship_synth")
+
+t_wall = time.time()
+runner1 = Stage1Runner(conf, exps_folder="exps", data_root_override="data",
+                       use_mesh=False, quiet=False, is_continue=True,
+                       timestamp="latest")
+assert runner1.start_iter > 0, "no flagship stage-1 checkpoint to chain from"
+print(f"== chain: resumed stage-1 at iter {runner1.start_iter}", flush=True)
+
+timeline = {}
+
+
+def mark(stage, t0, extra=None):
+    timeline[stage] = {"wall_s": round(time.time() - t0, 1), **(extra or {})}
+    print(f"== chain {stage}: {json.dumps(timeline[stage])}", flush=True)
+    with open(os.path.join(runner1.plots_dir, "chain_timeline.json"), "w") as f:
+        json.dump(timeline, f, indent=1)
+
+
+t0 = time.time()
+runner2 = Stage2Runner(
+    runner1.params, runner1.model_cfg, runner1.dataset,
+    out_dir=runner1.plots_dir,
+    loss_cfg=LossConfig(depth_weight=0.1, semantic_weight=0.5),
+    finetune_cfg=FinetuneConfig(iters=S2_ITERS, rays_per_step=1024,
+                                invis_pixels=512, collision_pts=1024),
+    mesh_resolution=MESH_RES, view_render_res=VIEW_RES,
+    candidate_levels=(0.0, 0.003),
+    seeds=(42, 43),
+    quiet=False,
+)
+result2 = runner2.run(finetune_iters=S2_ITERS)
+meshes = [m for m in result2["meshes"] if m is not None]
+mark("stage2", t0, {
+    "meshes": len(meshes),
+    "failed": result2["failed_objects"],
+    "graph_depth": max(v["dist_to_root"] for v in result2["graph"].values()),
+})
+
+t0 = time.time()
+runner3 = Stage3Runner(
+    result2["meshes"], runner1.dataset,
+    cfg=ColorFieldConfig(),
+    max_total_iters=S3_ITERS, pixels_per_step=4096,
+    out_dir=runner1.plots_dir, texture_res=1024, quiet=False,
+)
+objects = [i for i, m in enumerate(result2["meshes"]) if m is not None]
+tex_paths = runner3.run(objects=objects, n_iters=S3_ITERS)
+mark("stage3", t0, {"textured": len(tex_paths),
+                    "px_per_s": round(S3_ITERS * 4096 * len(objects)
+                                      / max(time.time() - t0, 1e-9))})
+
+t0 = time.time()
+baked = [read_obj(p) for p in tex_paths]
+runner4 = Stage4Runner(
+    baked, runner1.dataset, cfg=GoMConfig(sh_degree=3, max_per_tile=0),
+    area_to_subdivide=1e-5, max_total_iters=S4_ITERS,
+    out_dir=runner1.plots_dir, quiet=False,
+)
+runner4.load_vis_info(runner1.plots_dir)
+runner4.run(n_iters=S4_ITERS, log_every=100)
+metrics = runner4.eval_split("train", max_frames=4)
+runner4.export()
+n_g = int(runner4.static["num_gaussians"])
+mark("stage4", t0, {"psnr": round(metrics["psnr"], 2),
+                    "ssim": round(metrics["ssim"], 4), "gaussians": n_g})
+
+mark("total", t_wall)
+print(f"== CHAIN DONE psnr={metrics['psnr']:.2f} ssim={metrics['ssim']:.3f} "
+      f"wall={time.time()-t_wall:.0f}s", flush=True)
