@@ -47,6 +47,11 @@ class FreeGaussianConfig:
     # (+ dist coeffs) — non-pinhole routes through the UT projection
     camera_model: str = "pinhole"
     dist: tuple | None = None
+    # flat sorted-candidate pipeline with per-frame amortized binning
+    # (ops/splat_flat.py; exact compositing, no K). None = auto: on for TPU
+    # training steps. Caches are invalidated on refine/relocate events.
+    use_flat: bool | None = None
+    rebin_every: int = 8
 
 
 def init_free_gaussians(
@@ -111,8 +116,57 @@ def init_free_gaussians(
     return params, state
 
 
+def free_project(params, state, cfg: FreeGaussianConfig, pose_c2w,
+                 intrinsics, width, height):
+    """Projected geometry (xy, depth, conic, opac, valid) matching
+    render_free_gaussians' projection choice (EWA or UT) — feeds the flat
+    pipeline's binning refresh."""
+    from holoscene_tpu.ops.gaussians import (
+        covariance_3d,
+        project_gaussians,
+        project_gaussians_ut,
+        quat_to_rotmat,
+    )
+
+    pose = jnp.asarray(pose_c2w, dtype=jnp.float32)
+    rot = pose[:3, :3].T
+    viewmat = (
+        jnp.eye(4, dtype=jnp.float32)
+        .at[:3, :3].set(rot)
+        .at[:3, 3].set(-rot @ pose[:3, 3])
+    )
+    opac = jax.nn.sigmoid(params["opacity_logits"]) * state["alive"]
+    intr = jnp.asarray(intrinsics, jnp.float32)
+    scales = jnp.exp(params["log_scales"])
+    if cfg.camera_model != "pinhole":
+        sqrt_cov = quat_to_rotmat(params["quats"]) * scales[..., None, :]
+        xy, depth, conic, _r, valid = project_gaussians_ut(
+            params["means"], sqrt_cov, viewmat, intr, width, height,
+            camera_model=cfg.camera_model, dist=cfg.dist)
+    else:
+        cov3d = covariance_3d(params["quats"], scales)
+        xy, depth, conic, _r, valid = project_gaussians(
+            params["means"], cov3d, viewmat, intr, width, height)
+    return xy, depth, conic, opac, valid
+
+
+def free_flat_bins(params, state, cfg: FreeGaussianConfig, pose_c2w,
+                   intrinsics, width, height, plan):
+    """Amortized-binning refresh for free gaussians (one camera)."""
+    from holoscene_tpu.ops.splat_flat import build_flat_bins
+
+    xy, depth, conic, opac, valid = free_project(
+        params, state, cfg, pose_c2w, intrinsics, width, height)
+    tiles_x = -(-width // cfg.tile_size)
+    tiles_y = -(-height // cfg.tile_size)
+    return build_flat_bins(
+        xy, depth, conic, opac, valid, tiles_x=tiles_x, tiles_y=tiles_y,
+        tile_size=cfg.tile_size, plan=plan)
+
+
 def render_free_gaussians(params, state, cfg: FreeGaussianConfig, pose_c2w,
-                          intrinsics, width, height, background=None):
+                          intrinsics, width, height, background=None,
+                          flat_plan=None, flat_bins=None):
     pose = jnp.asarray(pose_c2w, dtype=jnp.float32)
     rot = pose[:3, :3].T
     viewmat = (
@@ -133,6 +187,7 @@ def render_free_gaussians(params, state, cfg: FreeGaussianConfig, pose_c2w,
         # non-pinhole models ride the UT projection (ops/gaussians) — the
         # 3DGUT train-on-distorted-captures capability
         camera_model=cfg.camera_model, dist=cfg.dist,
+        flat_plan=flat_plan, flat_bins=flat_bins,
     )
 
 

@@ -75,16 +75,84 @@ class GSTrainer:
         self.iter_step = 0
         self.history: list[dict] = []
 
-        cfg_ = cfg
-        lam = ssim_lambda
+        self.use_flat = (cfg.use_flat if cfg.use_flat is not None
+                         else jax.default_backend() == "tpu")
+        self.flat_plan = None
+        self._flat_margin = 1.6  # densification grows footprints; headroom
+        self._bins_cache: dict[int, dict] = {}
+        self._bins_age: dict[int, int] = {}
+        if self.use_flat:
+            self._init_flat_plan()
+        self._build_step()
 
-        def step_fn(params, state, moments, key, pose, intr, image):
+    def _init_flat_plan(self):
+        from holoscene_tpu.models.gaussians_free import free_project
+        from holoscene_tpu.ops.splat_flat import FlatPlan, plan_flat
+
+        ds = self.dataset
+        h, w = ds.img_res
+        cfg = self.cfg
+        tiles_x = -(-w // cfg.tile_size)
+        tiles_y = -(-h // cfg.tile_size)
+        proj = jax.jit(lambda p, st, pose, intr: free_project(
+            p, st, cfg, pose, intr, w, h))
+        best = None
+        for f in sorted({0, ds.n_images // 2, ds.n_images - 1}):
+            xy, _d, conic, opac, valid = proj(
+                self.params, self.state, jnp.asarray(ds.pose_all[f]),
+                jnp.asarray(ds.intrinsics[:3, :3]))
+            pl = plan_flat(xy, conic, opac, valid, tiles_x, tiles_y,
+                           cfg.tile_size, margin=self._flat_margin)
+            best = pl if best is None else FlatPlan(
+                span_x=max(best.span_x, pl.span_x),
+                span_y=max(best.span_y, pl.span_y),
+                c_max=max(best.c_max, pl.c_max))
+        self.flat_plan = best
+        if not self.quiet:
+            print(f"[gs] flat plan {best} (rebin_every={cfg.rebin_every})")
+
+    def _get_bins(self, frame_idx: int, pose, intr):
+        age = self._bins_age.get(frame_idx, 0)
+        if frame_idx not in self._bins_cache or \
+                age % max(self.cfg.rebin_every, 1) == 0:
+            bins = self._rebin(self.params, self.state, pose, intr)
+            if int(bins["overflow"]) != 0:
+                if not self.quiet:
+                    print("[gs] flat plan overflow; growing capacity")
+                self._flat_margin *= 1.5
+                self._init_flat_plan()
+                self._bins_cache.clear()
+                self._bins_age.clear()
+                self._build_step()
+                bins = self._rebin(self.params, self.state, pose, intr)
+            self._bins_cache[frame_idx] = bins
+        self._bins_age[frame_idx] = age + 1
+        return self._bins_cache[frame_idx]
+
+    def _build_step(self):
+        cfg_ = self.cfg
+        lam = self.ssim_lambda
+        flat_plan = self.flat_plan if self.use_flat else None
+
+        if self.use_flat:
+            from holoscene_tpu.models.gaussians_free import free_flat_bins
+
+            h_ds, w_ds = self.dataset.img_res
+            self._rebin = jax.jit(
+                lambda p, st, pose, intr: free_flat_bins(
+                    p, st, cfg_, pose, intr, w_ds, h_ds, flat_plan))
+        else:
+            self._rebin = None
+
+        def step_fn(params, state, moments, key, pose, intr, image, bins):
             h, w = image.shape[0], image.shape[1]
             bg = jax.random.uniform(key, (3,))
 
             def loss_fn(p):
                 out = render_free_gaussians(p, state, cfg_, pose, intr, w, h,
-                                            background=bg)
+                                            background=bg,
+                                            flat_plan=flat_plan,
+                                            flat_bins=bins)
                 gt = image  # dataset images are opaque; bg composit on pred only
                 l1 = jnp.mean(jnp.abs(out["rgb"] - gt))
                 sim = 1.0 - ssim_fn(gt, out["rgb"])
@@ -114,11 +182,14 @@ class GSTrainer:
         for it in range(start, end):
             frame = int(self.rng.integers(0, self.dataset.n_images))
             self.key, k = jax.random.split(self.key)
+            pose = jnp.asarray(self.dataset.pose_all[frame])
+            intr = jnp.asarray(self.dataset.intrinsics[:3, :3])
+            bins = (self._get_bins(frame, pose, intr)
+                    if self.use_flat else None)
             self.params, self.state, self.moments, loss, psnr = self._step(
-                self.params, self.state, self.moments, k,
-                jnp.asarray(self.dataset.pose_all[frame]),
-                jnp.asarray(self.dataset.intrinsics[:3, :3]),
+                self.params, self.state, self.moments, k, pose, intr,
                 jnp.asarray(self.dataset.rgb_images[frame].reshape(h, w, 3)),
+                bins,
             )
             if it >= self.warmup and (it + 1) % self.refine_every == 0:
                 self.key, k = jax.random.split(self.key)
@@ -132,6 +203,10 @@ class GSTrainer:
                         self.scene_extent,
                     )
                 self.moments = reset_moments(self.moments, stats["reset_mask"])
+                # densify/cull/relocate moved gaussians: stale plans are
+                # wrong at a step change this large — drop every cached bin
+                self._bins_cache.clear()
+                self._bins_age.clear()
                 if not self.quiet:
                     n_alive = int(self.state["alive"].sum())
                     print(f"[gs] it {it} refine: alive={n_alive}")

@@ -97,3 +97,25 @@ def test_gs_train_on_distorted_colmap(tmp_path):
         "--warmup", "100",
     ])
     assert np.isfinite(m["psnr"])
+
+
+def test_gs_trainer_flat_amortized(tmp_path):
+    """Free-gaussian training on the flat amortized-binning path: caches
+    age per frame, refine events invalidate them, loss optimizes."""
+    from holoscene_tpu.datasets.gs_datasets import NerfSyntheticDataset
+    from holoscene_tpu.models.gaussians_free import FreeGaussianConfig
+    from holoscene_tpu.training.gs_trainer import GSTrainer
+
+    scene = tmp_path / "scene"
+    os.makedirs(scene)
+    _write_nerf_scene(scene, n=3, res=16)
+    ds = NerfSyntheticDataset(str(scene))
+    cfg = FreeGaussianConfig(capacity=64, sh_degree=1, tile_size=16,
+                             use_flat=True, rebin_every=2)
+    tr = GSTrainer(ds, cfg, warmup=4, refine_every=4, seed=1, quiet=True)
+    assert tr.use_flat and tr.flat_plan is not None
+    hist = tr.run(6, log_every=2)
+    losses = [m["loss"] for m in hist if "loss" in m]
+    assert np.isfinite(losses[-1])
+    # refine at iter 4 must have dropped the caches built before it
+    assert all(a <= 4 for a in tr._bins_age.values())
