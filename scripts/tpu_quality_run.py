@@ -29,7 +29,8 @@ conf.put("model.rendering_network.dims", [128, 128])
 conf.put("model.ray_sampler.N_samples", 48)
 conf.put("model.ray_sampler.N_samples_eval", 96)
 conf.put("model.ray_sampler.N_samples_extra", 24)
-conf.put("model.ray_sampler.max_total_iters", 4)
+conf.put("model.ray_sampler.max_total_iters",
+         int(os.environ.get("QUALITY_SAMPLER_ITERS", "4")))
 conf.put("train.checkpoint_freq", 500)  # wedge-restart resume granularity
 
 runner = Stage1Runner(conf, exps_folder="exps", data_root_override="data",
@@ -48,12 +49,14 @@ runner.model_cfg = dataclasses.replace(
     render_fine_top_f=int(os.environ.get("QUALITY_FINE_TOP_F", "0")),
     render_fine_levels=int(os.environ.get("QUALITY_FINE_LEVELS", "8")),
     forward_grad_mode=_grad_mode,
-    implicit=dataclasses.replace(runner.model_cfg.implicit,
-                                 fused_dual_grid=_dual,
-                                 grid_interp=_interp,
-                                 fused_fetch=_fetch,
-                                 color_bwd_sample=_cbwd,
-                                 sdf_bwd_sample=_sbwd))
+    implicit=dataclasses.replace(
+        runner.model_cfg.implicit,
+        fused_dual_grid=_dual,
+        grid_interp=_interp,
+        fused_fetch=_fetch,
+        color_bwd_sample=_cbwd,
+        sdf_bwd_sample=_sbwd,
+        dense_max_res=int(os.environ.get("QUALITY_DENSE_MAX_RES", "0"))))
 print(f"quality run: top_m={_top_m} grad_mode={_grad_mode} dual={_dual} "
       f"interp={_interp} fetch={_fetch} color_bwd_sample={_cbwd} "
       f"sdf_bwd_sample={_sbwd}", flush=True)
