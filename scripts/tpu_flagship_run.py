@@ -23,7 +23,9 @@ conf.put("dataset.img_res", [RES, RES])
 conf.put("dataset.fix_length", 0)
 conf.put("train.expname", "flagship_synth")
 conf.put("train.checkpoint_freq", int(os.environ.get("FLAGSHIP_CKPT_FREQ", 400)))
-conf.put("train.exact_bwd_from_iter", int(os.environ.get("FLAGSHIP_EXACT_FROM", -1)))
+_iters_default = int(os.environ.get("FLAGSHIP_ITERS", 2200))
+conf.put("train.exact_bwd_from_iter",
+         int(os.environ.get("FLAGSHIP_EXACT_FROM", int(_iters_default * 0.8))))
 
 # resume on supervisor restart (the axon relay can wedge mid-stream;
 # latest_timestamp=None on the first run falls through to a fresh dir)
