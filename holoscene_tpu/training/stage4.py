@@ -100,6 +100,14 @@ class Stage4Runner:
         self._bins_cache: dict[int, dict] = {}
         self._bins_age: dict[int, int] = {}
         if self.use_flat:
+            if cfg.max_per_tile <= 0:
+                # the flat path has no K, but the small ortho invis-view
+                # renders still ride the top-K compositor — give them a
+                # sane depth instead of the auto-calibration's sentinel
+                import dataclasses as _dc
+
+                cfg = _dc.replace(cfg, max_per_tile=256)
+                self.cfg = cfg
             self._init_flat_plan()
 
         if cfg.max_per_tile <= 0 and not self.use_flat:

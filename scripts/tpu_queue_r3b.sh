@@ -18,6 +18,8 @@ run bench_rebin1 2400 env BENCH_SKIP_STAGE4=0 BENCH_REBIN_EVERY=1 \
     python bench.py
 run bench_rebin32 2400 env BENCH_REBIN_EVERY=32 python bench.py
 
+run s1_attrib 2400 python scripts/profile_stage1.py
+
 run gate_sampler3 5400 env QUALITY_TOP_M=56 QUALITY_GRAD_MODE=fused \
     QUALITY_DUAL=1 QUALITY_COLOR_BWD=1 QUALITY_SDF_BWD=1 \
     QUALITY_FINE_TOP_F=32 QUALITY_FINE_LEVELS=6 QUALITY_SAMPLER_ITERS=3 \
