@@ -260,6 +260,25 @@ def bench_stage4(n: int = 100_000, res: int = 512, timed_steps: int = 20):
 
 
 def main():
+    if os.environ.get("BENCH_SKIP_STAGE1", "0") == "1":
+        # splat-only A/B mode: report stage4 as the primary metric
+        splats_per_sec, k_auto = bench_stage4()
+        row = {
+            "metric": "stage4_splats_per_sec",
+            "value": round(splats_per_sec, 1),
+            "unit": "splats/s",
+            "vs_baseline": round(
+                splats_per_sec
+                / (TARGET_MULTIPLIER * A100_REFERENCE_SPLATS_PER_SEC), 4),
+        }
+        if k_auto < 0:
+            row["splat_path"] = "flat"
+            row["rebin_every"] = -k_auto
+        else:
+            row["auto_max_per_tile"] = k_auto
+        print(json.dumps(row))
+        return
+
     cfg = flagship_config()
     lcfg = LossConfig(depth_weight=0.5, semantic_weight=5.0, reg_vio_weight=0.01)
     key = jax.random.PRNGKey(0)

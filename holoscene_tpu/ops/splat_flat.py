@@ -384,6 +384,53 @@ def _planned_take_bwd(res, ct):
 _planned_take.defvjp(_planned_take_fwd, _planned_take_bwd)
 
 
+def _cumsum_2level(r):
+    """Inclusive cumsum along axis 0 of [c, d] f32 with c % CHUNK == 0,
+    decomposed as (intra-128-block cumsum) + (broadcast block offsets) —
+    log2(128)=7 short passes plus a tiny block-level scan, instead of
+    XLA's log2(c)~21 full-array passes."""
+    c, d = r.shape
+    b = c // CHUNK
+    rb = r.reshape(b, CHUNK, d)
+    intra = jnp.cumsum(rb, axis=1, dtype=jnp.float32)
+    tot = intra[:, -1, :]
+    offs = jnp.cumsum(tot, axis=0, dtype=jnp.float32) - tot
+    return (intra + offs[:, None, :]).reshape(c, d)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _planned_take_sliced(payload, gidx, perm, bounds, bwd_cols):
+    """_planned_take whose VJP (a) only reduces the first `bwd_cols`
+    columns (the kernel writes zero cotangents in the pad columns — why
+    haul them through the [c_max]-sized reduction) and (b) uses the
+    two-level blocked cumsum. Requires payload rows % CHUNK-aligned c_max
+    gidx (the composite_tiles_flat contract)."""
+    return jnp.take(payload, gidx, axis=0)
+
+
+def _planned_take_sliced_fwd(payload, gidx, perm, bounds, bwd_cols):
+    return jnp.take(payload, gidx, axis=0), (
+        payload.shape[1], gidx, perm, bounds)
+
+
+def _planned_take_sliced_bwd(bwd_cols, res, ct):
+    d_full, gidx, perm, bounds = res
+    r = jnp.take(ct[:, :bwd_cols], perm, axis=0)     # [c_max, bwd_cols]
+    c = _cumsum_2level(r)
+    c = jnp.concatenate(
+        [jnp.zeros((1, bwd_cols), c.dtype), c], axis=0)
+    ends = jnp.take(c, bounds, axis=0)               # [n + 2, bwd_cols]
+    dpay = ends[1:] - ends[:-1]                      # [n + 1, bwd_cols]
+    dpay = jnp.concatenate(
+        [dpay, jnp.zeros((dpay.shape[0], d_full - bwd_cols), dpay.dtype)],
+        axis=1)
+    return dpay, _f0_like(gidx), _f0_like(perm), _f0_like(bounds)
+
+
+_planned_take_sliced.defvjp(_planned_take_sliced_fwd,
+                            _planned_take_sliced_bwd)
+
+
 # ---------------------------------------------------------------------------
 # Pallas kernels — tile-grid walk with manual double-buffered DMA
 # ---------------------------------------------------------------------------
@@ -395,17 +442,54 @@ _planned_take.defvjp(_planned_take_fwd, _planned_take_bwd)
 # both COMPUTE and LOADS, dead padding is never touched, and per-tile
 # accumulators live in loop carries instead of revisited VMEM scratch.
 #
-# Candidate layout: cand [n_chunks, 16, 128] f32, rows
+# Candidate layout: cand [n_chunks, 16, 128] f32 — FIELD-major rows
 #   0 x, 1 y, 2 conic_a, 3 conic_b, 4 conic_c, 5 opacity,
 #   6 r, 7 g, 8 b, 9 depth, 10 one (alpha payload), 11-15 pad
-# — one contiguous 8 KB block per chunk, ONE DMA each.
+# — one contiguous 8 KB block per chunk, ONE DMA each. Field-major is
+# forced by the DMA engine: HBM chunk slices must be 128-aligned on the
+# minor dim (Mosaic rejects [128, 16] blocks), while the payload gather is
+# necessarily candidate-ROW-contiguous — the single XLA transpose between
+# them IS that layout conversion (tried and measured: a row-major kernel
+# layout does not compile).
+#
+# The within-chunk ordered-compositing prefix sums are [C, C] x [C, P]
+# triangular matmuls — the MXU-bound core of the walk. HOLOSCENE_FLAT_MM
+# picks their precision (trace-time, process-level):
+#   bf16x2 (default) — hi/lo split into two bf16 passes (~f32-accurate,
+#            1.5x fewer MXU passes than precision=HIGH's bf16x3);
+#   bf16   — single pass (fastest, ~0.2% worst-case transmittance error);
+#   f32    — precision=HIGHEST (the v2 behavior).
 
 CAND_ROWS = 16
 
 
-def _flat_fwd_kernel2(cs_ref, cc_ref, cand_hbm, out_ref, buf, sem,
+def _mm_mode() -> str:
+    import os
+
+    return os.environ.get("HOLOSCENE_FLAT_MM", "bf16x2")
+
+
+def _tri_dot_r(x, mask, mode):
+    """Triangular prefix matmul x [P, C] @ mask [C, C] -> [P, C] f32, with
+    the 0/1 mask exact in bf16. See HOLOSCENE_FLAT_MM above."""
+    dn = (((1,), (0,)), ((), ()))
+    if mode == "f32":
+        return jax.lax.dot_general(
+            x, mask, dn, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+    hi = x.astype(jnp.bfloat16)
+    mb = mask.astype(jnp.bfloat16)
+    out = jax.lax.dot_general(hi, mb, dn, preferred_element_type=jnp.float32)
+    if mode == "bf16x2":
+        lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        out = out + jax.lax.dot_general(
+            lo, mb, dn, preferred_element_type=jnp.float32)
+    return out
+
+
+def _flat_fwd_kernel3(cs_ref, cc_ref, cand_hbm, out_ref, buf, sem,
                       *, tile_size: int, tiles_x: int,
-                      img_w: int, img_h: int):
+                      img_w: int, img_h: int, mm_mode: str):
     """Forward tile walk.
 
     cs/cc: scalar-prefetched per-tile chunk start/count (chunk units).
@@ -422,7 +506,7 @@ def _flat_fwd_kernel2(cs_ref, cc_ref, cand_hbm, out_ref, buf, sem,
     ox = (t % tiles_x) * tile_size
     oy = (t // tiles_x) * tile_size
     pix_id = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
-    px = (ox + pix_id % tile_size).astype(jnp.float32) + 0.5
+    px = (ox + pix_id % tile_size).astype(jnp.float32) + 0.5   # [P, 1]
     py = (oy + pix_id // tile_size).astype(jnp.float32) + 0.5
 
     if img_w > 0 and img_h > 0:
@@ -433,6 +517,8 @@ def _flat_fwd_kernel2(cs_ref, cc_ref, cand_hbm, out_ref, buf, sem,
 
     row = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1)
+    # cums[p, c] = sum_{r < c} log1m[p, r]  (exclusive prefix over the
+    # chunk's depth order) via log1m @ lower
     lower = (row < col).astype(jnp.float32)
 
     def dma(kc, slot):
@@ -456,8 +542,8 @@ def _flat_fwd_kernel2(cs_ref, cc_ref, cand_hbm, out_ref, buf, sem,
             dma(kc + 1, jax.lax.rem(kc + 1, 2)).start()
 
         dma(kc, slot).wait()
-        c = buf[slot]                     # [16, CHUNK]
-        gx, gy = c[0:1, :], c[1:2, :]
+        c = buf[slot]                     # [16, C]
+        gx, gy = c[0:1, :], c[1:2, :]     # [1, C]
         ca, cb, cc_ = c[2:3, :], c[3:4, :], c[4:5, :]
         op = c[5:6, :]
         dx = px - gx                      # [P, C]
@@ -467,13 +553,12 @@ def _flat_fwd_kernel2(cs_ref, cc_ref, cand_hbm, out_ref, buf, sem,
         a = jnp.where(a >= ALPHA_EPS, a, 0.0)
 
         log1m = jnp.log1p(-a)
-        cums = jnp.dot(log1m, lower, preferred_element_type=jnp.float32,
-                       precision=HIGH)
+        cums = _tri_dot_r(log1m, lower, mm_mode)               # [P, C]
         w = a * jnp.exp(cums) * trans     # [P, C]
         acc = acc + jax.lax.dot_general(
             w, c[6:10, :], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision=HIGH)  # [P, 4]
-        csum = jnp.sum(log1m, axis=1, keepdims=True)
+        csum = jnp.sum(log1m, axis=1, keepdims=True)           # [P, 1]
         return kc + 1, trans * jnp.exp(csum), acc, tot + csum
 
     kc, trans, acc, tot = jax.lax.while_loop(
@@ -494,27 +579,33 @@ def _flat_fwd_kernel2(cs_ref, cc_ref, cand_hbm, out_ref, buf, sem,
         axis=1)
 
 
-def _flat_bwd_kernel2(cs_ref, cc_ref, cand_hbm, fwd_ref, v_ref, dcand_hbm,
+def _flat_bwd_kernel3(cs_ref, cc_ref, cand_hbm, fwd_ref, v_ref, dcand_hbm,
                       buf, obuf, sem, osem,
                       *, tile_size: int, tiles_x: int,
-                      img_w: int, img_h: int):
+                      img_w: int, img_h: int, n_chunks: int, mm_mode: str):
     """Reverse tile walk over the chunks the forward actually composited.
 
     fwd: [1, P, 8] forward outputs (used in ch 5, total log1m in ch 6).
-    v:   [1, 8, P] cotangents transposed (rows drgb(3), ddepth, dalpha, pad).
-    dcand_hbm: [n_chunks, 16, 128] gradient blocks (ANY/HBM, DMA'd out);
-    only chunks walked here are written — the caller masks the rest.
+    v:   [1, P, 8] output cotangents (chs drgb(3), ddepth_acc, dalpha; chs
+         5-7 pair with zero payload rows, so their values are inert).
+    dcand_hbm: [n_chunks, 16, 128] gradient blocks (ANY/HBM, DMA'd out).
+    Chunks this tile owns but did NOT walk (early termination) are zeroed
+    here by DMA-ing a zero block — no XLA-side mask pass; the LAST tile also
+    zeroes the aligned tail beyond the final tile's range (those slots are
+    trash-row candidates, but uninitialized HBM could be NaN and a NaN
+    anywhere poisons the downstream prefix-sum reduction).
     buf/obuf: VMEM (2, 16, 128) in/out staging; sem/osem: DMA((2,)).
     """
     t = pl.program_id(0)
     p = tile_size * tile_size
     c0 = cs_ref[t]
+    cnt = cc_ref[t]
     used = fwd_ref[0, 0, 5].astype(jnp.int32)
 
     ox = (t % tiles_x) * tile_size
     oy = (t // tiles_x) * tile_size
     pix_id = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
-    px = (ox + pix_id % tile_size).astype(jnp.float32) + 0.5
+    px = (ox + pix_id % tile_size).astype(jnp.float32) + 0.5   # [P, 1]
     py = (oy + pix_id // tile_size).astype(jnp.float32) + 0.5
 
     if img_w > 0 and img_h > 0:
@@ -525,11 +616,11 @@ def _flat_bwd_kernel2(cs_ref, cc_ref, cand_hbm, fwd_ref, v_ref, dcand_hbm,
 
     row = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1)
-    lower = (row < col).astype(jnp.float32)
-    upper = (row > col).astype(jnp.float32)
+    lower = (row < col).astype(jnp.float32)   # prefix: sum_{r < c}
+    upper = (row > col).astype(jnp.float32)   # suffix: sum_{r > c}
 
     total = fwd_ref[0, :, 6:7]            # [P, 1]
-    v = v_ref[0]                          # [8, P]
+    v = v_ref[0]                          # [P, 8]
 
     def dma_in(j, slot):
         # reverse walk: j-th visited chunk is used-1-j
@@ -553,11 +644,11 @@ def _flat_bwd_kernel2(cs_ref, cc_ref, cand_hbm, fwd_ref, v_ref, dcand_hbm,
             dma_in(j + 1, jax.lax.rem(j + 1, 2)).start()
 
         dma_in(j, slot).wait()
-        c = buf[slot]
+        c = buf[slot]                     # [16, C]
         gx, gy = c[0:1, :], c[1:2, :]
         ca, cb, cc_ = c[2:3, :], c[3:4, :], c[4:5, :]
         op = c[5:6, :]
-        dx = px - gx
+        dx = px - gx                      # [P, C]
         dy = py - gy
         power = -0.5 * (ca * dx * dx + 2.0 * cb * dx * dy + cc_ * dy * dy)
         e = jnp.exp(jnp.minimum(power, 0.0))
@@ -567,20 +658,17 @@ def _flat_bwd_kernel2(cs_ref, cc_ref, cand_hbm, fwd_ref, v_ref, dcand_hbm,
         a = jnp.where(keep, a_cap, 0.0)
 
         log1m = jnp.log1p(-a)
-        csum = jnp.sum(log1m, axis=1, keepdims=True)
+        csum = jnp.sum(log1m, axis=1, keepdims=True)           # [P, 1]
         prefix = total - suffix - csum
-        log_t = prefix + jnp.dot(log1m, lower,
-                                 preferred_element_type=jnp.float32,
-                                 precision=HIGH)
+        log_t = prefix + _tri_dot_r(log1m, lower, mm_mode)
         tr = jnp.exp(log_t) * in_img      # [P, C]
         w = a * tr
 
         s = jax.lax.dot_general(
-            v, c[6:14, :], (((0,), (0,)), ((), ())),
+            v, c[6:14, :], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=HIGH)  # [P, C]
         ws = w * s
-        s_k = jnp.dot(ws, upper, preferred_element_type=jnp.float32,
-                      precision=HIGH) + s_after
+        s_k = _tri_dot_r(ws, upper, mm_mode) + s_after
 
         da = tr * s - s_k / (1.0 - a)
         da = jnp.where(keep & (a_pre < 0.999), da, 0.0)
@@ -597,7 +685,7 @@ def _flat_bwd_kernel2(cs_ref, cc_ref, cand_hbm, fwd_ref, v_ref, dcand_hbm,
                 osem.at[slot]).wait()
 
         du = jax.lax.dot_general(
-            v[0:4, :], w, (((1,), (0,)), ((), ())),
+            v[:, 0:4], w, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=HIGH)  # [4, C]
         obuf[slot] = jnp.concatenate([
             red(dpow * (ca * dx + cb * dy)),
@@ -608,7 +696,7 @@ def _flat_bwd_kernel2(cs_ref, cc_ref, cand_hbm, fwd_ref, v_ref, dcand_hbm,
             red(da * e),
             du,
             jnp.zeros((6, CHUNK), jnp.float32),
-        ], axis=0)
+        ], axis=0)                        # [16, C]
         dma_out(j, slot).start()
 
         return suffix + csum, s_after + jnp.sum(ws, axis=1, keepdims=True)
@@ -631,6 +719,42 @@ def _flat_bwd_kernel2(cs_ref, cc_ref, cand_hbm, fwd_ref, v_ref, dcand_hbm,
             obuf.at[jax.lax.rem(used - 2, 2)], dcand_hbm.at[c0 + 1],
             osem.at[jax.lax.rem(used - 2, 2)]).wait()
 
+    # zero every chunk this tile owns but did not walk. Tile chunk ranges
+    # tile in the flat array contiguously (end_c(t) == start_c(t+1), both
+    # cumsum-derived), so extending the LAST tile's zero range to n_chunks
+    # covers the aligned tail too — between them, every dcand chunk is
+    # either walked-and-written or zeroed.
+    zend = jnp.where(t == pl.num_programs(0) - 1, n_chunks - c0, cnt)
+
+    @pl.when(zend > used)
+    def _zero_unwalked():
+        obuf[0] = jnp.zeros((CAND_ROWS, CHUNK), jnp.float32)
+        obuf[1] = jnp.zeros((CAND_ROWS, CHUNK), jnp.float32)
+
+        def zdma(j, slot):
+            return pltpu.make_async_copy(
+                obuf.at[slot], dcand_hbm.at[c0 + j], osem.at[slot])
+
+        def zbody(j, carry):
+            slot = jax.lax.rem(j, 2)
+
+            @pl.when(j >= used + 2)
+            def _reclaim_z():
+                zdma(j - 2, slot).wait()
+
+            zdma(j, slot).start()
+            return carry
+
+        jax.lax.fori_loop(used, zend, zbody, 0)
+
+        @pl.when(zend - used >= 1)
+        def _zdrain_last():
+            zdma(zend - 1, jax.lax.rem(zend - 1, 2)).wait()
+
+        @pl.when(zend - used >= 2)
+        def _zdrain_prev():
+            zdma(zend - 2, jax.lax.rem(zend - 2, 2)).wait()
+
 
 
 # ---------------------------------------------------------------------------
@@ -638,8 +762,8 @@ def _flat_bwd_kernel2(cs_ref, cc_ref, cand_hbm, fwd_ref, v_ref, dcand_hbm,
 # ---------------------------------------------------------------------------
 
 
-def _fwd_call2(cand, cs, cc, n_tiles, tile_size, tiles_x, img_w, img_h,
-               interpret):
+def _fwd_call3(cand, cs, cc, n_tiles, tile_size, tiles_x, img_w, img_h,
+               interpret, mm_mode):
     p = tile_size * tile_size
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -653,45 +777,39 @@ def _fwd_call2(cand, cs, cc, n_tiles, tile_size, tiles_x, img_w, img_h,
         ],
     )
     return pl.pallas_call(
-        partial(_flat_fwd_kernel2, tile_size=tile_size, tiles_x=tiles_x,
-                img_w=img_w, img_h=img_h),
+        partial(_flat_fwd_kernel3, tile_size=tile_size, tiles_x=tiles_x,
+                img_w=img_w, img_h=img_h, mm_mode=mm_mode),
         out_shape=jax.ShapeDtypeStruct((n_tiles, p, 8), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
     )(cs, cc, cand)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
-def _flat_core(cand, cs, cc, chunk_tile, chunk_pos, n_tiles, tile_size,
-               tiles_x, img_w, img_h, interpret):
-    """Composite the packed candidate blocks. Returns (rgb [T,P,3],
-    depth_acc [T,P] unnormalized, alpha [T,P]). chunk_tile/chunk_pos are
-    only used by the backward's walked-chunk mask."""
-    out = _fwd_call2(cand, cs, cc, n_tiles, tile_size, tiles_x, img_w,
-                     img_h, interpret)
-    return out[:, :, :3], out[:, :, 3], out[:, :, 4]
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9))
+def _flat_core(cand, cs, cc, n_tiles, tile_size, tiles_x, img_w, img_h,
+               interpret, mm_mode):
+    """Composite the packed candidate blocks [n_chunks, 16, 128].
+    Returns the raw per-tile output block [T, P, 8] — channels rgb(3),
+    depth_acc (unnormalized), alpha, used_chunks, total_log1m, pad — so the
+    VJP receives its cotangent in kernel-native orientation (callers slice;
+    channels 5-7 are non-differentiable diagnostics whose cotangents pair
+    with zero payload rows)."""
+    return _fwd_call3(cand, cs, cc, n_tiles, tile_size, tiles_x, img_w,
+                      img_h, interpret, mm_mode)
 
 
-def _flat_core_fwd(cand, cs, cc, chunk_tile, chunk_pos, n_tiles, tile_size,
-                   tiles_x, img_w, img_h, interpret):
-    out = _fwd_call2(cand, cs, cc, n_tiles, tile_size, tiles_x, img_w,
-                     img_h, interpret)
-    return (out[:, :, :3], out[:, :, 3], out[:, :, 4]), (
-        cand, cs, cc, chunk_tile, chunk_pos, out)
+def _flat_core_fwd(cand, cs, cc, n_tiles, tile_size, tiles_x, img_w, img_h,
+                   interpret, mm_mode):
+    out = _fwd_call3(cand, cs, cc, n_tiles, tile_size, tiles_x, img_w,
+                     img_h, interpret, mm_mode)
+    return out, (cand, cs, cc, out)
 
 
 def _flat_core_bwd(n_tiles, tile_size, tiles_x, img_w, img_h, interpret,
-                   res, cts):
-    cand, cs, cc, chunk_tile, chunk_pos, out = res
-    d_rgb, d_depth, d_alpha = cts
+                   mm_mode, res, d_out):
+    cand, cs, cc, out = res
     n_chunks = cand.shape[0]
     p = tile_size * tile_size
-
-    # cotangents transposed to [T, 8, P]
-    v = jnp.stack(
-        [d_rgb[:, :, 0], d_rgb[:, :, 1], d_rgb[:, :, 2], d_depth, d_alpha,
-         jnp.zeros_like(d_depth), jnp.zeros_like(d_depth),
-         jnp.zeros_like(d_depth)], axis=1)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -700,7 +818,7 @@ def _flat_core_bwd(n_tiles, tile_size, tiles_x, img_w, img_h, interpret,
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec((1, p, 8), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, p), lambda t, *_: (t, 0, 0),
+            pl.BlockSpec((1, p, 8), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
@@ -712,26 +830,21 @@ def _flat_core_bwd(n_tiles, tile_size, tiles_x, img_w, img_h, interpret,
         ],
     )
     dcand = pl.pallas_call(
-        partial(_flat_bwd_kernel2, tile_size=tile_size, tiles_x=tiles_x,
-                img_w=img_w, img_h=img_h),
+        partial(_flat_bwd_kernel3, tile_size=tile_size, tiles_x=tiles_x,
+                img_w=img_w, img_h=img_h, n_chunks=n_chunks,
+                mm_mode=mm_mode),
         out_shape=jax.ShapeDtypeStruct((n_chunks, CAND_ROWS, CHUNK),
                                        jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(cs, cc, cand, out, v)
-
-    # only chunks the forward actually walked carry gradients; everything
-    # else in dcand is whatever the kernel left in HBM — mask it off
-    used = out[:, 0, 5].astype(jnp.int32)            # [T]
-    walked = chunk_pos < jnp.take(used, chunk_tile)  # [n_chunks]
-    dcand = jnp.where(walked[:, None, None], dcand, 0.0)
+    )(cs, cc, cand, out, d_out)
 
     import numpy as np
 
     def f0(x):
         return np.zeros(x.shape, dtype=jax.dtypes.float0)
 
-    return dcand, f0(cs), f0(cc), f0(chunk_tile), f0(chunk_pos)
+    return dcand, f0(cs), f0(cc)
 
 
 _flat_core.defvjp(_flat_core_fwd, _flat_core_bwd)
@@ -767,23 +880,28 @@ def composite_tiles_flat(
             xy, depth, conic, opac, valid, tiles_x=tiles_x, tiles_y=tiles_y,
             tile_size=tile_size, plan=plan)
 
-    # candidate payload fetch: ONE row gather; row N is the dead/trash row.
-    # columns match the kernel's CAND_ROWS layout (x y ca cb cc op r g b z 1)
+    # candidate payload fetch: ONE 16-wide row gather whose reshape IS the
+    # kernel's row-major chunk layout (no transpose, no pad pass); row N is
+    # the dead/trash row. Columns: x y ca cb cc op r g b z 1 pad(5).
     payload = jnp.concatenate(
         [xy, conic, opac[:, None], rgb, depth[:, None],
-         jnp.ones((n, 1), xy.dtype)], axis=-1)       # [N, 11]
+         jnp.ones((n, 1), xy.dtype),
+         jnp.zeros((n, CAND_ROWS - 11), xy.dtype)], axis=-1)   # [N, 16]
     payload = jnp.concatenate(
-        [payload, jnp.zeros((1, 11), payload.dtype)], axis=0)
-    cand_rows = _planned_take(
-        payload, bins["gidx"], bins["perm"], bins["bounds"])  # [c_max, 11]
-    cand = jnp.swapaxes(cand_rows.reshape(n_chunks, CHUNK, 11), 1, 2)
-    cand = jnp.concatenate(
-        [cand, jnp.zeros((n_chunks, CAND_ROWS - 11, CHUNK), cand.dtype)],
-        axis=1)                                      # [n_chunks, 16, CHUNK]
+        [payload, jnp.zeros((1, CAND_ROWS), payload.dtype)], axis=0)
+    cand_rows = _planned_take_sliced(
+        payload, bins["gidx"], bins["perm"], bins["bounds"],
+        11)                                          # [c_max, 16]
+    # row-major gather -> field-major DMA blocks: the ONE layout conversion
+    # (the DMA engine needs 128-minor chunk slices; see the kernel section)
+    cand = jnp.swapaxes(
+        cand_rows.reshape(n_chunks, CHUNK, CAND_ROWS), 1, 2)
 
-    rgb_t, depth_acc, alpha = _flat_core(
+    out = _flat_core(
         cand, bins["tile_chunk_start"], bins["tile_chunk_cnt"],
-        bins["chunk_tile"], bins["chunk_pos"],
-        n_tiles, tile_size, tiles_x, width, height, interpret)
+        n_tiles, tile_size, tiles_x, width, height, interpret, _mm_mode())
+    rgb_t = out[:, :, :3]                            # [T, P, 3]
+    depth_acc = out[:, :, 3]
+    alpha = out[:, :, 4]
     depth_norm = depth_acc / jnp.maximum(alpha, 1e-10)
     return rgb_t, depth_norm, alpha, bins["overflow"]

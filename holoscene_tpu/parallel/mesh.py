@@ -41,23 +41,49 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def param_sharding(mesh: Mesh, params) -> dict:
-    """Sharding tree for a holoscene param pytree.
+# Explicit per-leaf tensor-parallel policy for the HoloScene param pytree
+# (models/holoscene.py init_holoscene): anchored patterns, first match wins.
+# A LARGE leaf no rule covers raises instead of silently replicating — a
+# param rename must be answered here, not discovered as a perf cliff.
+_TP_RULES: tuple[tuple[str, P], ...] = (
+    # hash-table rows (implicit/grid, implicit/color_grid): row-sharded —
+    # gathers become collective gathers, scatters psum partials
+    (r"^implicit/(color_)?grid$", P("model", None)),
+    # MLP weight matrices (weight-norm v or plain w): output-dim sharded
+    (r"^(implicit|rendering)/(color_map_)?mlp/lin\d+/[vw]$",
+     P("model", None)),
+    # weight-norm gains / biases / scalars: replicated
+    (r"^(implicit|rendering)/(color_map_)?mlp/lin\d+/[bg]$", P()),
+    (r"^density/beta$", P()),
+    # opt-in camera refinement (models/cam_opt.py): tiny, replicated
+    (r"^cam_opt(/.*)?$", P()),
+)
+_TP_RAISE_ELEMS = 1 << 16  # leaves this big must have an explicit rule
 
-    Hash tables (large, row-major) shard rows over `model`; weight matrices
-    shard the output dim over `model` when divisible; everything else is
-    replicated. On a 1-sized model axis this degrades to full replication.
-    """
+
+def param_sharding(mesh: Mesh, params) -> dict:
+    """Sharding tree for a holoscene param pytree, from the explicit
+    `_TP_RULES` table. Indivisible shard dims degrade to replication; on a
+    1-sized model axis everything replicates. Unknown LARGE leaves raise
+    (see _TP_RULES)."""
+    import re
+
     n_model = mesh.shape["model"]
 
     def spec_for(path: tuple, leaf) -> NamedSharding:
-        name = "/".join(str(p.key) if hasattr(p, "key") else str(p) for p in path)
-        if n_model > 1 and leaf.ndim == 2:
-            if "grid" in name and leaf.shape[0] % n_model == 0:
-                return NamedSharding(mesh, P("model", None))
-            if name.endswith("/v") or name.endswith("/w"):
-                if leaf.shape[0] % n_model == 0:
-                    return NamedSharding(mesh, P("model", None))
+        if n_model == 1:
+            return NamedSharding(mesh, P())
+        name = "/".join(
+            str(p.key) if hasattr(p, "key") else str(p) for p in path)
+        for pat, spec in _TP_RULES:
+            if re.match(pat, name):
+                if len(spec) and leaf.shape[0] % n_model != 0:
+                    return NamedSharding(mesh, P())
+                return NamedSharding(mesh, spec)
+        if leaf.size >= _TP_RAISE_ELEMS:
+            raise ValueError(
+                f"no tensor-parallel rule for large param '{name}' "
+                f"{leaf.shape}; add it to parallel/mesh.py _TP_RULES")
         return NamedSharding(mesh, P())
 
     return jax.tree_util.tree_map_with_path(spec_for, params)

@@ -79,6 +79,7 @@ class Stage2Runner:
         seeds: tuple[int, ...] = (42, 43, 44),
         seed: int = 0,
         quiet: bool = False,
+        view_mesh_cap: int = 200_000,
     ):
         self.params = params
         self.cfg = model_cfg
@@ -93,6 +94,13 @@ class Stage2Runner:
         self.candidate_levels = candidate_levels
         self.seeds = seeds
         self.quiet = quiet
+        # face cap for the VIEW machinery only (view selection, visibility
+        # integration, occlusion masks, stability sims) — pixel-level
+        # silhouettes at view_render_res don't need res>=256 MC meshes, and
+        # rasterizing multi-M-face scenes ~200x per object made the runner
+        # silently slow at flagship scale. Final geometry is never capped.
+        self.view_mesh_cap = view_mesh_cap
+        self._view_mesh_cache: dict[int, Mesh] = {}
         os.makedirs(out_dir, exist_ok=True)
         self.rng = np.random.default_rng(seed)
         self.key = jax.random.PRNGKey(seed)
@@ -120,6 +128,18 @@ class Stage2Runner:
     # ------------------------------------------------------------------
     # rendering helpers
     # ------------------------------------------------------------------
+
+    def _view_mesh(self, m: Mesh | None) -> Mesh | None:
+        """Decimated stand-in (<= view_mesh_cap faces) for view-selection /
+        visibility / occlusion / simulation queries; cached per source mesh.
+        The cache holds the source too, so a recycled id() cannot alias."""
+        if m is None or len(m.faces) <= self.view_mesh_cap:
+            return m
+        hit = self._view_mesh_cache.get(id(m))
+        if hit is None or hit[0] is not m:
+            hit = (m, m.decimate(self.view_mesh_cap))
+            self._view_mesh_cache[id(m)] = hit
+        return hit[1]
 
     def _ortho_uv(self, res: int):
         ys, xs = np.mgrid[0:res, 0:res]
@@ -241,26 +261,29 @@ class Stage2Runner:
         COM and support polygon — dropping them can rescue a good mesh."""
         best = None
         best_drift = np.inf
+        supports_v = [self._view_mesh(s) for s in support_meshes]
         for cand in [*self.object_mesh_candidates(obj_i), *extra_candidates]:
-            res = sim_validation([*support_meshes, cand])
+            res = sim_validation([*supports_v, self._view_mesh(cand)])
             if not self.quiet:
-                print(f"  [obj {obj_i}] candidate drift={res.drift_deg:.1f}deg")
+                print(f"  [obj {obj_i}] candidate drift={res.drift_deg:.1f}deg",
+                      flush=True)
             if res.drift_deg < best_drift:
                 best, best_drift = cand, res.drift_deg
             if res.drift_deg < self.stability_threshold:
                 # ship floater-free when cleanup keeps the mesh stable
                 cleaned = cand.largest_component()
                 if len(cleaned.faces) < len(cand.faces):
-                    res_c = sim_validation([*support_meshes, cleaned])
+                    res_c = sim_validation(
+                        [*supports_v, self._view_mesh(cleaned)])
                     if res_c.drift_deg < self.stability_threshold:
                         return cleaned, res_c.drift_deg, True
                 return cand, res.drift_deg, True
             cleaned = cand.largest_component()
             if len(cleaned.faces) < len(cand.faces):
-                res2 = sim_validation([*support_meshes, cleaned])
+                res2 = sim_validation([*supports_v, self._view_mesh(cleaned)])
                 if not self.quiet:
                     print(f"  [obj {obj_i}] floater-cleaned re-test "
-                          f"drift={res2.drift_deg:.1f}deg")
+                          f"drift={res2.drift_deg:.1f}deg", flush=True)
                 if res2.drift_deg < best_drift:
                     best, best_drift = cleaned, res2.drift_deg
                 if res2.drift_deg < self.stability_threshold:
@@ -334,9 +357,10 @@ class Stage2Runner:
         )
 
         inpaint = self.providers.get("inpaint")
-        obj_mesh = meshes[obj_i]
+        obj_mesh = self._view_mesh(meshes[obj_i])
         occluders = [
-            m for j, m in enumerate(meshes) if j != obj_i and m is not None
+            self._view_mesh(m)
+            for j, m in enumerate(meshes) if j != obj_i and m is not None
         ]
         packs = []
         for pose, weight in best_views:
@@ -375,7 +399,7 @@ class Stage2Runner:
             if not self.quiet and occ.sum() > 0:
                 print(
                     f"  [obj {obj_i}] inpainted view: {int(occ.sum())} px "
-                    f"occluded, deviated={gated.get('deviated', False)}"
+                    f"occluded, deviated={gated.get('deviated', False)}", flush=True
                 )
         return packs
 
@@ -530,7 +554,7 @@ class Stage2Runner:
                 coll_pts, coll_sdf, use_invis=False, coll_mode="contain",
             )
             if not self.quiet and (it % 50 == 0 or it == total - 1):
-                print(f"  [bg] it {it} loss={float(metrics['loss']):.4f}")
+                print(f"  [bg] it {it} loss={float(metrics['loss']):.4f}", flush=True)
         return self.params
 
     def finetune_object(self, obj_i: int, gen_views: list[dict],
@@ -633,7 +657,7 @@ class Stage2Runner:
             if not self.quiet and (it % 50 == 0 or it == total - 1):
                 print(
                     f"  [obj {obj_i}] ft it {it} loss={float(metrics['loss']):.4f} "
-                    f"coll={float(metrics['collision_loss']):.4f}"
+                    f"coll={float(metrics['collision_loss']):.4f}", flush=True
                 )
         return self.params
 
@@ -642,6 +666,9 @@ class Stage2Runner:
     # ------------------------------------------------------------------
 
     def run(self, finetune_iters: int | None = None):
+        if not self.quiet:
+            print(f"[stage2] extracting meshes at res {self.mesh_resolution}",
+                  flush=True)
         meshes = self.extract_meshes()
         k = self.cfg.implicit.d_out
 
@@ -677,8 +704,13 @@ class Stage2Runner:
             self._current_half_extent = half_extent
 
             others = [m for j, m in enumerate(meshes) if j != obj_i and m is not None]
+            if not self.quiet:
+                print(f"[obj {obj_i}] selecting views "
+                      f"({len(mesh.faces)} faces)", flush=True)
+            mesh_v = self._view_mesh(mesh)
+            others_v = [self._view_mesh(m) for m in others]
             best_views = select_best_views(
-                mesh, others, n_views=4, img_res=self.view_render_res
+                mesh_v, others_v, n_views=4, img_res=self.view_render_res
             )
             # coverage = training-view visibility integrated over the full
             # (azimuth, phi-limited) direction grid (reference weight-map
@@ -694,18 +726,22 @@ class Stage2Runner:
                 0, self.dataset.n_images - 1, n_frames
             ).astype(int)
             vis = training_view_vertex_visibility(
-                mesh, others,
+                mesh_v, others_v,
                 [self.dataset.pose_all[f] for f in frame_ids],
                 self.dataset.intrinsics[:3, :3],
                 tuple(self.dataset.img_res),
             )
-            coverage, _ = integrated_view_coverage(mesh, vis)
+            coverage, _ = integrated_view_coverage(mesh_v, vis)
             if not self.quiet:
-                print(f"[obj {obj_i}] view coverage {coverage:.2f}")
+                print(f"[obj {obj_i}] view coverage {coverage:.2f}",
+                      flush=True)
 
             # occluder-inpainted + consistency-gated object views supervise
             # the finetune ALWAYS (reference lama pass :1013-1112); Wonder3D
             # hallucination is added only when view coverage is poor
+            if not self.quiet:
+                print(f"[obj {obj_i}] rendering+inpainting object views",
+                      flush=True)
             gen_views = self.object_view_packs(
                 obj_i, meshes, best_views, half_extent
             )
@@ -761,7 +797,7 @@ class Stage2Runner:
                     gen_views,
                 )
             if not self.quiet:
-                print(f"[obj {obj_i}] accepted drift={drift:.1f} stable={stable}")
+                print(f"[obj {obj_i}] accepted drift={drift:.1f} stable={stable}", flush=True)
 
         mesh_list = [accepted.get(i) for i in range(k)]
         translations = solve_intersection(mesh_list, graph)
@@ -806,7 +842,10 @@ class Stage2Runner:
             return translations, report
 
         def composed(i):
-            return mesh_list[i].apply_translation(translations.get(i, np.zeros(3)))
+            # simulate on the capped stand-ins; translations transfer to the
+            # full meshes unchanged
+            return self._view_mesh(mesh_list[i]).apply_translation(
+                translations.get(i, np.zeros(3)))
 
         move_eps = 0.01  # settle translation below this = already at rest
         for rnd in range(max_rounds):

@@ -52,10 +52,12 @@ for n_dev in (4, 8, 16):
           flush=True)
 
 rows = []
+# the train step DONATES params/opt_state; evolve one live copy across
+# batch sizes instead of re-entering from the (deleted) originals
+p, o = params, opt_state
 for n_rays in (512, 1024, 2048, 4096):
     key, kb = jax.random.split(key)
     batch = bench.make_batch(kb, n_rays)
-    p, o = params, opt_state
     for i in range(3):  # compile + settle
         key, k = jax.random.split(key)
         p, o, m = step(p, o, k, batch, i, call_reg=True, with_bg=False)

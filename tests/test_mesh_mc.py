@@ -101,3 +101,46 @@ def test_surface_sampling():
     pts = mesh.sample_surface(2000)
     radii = np.linalg.norm(pts, axis=1)
     np.testing.assert_allclose(radii.mean(), 0.6, atol=0.02)
+
+
+def test_decimate_preserves_shape_and_caps_faces():
+    """Vertex-clustering decimation (stage-2 view-machinery stand-ins):
+    face count bounded, bbox/surface preserved to cluster-cell accuracy."""
+    from holoscene_tpu.utils.mc import marching_tetrahedra
+
+    n = 96
+    xs = np.linspace(-1, 1, n)
+    g = np.stack(np.meshgrid(xs, xs, xs, indexing="ij"), -1)
+    sdf = np.linalg.norm(g, axis=-1) - 0.6
+    verts, faces = marching_tetrahedra(
+        sdf, origin=(-1, -1, -1), spacing=(2 / (n - 1),) * 3)
+    m = Mesh(verts, faces)
+    d = m.decimate(len(faces) // 8)
+    assert 0 < len(d.faces) <= len(faces) // 8
+    np.testing.assert_allclose(d.bounds, m.bounds, atol=0.06)
+    radii = np.linalg.norm(d.sample_surface(2000), axis=1)
+    np.testing.assert_allclose(radii.mean(), 0.6, atol=0.05)
+    # under the cap: identity (no copy, no work)
+    assert m.decimate(10 * len(faces)) is m
+
+
+def test_components_vectorized_matches_bruteforce():
+    """The pointer-jumping component labels must equal a reference
+    union-find on a many-component soup."""
+    rng = np.random.default_rng(4)
+    verts, faces, truth, off = [], [], [], 0
+    for ci in range(7):
+        k = int(rng.integers(4, 40))
+        v = rng.normal(size=(k + 2, 3)) + ci * 5
+        f = np.stack([np.arange(k), np.arange(1, k + 1),
+                      np.arange(2, k + 2)], 1)
+        verts.append(v)
+        faces.append(f + off)
+        truth.append(np.full(len(f), ci))
+        off += k + 2
+    m = Mesh(np.concatenate(verts), np.concatenate(faces))
+    lab = m.connected_components()
+    truth = np.concatenate(truth)
+    assert len(np.unique(lab)) == 7
+    for ci in range(7):
+        assert len(np.unique(lab[truth == ci])) == 1

@@ -286,3 +286,60 @@ def test_flat_cached_bins_track_small_motion():
     mse = float(np.mean((img_stale - img_fresh) ** 2))
     psnr = -10 * np.log10(max(mse, 1e-12))
     assert psnr > 45.0, psnr
+
+
+def test_planned_take_sliced_matches_take():
+    """The column-sliced VJP (blocked two-level cumsum, pad-column skip)
+    must equal jnp.take's scatter-add VJP on the live columns and return
+    zero cotangent on the pad columns."""
+    from holoscene_tpu.ops.splat_flat import _planned_take_sliced
+
+    rng = np.random.default_rng(13)
+    n, c, d, live = 53, 512, 16, 11
+    payload = jnp.asarray(rng.normal(size=(n + 1, d)).astype(np.float32))
+    gidx = jnp.asarray(rng.integers(0, n + 1, c).astype(np.int32))
+    _, perm = jax.lax.sort(
+        (gidx, jnp.arange(c, dtype=jnp.int32)), num_keys=1)
+    counts = jnp.bincount(gidx, length=n + 1)
+    bounds = jnp.concatenate(
+        [jnp.zeros((1,), counts.dtype), jnp.cumsum(counts)]
+    ).astype(jnp.int32)
+    # cotangent zero on pad columns (the kernel contract)
+    ct = np.zeros((c, d), np.float32)
+    ct[:, :live] = rng.normal(size=(c, live))
+    ct = jnp.asarray(ct)
+
+    g_sliced = jax.grad(lambda p: jnp.sum(
+        _planned_take_sliced(p, gidx, perm, bounds, live) * ct))(payload)
+    g_ref = jax.grad(lambda p: jnp.sum(
+        jnp.take(p, gidx, axis=0) * ct))(payload)
+    np.testing.assert_allclose(np.asarray(g_sliced), np.asarray(g_ref),
+                               atol=1e-4, rtol=1e-5)
+    assert float(jnp.abs(g_sliced[:, live:]).max()) == 0.0
+
+
+def test_flat_mm_modes_agree():
+    """bf16x2 (default) and f32 triangular matmuls must agree to test
+    tolerance; single-pass bf16 must stay within ~0.5% on alpha."""
+    import os
+
+    means, quats, scales, opac, colors, viewmat, intr = _scene(n=250, seed=21)
+    res, ts = 64, 16
+    cov3d = covariance_3d(quats, scales)
+    xy, depth, conic, radius, valid = project_gaussians(
+        means, cov3d, viewmat, intr, res, res)
+    plan = plan_flat(xy, conic, opac, valid, res // ts, res // ts, ts)
+
+    outs = {}
+    for mm in ("f32", "bf16x2", "bf16"):
+        os.environ["HOLOSCENE_FLAT_MM"] = mm
+        rgb_t, _, alpha, _ = composite_tiles_flat(
+            xy, depth, conic, opac, colors, valid, res, res, ts, plan,
+            interpret=INTERP)
+        outs[mm] = (np.asarray(rgb_t), np.asarray(alpha))
+    os.environ.pop("HOLOSCENE_FLAT_MM", None)
+
+    np.testing.assert_allclose(outs["bf16x2"][0], outs["f32"][0], atol=2e-4)
+    np.testing.assert_allclose(outs["bf16x2"][1], outs["f32"][1], atol=2e-4)
+    np.testing.assert_allclose(outs["bf16"][0], outs["f32"][0], atol=6e-3)
+    np.testing.assert_allclose(outs["bf16"][1], outs["f32"][1], atol=6e-3)

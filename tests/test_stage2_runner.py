@@ -83,12 +83,16 @@ def _box(center, half):
 
 
 class _SettleStub:
-    """scene_settle only touches out_dir/quiet — unit-test it runner-free."""
+    """scene_settle only touches out_dir/quiet/_view_mesh — unit-test it
+    runner-free (the view-mesh decimation cap rides along unbound)."""
 
     quiet = True
+    view_mesh_cap = 200_000
+    _view_mesh = Stage2Runner._view_mesh
 
     def __init__(self, out_dir):
         self.out_dir = out_dir
+        self._view_mesh_cache = {}
 
 
 def test_scene_settle_stable_scene_is_single_round(tmp_path):
