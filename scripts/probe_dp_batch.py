@@ -18,6 +18,7 @@ is assembled from three measurable pieces:
 Run on an idle chip: PYTHONPATH=/root/.axon_site:/root/repo
 python scripts/probe_dp_batch.py
 """
+import os
 import sys
 import time
 
@@ -55,7 +56,12 @@ rows = []
 # the train step DONATES params/opt_state; evolve one live copy across
 # batch sizes instead of re-entering from the (deleted) originals
 p, o = params, opt_state
-for n_rays in (512, 1024, 2048, 4096):
+# each batch size is a fresh ~10-min AOT compile through the relay; the
+# two load-bearing rows are the shipped 1024 (dp per-chip batch, cache-hot
+# after bench.py) and 4096 (the 4-chip total batch) — PROBE_DP_SIZES
+# restores the full sweep on a long window
+for n_rays in tuple(int(s) for s in os.environ.get(
+        "PROBE_DP_SIZES", "1024,4096").split(",")):
     key, kb = jax.random.split(key)
     batch = bench.make_batch(kb, n_rays)
     for i in range(3):  # compile + settle
@@ -72,7 +78,7 @@ for n_rays in (512, 1024, 2048, 4096):
     print(f"rays/step {n_rays:5d}: {dt*1e3:7.1f} ms/step "
           f"({n_rays/dt:8.0f} rays/s)", flush=True)
 
-base = rows[1][1]
+base = next(t for r, t in rows if r == 1024)
 print("\ndp projection from batch scaling (shipped 1024 rays/chip):",
       flush=True)
 for n_dev in (4, 8):
