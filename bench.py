@@ -259,7 +259,7 @@ def bench_stage4(n: int = 100_000, res: int = 512, timed_steps: int = 20):
     return n * timed_steps / dt, k
 
 
-def main():
+def _main():
     if os.environ.get("BENCH_SKIP_STAGE1", "0") == "1":
         # splat-only A/B mode: report stage4 as the primary metric
         splats_per_sec, k_auto = bench_stage4()
@@ -343,6 +343,17 @@ def main():
             }
         )
     )
+
+
+def main():
+    # serialize against any other chip job (probes, queue runs): an
+    # overlapped bench records garbage (PERF.md pitfall #1; BENCH_r03
+    # landed mid-probe). Waits for the running job, then measures alone.
+    from holoscene_tpu.utils.chiplock import chip_lock
+
+    with chip_lock("bench.py", wait=True,
+                   timeout_s=float(os.environ.get("BENCH_LOCK_TIMEOUT", "7200"))):
+        _main()
 
 
 if __name__ == "__main__":
