@@ -311,6 +311,30 @@ def _main():
     rays_per_sec = NUM_RAYS * TIMED_STEPS / dt
 
     extra = []
+    # dp-projected multi-chip rate (VERDICT r3 #4): per-chip step time at
+    # the shipped batch plus the analytic ring all-reduce of the gradient
+    # pytree over ICI (v5e ~45 GB/s/link, bidirectional ring — the same
+    # model the measured probe_dp_batch.py projection uses; its measured
+    # 4096-ray single-chip row put dp-4 efficiency at 93%). This is a
+    # PROJECTION — one real chip exists on this box; the sharded step
+    # itself is validated by dryrun_multichip on a virtual mesh.
+    if os.environ.get("BENCH_DP_PROJECTION", "1") == "1":
+        grad_bytes = sum(
+            np.prod(x.shape) * 4 for x in jax.tree_util.tree_leaves(params))
+        step_s = dt / TIMED_STEPS
+        for n_dev in (8,):
+            coll_s = 2 * grad_bytes * (n_dev - 1) / n_dev / (45e9 * 2)
+            dp_rate = n_dev * NUM_RAYS / (step_s + coll_s)
+            extra.append({
+                "metric": f"stage1_dp{n_dev}_projected_rays_per_sec",
+                "value": round(dp_rate, 1),
+                "unit": "rays/s",
+                "vs_baseline": round(
+                    dp_rate / (TARGET_MULTIPLIER * A100_REFERENCE_RAYS_PER_SEC),
+                    4),
+                "projection": "1-chip measured step + analytic ring allreduce",
+                "collective_ms": round(coll_s * 1e3, 2),
+            })
     if os.environ.get("BENCH_SKIP_STAGE4", "0") != "1":
         splats_per_sec, k_auto = bench_stage4()
         row = {

@@ -61,7 +61,7 @@ p, o = params, opt_state
 # after bench.py) and 4096 (the 4-chip total batch) — PROBE_DP_SIZES
 # restores the full sweep on a long window
 for n_rays in tuple(int(s) for s in os.environ.get(
-        "PROBE_DP_SIZES", "1024,4096").split(",")):
+        "PROBE_DP_SIZES", "1024,4096").split(",") if s.strip()):
     key, kb = jax.random.split(key)
     batch = bench.make_batch(kb, n_rays)
     for i in range(3):  # compile + settle
@@ -78,7 +78,11 @@ for n_rays in tuple(int(s) for s in os.environ.get(
     print(f"rays/step {n_rays:5d}: {dt*1e3:7.1f} ms/step "
           f"({n_rays/dt:8.0f} rays/s)", flush=True)
 
-base = next(t for r, t in rows if r == 1024)
+base = next((t for r, t in rows if r == 1024), None)
+if base is None:  # custom PROBE_DP_SIZES without the shipped 1024 row
+    r0, base = min(rows)
+    print(f"\n(no 1024-ray row measured; projecting from the smallest "
+          f"measured batch, {r0} rays)", flush=True)
 print("\ndp projection from batch scaling (shipped 1024 rays/chip):",
       flush=True)
 for n_dev in (4, 8):

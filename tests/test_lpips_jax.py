@@ -93,6 +93,80 @@ def test_lpips_npz_roundtrip_and_eval_wiring(tmp_path, monkeypatch):
     eval_rgb._LPIPS_CACHE.clear()  # don't leak the env-pointed backend
 
 
+def test_committed_lin_weights_are_the_published_lpips_v01():
+    """The committed linear head (holoscene_tpu/assets/lpips_alex_lin.npz)
+    must be bit-identical to the published lpips v0.1 alex head — checked
+    against the reference's vendored copy when present (the same BSD-2
+    file the lpips package ships). This closes the real-weight gap for the
+    head; scripts/fetch_lpips_weights.py assembles the backbone."""
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    lin_path = os.path.join(
+        repo, "holoscene_tpu", "assets", "lpips_alex_lin.npz")
+    assert os.path.exists(lin_path), "committed lin npz missing"
+    with np.load(lin_path) as z:
+        lins = {k: np.asarray(z[k]) for k in z.files}
+    for i, (out_c, *_rest) in enumerate(_ALEX_CONVS):
+        w = lins[f"lin{i}_w"]
+        assert w.shape == (out_c,), (i, w.shape)
+        assert w.dtype == np.float32
+        assert (w >= 0).all(), i  # lpips heads are non-negative
+        assert w.max() > 0, i
+
+    ref_pth = "/root/reference/lama/models/lpips_models/alex.pth"
+    if not os.path.exists(ref_pth):
+        pytest.skip("reference vendored lpips head not on this box")
+    d = torch.load(ref_pth, map_location="cpu")
+    for i in range(5):
+        want = d[f"lin{i}.model.1.weight"].numpy().reshape(-1)
+        np.testing.assert_array_equal(lins[f"lin{i}_w"], want)
+
+
+def test_fetch_lpips_weights_assembles_from_local_backbone(tmp_path):
+    """fetch_lpips_weights.py --backbone <local pth> must produce a
+    loadable full npz whose head matches the committed asset (mock
+    backbone with the exact torchvision alexnet state-dict layout — no
+    network)."""
+    import os
+    import subprocess
+    import sys
+
+    from holoscene_tpu.utils.lpips_jax import _ALEX_CONVS as convs
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sd = {}
+    rng = np.random.default_rng(5)
+    for key, (out_c, in_c, k, _s, _p, _mp) in zip(
+        ("features.0", "features.3", "features.6", "features.8",
+         "features.10"), convs,
+    ):
+        sd[f"{key}.weight"] = torch.from_numpy(
+            rng.normal(0, 0.05, (out_c, in_c, k, k)).astype(np.float32))
+        sd[f"{key}.bias"] = torch.from_numpy(
+            rng.normal(0, 0.01, (out_c,)).astype(np.float32))
+    bb = str(tmp_path / "alexnet_mock.pth")
+    torch.save(sd, bb)
+    out = str(tmp_path / "lpips_alex.npz")
+    subprocess.run(
+        [sys.executable, "scripts/fetch_lpips_weights.py",
+         "--backbone", bb, "--out", out],
+        check=True, cwd=repo,
+    )
+    params = load_lpips_npz(out)
+    with np.load(os.path.join(
+            repo, "holoscene_tpu", "assets", "lpips_alex_lin.npz")) as z:
+        for i in range(5):
+            np.testing.assert_array_equal(
+                params[f"lin{i}_w"], np.asarray(z[f"lin{i}_w"]))
+    # and the assembled file drives the metric
+    rng = np.random.default_rng(6)
+    a = rng.uniform(0, 1, (32, 32, 3)).astype(np.float32)
+    b = rng.uniform(0, 1, (32, 32, 3)).astype(np.float32)
+    assert float(lpips_pair(
+        {k: np.asarray(v) for k, v in params.items()}, a, b)) > 0
+
+
 def test_lpips_matches_real_lpips_package():
     lpips_pkg = pytest.importorskip("lpips")
     import tempfile
