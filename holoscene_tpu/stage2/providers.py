@@ -279,11 +279,120 @@ class RembgForegroundExtractor(ForegroundExtractor):
         return np.asarray(out)[..., 3] > self.alpha_threshold * 255
 
 
+class PromptableForegroundExtractor(ForegroundExtractor):
+    """SAM-class promptable segmentation: extraction guided by a box prompt
+    (the reference prompts SAM with a padded central box on every generated
+    view — run_mv_prediction.py:70-102, wired at holoscene_train_post.py:53).
+    Subclasses implement extract_box; plain extract() defaults to the
+    reference's central box so promptable extractors drop into any
+    ForegroundExtractor slot."""
+
+    @staticmethod
+    def central_box(height: int, width: int) -> np.ndarray:
+        """The reference's box prompt: [0.15, 0.85] of each axis padded by
+        10% of the box size, clamped to the image
+        (run_mv_prediction.py:70-86). Returns [x0, y0, x1, y1] float."""
+        x_min, x_max = 0.15 * width, 0.85 * width
+        y_min, y_max = 0.15 * height, 0.85 * height
+        x_pad = int(0.1 * (x_max - x_min))
+        y_pad = int(0.1 * (y_max - y_min))
+        return np.array([
+            max(0, x_min - x_pad), max(0, y_min - y_pad),
+            min(width - 1, x_max + x_pad), min(height - 1, y_max + y_pad),
+        ], np.float32)
+
+    @abc.abstractmethod
+    def extract_box(self, image: np.ndarray, box: np.ndarray) -> np.ndarray:
+        """[H,W,3] float01 + box prompt [x0,y0,x1,y1] -> [H,W] bool mask."""
+
+    def extract(self, image: np.ndarray) -> np.ndarray:
+        h, w = np.asarray(image).shape[:2]
+        return self.extract_box(image, self.central_box(h, w))
+
+
+class BoxGuidedThresholdExtractor(PromptableForegroundExtractor):
+    """Dependency-free promptable extraction for cluttered fronts: the
+    white-background threshold mask restricted to connected components that
+    OVERLAP the prompt box, largest-first until coverage saturates. Where
+    ThresholdForegroundExtractor's keep-largest drops secondary parts
+    (e.g. a chair leg separated by occlusion), the box prompt keeps every
+    component the prompt claims while still rejecting off-prompt clutter
+    touching the frame borders."""
+
+    def __init__(self, white_tol: float = 0.05, min_overlap: float = 0.5):
+        self.white_tol = white_tol
+        # fraction of a component's pixels that must fall inside the box
+        self.min_overlap = min_overlap
+
+    def extract_box(self, image: np.ndarray, box: np.ndarray) -> np.ndarray:
+        from scipy.ndimage import label
+
+        img = np.asarray(image, np.float32)
+        h, w = img.shape[:2]
+        fg = np.max(np.abs(1.0 - img), axis=-1) > self.white_tol
+        if not fg.any():
+            return fg
+        x0, y0, x1, y1 = [float(v) for v in box]
+        yy, xx = np.mgrid[0:h, 0:w]
+        in_box = (xx >= x0) & (xx <= x1) & (yy >= y0) & (yy <= y1)
+        lab, n = label(fg)
+        if n <= 1:
+            return fg  # single component: the prompt has nothing to reject
+        keep = np.zeros_like(fg)
+        for i in range(1, n + 1):
+            comp = lab == i
+            overlap = (comp & in_box).sum() / max(comp.sum(), 1)
+            if overlap >= self.min_overlap:
+                keep |= comp
+        if not keep.any():  # degenerate prompt: fall back to largest
+            sizes = np.bincount(lab.reshape(-1))[1:]
+            keep = lab == (int(np.argmax(sizes)) + 1)
+        return keep
+
+
+class TorchScriptPromptableExtractor(PromptableForegroundExtractor):
+    """SAM behind the hermetic TorchScript pattern (the LaMa/Omnidata
+    analog): a scripted promptable segmenter called as
+        model(image [1,3,H,W] float01, box [1,4] xyxy) -> [1,1,H,W] logits
+    (> 0 = foreground). Export a real SAM with a wrapper that runs the
+    image encoder + box-prompt decoder in one trace
+    (segment_anything.SamPredictor.predict with box prompts — the
+    reference's predictor call at run_mv_prediction.py:91-102)."""
+
+    def __init__(self, checkpoint: str, device: str = "cpu"):
+        try:
+            import torch
+        except ImportError as e:  # pragma: no cover
+            raise RuntimeError(
+                "TorchScriptPromptableExtractor needs torch; use "
+                "BoxGuidedThresholdExtractor without it") from e
+        self._torch = torch
+        self.device = device
+        self.model = torch.jit.load(checkpoint, map_location=device)
+        self.model.eval()
+
+    def extract_box(self, image: np.ndarray, box: np.ndarray) -> np.ndarray:
+        torch = self._torch
+        img = np.clip(np.asarray(image, np.float32), 0.0, 1.0)
+        t_img = torch.from_numpy(img.transpose(2, 0, 1))[None].to(self.device)
+        t_box = torch.from_numpy(
+            np.asarray(box, np.float32).reshape(1, 4)).to(self.device)
+        with torch.no_grad():
+            logits = self.model(t_img, t_box)
+        return np.asarray(logits.cpu())[0, 0] > 0.0
+
+
 def default_foreground_extractor() -> ForegroundExtractor:
+    ckpt = os.environ.get("HOLOSCENE_SAM_TS", "")
+    if ckpt and os.path.isfile(ckpt):
+        try:
+            return TorchScriptPromptableExtractor(ckpt)
+        except Exception:
+            pass
     try:
         return RembgForegroundExtractor()
     except Exception:
-        return ThresholdForegroundExtractor()
+        return BoxGuidedThresholdExtractor()
 
 
 class DiffusersNovelViewProvider(NovelViewProvider):

@@ -340,3 +340,108 @@ def test_default_providers_w3d_env(tmp_path, monkeypatch):
     monkeypatch.setenv("HOLOSCENE_W3D_CKPT", ckpt)
     prov = default_providers()
     assert isinstance(prov["novel_view"], DiffusersNovelViewProvider)
+
+
+class TestPromptableExtraction:
+    """SAM-class box-prompted foreground extraction (VERDICT r3 #8;
+    reference remove_bg_with_rembg_sam, run_mv_prediction.py:32-113)."""
+
+    def _cluttered_scene(self):
+        """Object = two disconnected blobs near the center (occlusion
+        split); clutter = a stripe hugging the left border."""
+        img = np.ones((64, 64, 3), np.float32)
+        img[20:40, 24:34] = 0.2   # main body
+        img[44:52, 26:32] = 0.3   # separated part (e.g. a leg)
+        img[4:60, 0:3] = 0.1      # off-prompt border clutter
+        return img
+
+    def test_central_box_matches_reference_formula(self):
+        from holoscene_tpu.stage2.providers import (
+            PromptableForegroundExtractor,
+        )
+
+        box = PromptableForegroundExtractor.central_box(100, 200)
+        x_min, x_max = 0.15 * 200, 0.85 * 200
+        y_min, y_max = 0.15 * 100, 0.85 * 100
+        xp, yp = int(0.1 * (x_max - x_min)), int(0.1 * (y_max - y_min))
+        np.testing.assert_allclose(
+            box, [x_min - xp, y_min - yp, x_max + xp, y_max + yp])
+
+    def test_box_guided_keeps_split_parts_rejects_clutter(self):
+        from holoscene_tpu.stage2.providers import (
+            BoxGuidedThresholdExtractor,
+            ThresholdForegroundExtractor,
+        )
+
+        img = self._cluttered_scene()
+        boxed = BoxGuidedThresholdExtractor().extract(img)
+        assert boxed[30, 29] and boxed[48, 29]   # both object parts kept
+        assert not boxed[30, 1]                   # border clutter rejected
+        # keep-largest drops the separated part — the gap the prompt closes
+        largest = ThresholdForegroundExtractor().extract(img)
+        assert largest[30, 29] and not largest[48, 29]
+
+    def test_box_guided_degenerate_prompt_falls_back_to_largest(self):
+        from holoscene_tpu.stage2.providers import (
+            BoxGuidedThresholdExtractor,
+        )
+
+        img = self._cluttered_scene()
+        # a prompt box over empty space claims nothing -> largest component
+        mask = BoxGuidedThresholdExtractor().extract_box(
+            img, np.array([50.0, 4.0, 60.0, 12.0]))
+        assert mask[30, 29] and not mask[30, 1]
+
+    def test_torchscript_promptable_contract(self, tmp_path):
+        torch = pytest.importorskip("torch")
+
+        class BoxSegmenter(torch.nn.Module):
+            """Mock SAM: logits positive exactly inside the box and dark."""
+
+            def forward(self, image, box):
+                h, w = image.shape[2], image.shape[3]
+                yy = torch.arange(h).view(1, 1, h, 1).float()
+                xx = torch.arange(w).view(1, 1, 1, w).float()
+                inside = (
+                    (xx >= box[0, 0]) & (xx <= box[0, 2])
+                    & (yy >= box[0, 1]) & (yy <= box[0, 3])
+                )
+                dark = image.mean(dim=1, keepdim=True) < 0.8
+                return torch.where(
+                    inside & dark, torch.ones(1), -torch.ones(1))
+
+        ckpt = str(tmp_path / "sam_mock.pt")
+        torch.jit.save(torch.jit.script(BoxSegmenter()), ckpt)
+
+        from holoscene_tpu.stage2.providers import (
+            TorchScriptPromptableExtractor,
+        )
+
+        ext = TorchScriptPromptableExtractor(ckpt)
+        img = self._cluttered_scene()
+        mask = ext.extract_box(img, np.array([20.0, 16.0, 40.0, 56.0]))
+        assert mask.shape == (64, 64) and mask.dtype == bool
+        assert mask[30, 29] and mask[48, 29] and not mask[30, 1]
+        # the plain extract() path prompts the reference central box
+        mask2 = ext.extract(img)
+        assert mask2[30, 29] and not mask2[30, 1]
+
+    def test_default_extractor_resolves_sam_ts_env(self, tmp_path,
+                                                   monkeypatch):
+        torch = pytest.importorskip("torch")
+
+        class Trivial(torch.nn.Module):
+            def forward(self, image, box):
+                return image.mean(dim=1, keepdim=True) * 0 + 1.0
+
+        ckpt = str(tmp_path / "sam.pt")
+        torch.jit.save(torch.jit.script(Trivial()), ckpt)
+        monkeypatch.setenv("HOLOSCENE_SAM_TS", ckpt)
+
+        from holoscene_tpu.stage2.providers import (
+            TorchScriptPromptableExtractor,
+            default_foreground_extractor,
+        )
+
+        assert isinstance(default_foreground_extractor(),
+                          TorchScriptPromptableExtractor)
