@@ -127,21 +127,11 @@ def make_batch(key, n_rays: int, img_res: int = 512):
     }
 
 
-def bench_stage4(n: int = 100_000, res: int = 512, timed_steps: int = 20):
-    """Stage-4 fused splat train-step throughput (splats/s) at the flagship
-    shapes: 100k mesh-anchored gaussians, 512^2 full-frame render, fwd+bwd
-    through the Pallas compositing kernels. The gaussians sit on surfaces
-    (floor plane + spheres) like GoM's mesh-anchored splats, and the
-    compositing depth K is saturation-calibrated under the p99-tile-overlap
-    bound (ops/splat.py calibrate_max_per_tile) — the shipped Stage-4
-    default."""
-    from holoscene_tpu.ops.splat import (
-        auto_max_per_tile,
-        calibrate_max_per_tile,
-        render_gaussians,
-        tile_overlap_counts,
-    )
-
+def make_splat_scene(n: int = 100_000, res: int = 512):
+    """The Stage-4 bench scene: n mesh-anchored gaussians on a floor plane
+    + two spheres (GoM-like surface splats), 512^2 camera, random target.
+    Returns (params dict, quats, viewmat, intr, tgt) — shared by bench_stage4
+    and the splat probe scripts so every measurement sees the same scene."""
     rng = np.random.default_rng(0)
     n_floor = n * 6 // 10
     floor = np.stack(
@@ -172,6 +162,23 @@ def bench_stage4(n: int = 100_000, res: int = 512, timed_steps: int = 20):
         [[res * 0.9, 0, res / 2], [0, res * 0.9, res / 2], [0, 0, 1.0]]
     )
     tgt = jnp.asarray(rng.uniform(0, 1, (res, res, 3)).astype(np.float32))
+    return params, quats, viewmat, intr, tgt
+
+
+def bench_stage4(n: int = 100_000, res: int = 512, timed_steps: int = 20):
+    """Stage-4 fused splat train-step throughput (splats/s) at the flagship
+    shapes: 100k mesh-anchored gaussians, 512^2 full-frame render, fwd+bwd
+    through the Pallas compositing kernels (make_splat_scene). Flat path:
+    EXACT compositing with amortized binning; topk path: saturation-
+    calibrated K (ops/splat.py calibrate_max_per_tile)."""
+    from holoscene_tpu.ops.splat import (
+        auto_max_per_tile,
+        calibrate_max_per_tile,
+        render_gaussians,
+        tile_overlap_counts,
+    )
+
+    params, quats, viewmat, intr, tgt = make_splat_scene(n, res)
 
     if os.environ.get("BENCH_SPLAT_PATH", "flat") == "flat":
         # shipped default: flat sorted-candidate pipeline with amortized

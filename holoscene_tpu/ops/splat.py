@@ -243,7 +243,7 @@ def render_gaussians(
     if flat_plan is not None:
         from holoscene_tpu.ops.splat_flat import composite_tiles_flat
 
-        rgb_t, depth_norm_t, alpha_t, _ovf = composite_tiles_flat(
+        rgb_t, depth_norm_t, alpha_t, flags = composite_tiles_flat(
             xy, depth, conic, opacities, rgb_n, valid,
             width, height, tile_size, flat_plan, bins=flat_bins,
             interpret=jax.default_backend() != "tpu",
@@ -252,8 +252,12 @@ def render_gaussians(
             rgb_t, depth_norm_t * alpha_t, alpha_t, tiles_x, tiles_y,
             tile_size, width, height, background,
         )
-        # cached-bins callers watch this to trigger a replan
-        out["overflow"] = _ovf
+        # cached-bins callers watch these to trigger a replan: overflow =
+        # capacity outgrown; stale = a saturation-trimmed tile may truncate;
+        # used_chunks feeds the next trim (splat_flat.build_flat_bins)
+        out["overflow"] = flags["overflow"]
+        out["stale"] = flags["stale"]
+        out["used_chunks"] = flags["used_chunks"]
         return out
 
     # tile geometry

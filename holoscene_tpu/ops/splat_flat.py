@@ -108,14 +108,29 @@ def _propagate(values, positions, c_max, fill=0):
 def build_flat_candidates(
     xy, depth, conic, opac, valid,
     tiles_x: int, tiles_y: int, tile_size: int, plan: FlatPlan,
+    used_chunks=None, trim_slack: int = 2,
 ):
     """Expansion -> cull -> fused-key sort -> aligned compaction.
 
     Returns dict with:
       gidx    [c_max] int32 — gaussian index per flat slot (N = trash/dead)
       chunk_tile / chunk_pos / chunk_last / chunk_skip  [c_max/CHUNK] int32
+      trimmed [T] int32 — tiles whose tail was saturation-trimmed
       overflow  [] int32 — 1 if the scene needed more than c_max slots
-    Only index computations happen here (no gradient path)."""
+    Only index computations happen here (no gradient path).
+
+    used_chunks [T] int32 (optional): per-tile chunk counts a PRIOR forward
+    walk actually composited before saturating (composite_tiles_flat flags
+    'used_chunks'). When given, each tile keeps only its front-most
+    (used + trim_slack) chunks of depth-sorted candidates — the walk
+    early-terminates there anyway, so the per-step payload gathers stop
+    paying for candidates behind the saturation depth. Output is IDENTICAL
+    to the untrimmed plan as long as no trimmed tile's walk reaches its
+    shortened range while still live; the kernels flag that condition
+    (flags['stale'] from composite_tiles_flat) so trainers re-plan exactly
+    when drift invalidates the trim. TPU-first: gsplat's per-pixel CUDA
+    threads exit early for free, while here every binned candidate costs a
+    gather-engine row whether walked or not (PERF.md r3 attribution)."""
     n = xy.shape[0]
     n_tiles = tiles_x * tiles_y
     ts = float(tile_size)
@@ -203,6 +218,13 @@ def build_flat_candidates(
         method="scan_unrolled",
     ).astype(jnp.int32)
     counts = starts[1:] - starts[:-1]          # [T] >= 1 (dummy)
+    if used_chunks is not None:
+        cap = (jax.lax.stop_gradient(jnp.asarray(used_chunks, jnp.int32))
+               + trim_slack) * CHUNK
+        trimmed = (counts > cap).astype(jnp.int32)
+        counts = jnp.minimum(counts, jnp.maximum(cap, 1))
+    else:
+        trimmed = jnp.zeros((n_tiles,), jnp.int32)
     aligned = -(-counts // CHUNK) * CHUNK
     aoff = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(aligned)])
@@ -240,6 +262,7 @@ def build_flat_candidates(
         gidx=gidx_flat, chunk_tile=chunk_tile, chunk_pos=chunk_pos,
         chunk_last=chunk_last, chunk_skip=chunk_skip, overflow=overflow,
         tile_chunk_start=tile_chunk_start, tile_chunk_cnt=tile_chunk_cnt,
+        trimmed=trimmed,
     )
 
 
@@ -312,6 +335,25 @@ def plan_flat(counts_like_xy, conic, opac, valid, tiles_x, tiles_y,
     return FlatPlan(span_x=span_x, span_y=span_y, c_max=max(c_max, CHUNK))
 
 
+def plan_trimmed(plan: FlatPlan, tile_chunk_cnt, used_chunks,
+                 trim_slack: int = 2, round_chunks: int = 64,
+                 margin: float = 1.0) -> FlatPlan:
+    """Derive the static capacity for a saturation-trimmed plan: each tile
+    keeps min(cnt, used + slack) chunks; the total is rounded UP to
+    `round_chunks` chunks so per-frame capacity differences collapse onto
+    a few jit cache entries instead of one compile per frame. Host-side
+    (two small readbacks) — call once when freezing the trim, not per step."""
+    import numpy as np
+
+    cnt = np.asarray(tile_chunk_cnt)
+    used = np.asarray(used_chunks)
+    total = int(np.minimum(cnt, used + trim_slack).sum())
+    total = int(-(-int(total * margin) // round_chunks) * round_chunks)
+    total = max(min(total, plan.c_max // CHUNK), 1)
+    return FlatPlan(span_x=plan.span_x, span_y=plan.span_y,
+                    c_max=total * CHUNK)
+
+
 # ---------------------------------------------------------------------------
 # amortized binning: cacheable index plans + scatter-free gather transpose
 # ---------------------------------------------------------------------------
@@ -319,7 +361,7 @@ def plan_flat(counts_like_xy, conic, opac, valid, tiles_x, tiles_y,
 
 def build_flat_bins(xy, depth, conic, opac, valid,
                     tiles_x: int, tiles_y: int, tile_size: int,
-                    plan: FlatPlan):
+                    plan: FlatPlan, used_chunks=None, trim_slack: int = 2):
     """Index-only binning plan, cacheable across train steps.
 
     TPU-first amortization (no reference analog — gsplat re-bins every step
@@ -341,7 +383,8 @@ def build_flat_bins(xy, depth, conic, opac, valid,
     n = xy.shape[0]
     meta = build_flat_candidates(
         xy, depth, conic, opac, valid,
-        tiles_x=tiles_x, tiles_y=tiles_y, tile_size=tile_size, plan=plan)
+        tiles_x=tiles_x, tiles_y=tiles_y, tile_size=tile_size, plan=plan,
+        used_chunks=used_chunks, trim_slack=trim_slack)
     c_max = plan.c_max
     _, perm = jax.lax.sort(
         (meta["gidx"], jnp.arange(c_max, dtype=jnp.int32)), num_keys=1)
@@ -398,6 +441,31 @@ def _cumsum_2level(r):
     return (intra + offs[:, None, :]).reshape(c, d)
 
 
+def _cumsum_2level_lanes(r):
+    """_cumsum_2level in lane-major orientation: [c, d] arrays put d on the
+    LANE axis (padded 11 -> 128, ~12x wasted vector work on every pass);
+    transposing to [d, B, 128] runs the intra-block cumsum along full
+    128-lane vregs (7 shift-add passes) with d on sublanes (padded 11 -> 16,
+    1.45x). Two extra transposes bracket it — HOLOSCENE_FLAT_CUMSUM picks
+    the winner measured on hardware."""
+    c, d = r.shape
+    b = c // CHUNK
+    rt = jnp.swapaxes(r.reshape(b, CHUNK, d), 1, 2)  # [B, d, 128]
+    intra = jnp.cumsum(rt, axis=2, dtype=jnp.float32)
+    tot = intra[:, :, -1]                            # [B, d]
+    offs = jnp.cumsum(tot, axis=0, dtype=jnp.float32) - tot
+    out = intra + offs[:, :, None]
+    return jnp.swapaxes(out, 1, 2).reshape(c, d)
+
+
+def _cumsum_for_bwd(r):
+    import os
+
+    if os.environ.get("HOLOSCENE_FLAT_CUMSUM", "blocked") == "lanes":
+        return _cumsum_2level_lanes(r)
+    return _cumsum_2level(r)
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(4,))
 def _planned_take_sliced(payload, gidx, perm, bounds, bwd_cols):
     """_planned_take whose VJP (a) only reduces the first `bwd_cols`
@@ -416,7 +484,7 @@ def _planned_take_sliced_fwd(payload, gidx, perm, bounds, bwd_cols):
 def _planned_take_sliced_bwd(bwd_cols, res, ct):
     d_full, gidx, perm, bounds = res
     r = jnp.take(ct[:, :bwd_cols], perm, axis=0)     # [c_max, bwd_cols]
-    c = _cumsum_2level(r)
+    c = _cumsum_for_bwd(r)
     c = jnp.concatenate(
         [jnp.zeros((1, bwd_cols), c.dtype), c], axis=0)
     ends = jnp.take(c, bounds, axis=0)               # [n + 2, bwd_cols]
@@ -574,9 +642,13 @@ def _flat_fwd_kernel3(cs_ref, cc_ref, cand_hbm, out_ref, buf, sem,
         dma(kc, jax.lax.rem(kc, 2)).wait()
 
     used = jnp.full((p, 1), 1.0, jnp.float32) * kc.astype(jnp.float32)
+    # ch 7: this tile consumed its whole chunk range while still live —
+    # on a saturation-TRIMMED plan that means possible truncation (the
+    # staleness signal); on a full plan it's just "tile never saturated"
+    ended_live = jnp.full((p, 1), 1.0, jnp.float32) * (
+        (kc >= m) & (jnp.max(trans) > TERM_EPS)).astype(jnp.float32)
     out_ref[0, :, :] = jnp.concatenate(
-        [acc, 1.0 - trans, used, tot, jnp.zeros((p, 1), jnp.float32)],
-        axis=1)
+        [acc, 1.0 - trans, used, tot, ended_live], axis=1)
 
 
 def _flat_bwd_kernel3(cs_ref, cc_ref, cand_hbm, fwd_ref, v_ref, dcand_hbm,
@@ -863,8 +935,13 @@ def composite_tiles_flat(
 ):
     """Project-space entry: bins + composites projected gaussians exactly
     (no per-tile K truncation). Returns (rgb [T,P,3], depth_norm [T,P],
-    alpha [T,P], overflow []) with T = padded tile count — callers share
-    ops/splat.py's tiles_to_image epilogue.
+    alpha [T,P], flags) with T = padded tile count — callers share
+    ops/splat.py's tiles_to_image epilogue. flags is a dict:
+      overflow    [] int32 — scene outgrew the plan's capacity
+      stale       [] int32 — a saturation-TRIMMED tile walked its whole
+                  shortened range while live (possible truncation; re-plan)
+      used_chunks [T] int32 — chunks each tile actually composited (feed
+                  back into build_flat_bins(used_chunks=...) to trim)
 
     `bins`: a cached build_flat_bins plan (amortized binning). When given,
     the per-step cost is gathers + tile walks only; when None, a fresh plan
@@ -904,4 +981,14 @@ def composite_tiles_flat(
     depth_acc = out[:, :, 3]
     alpha = out[:, :, 4]
     depth_norm = depth_acc / jnp.maximum(alpha, 1e-10)
-    return rgb_t, depth_norm, alpha, bins["overflow"]
+    diag = jax.lax.stop_gradient(out[:, 0, 5:8])     # [T, 3]
+    used = diag[:, 0].astype(jnp.int32)
+    ended_live = diag[:, 2] > 0.5
+    trimmed = bins.get("trimmed")
+    if trimmed is None:
+        stale = jnp.zeros((), jnp.int32)
+    else:
+        stale = jnp.any(ended_live & (trimmed > 0)).astype(jnp.int32)
+    flags = {"overflow": bins["overflow"], "stale": stale,
+             "used_chunks": used}
+    return rgb_t, depth_norm, alpha, flags

@@ -151,15 +151,15 @@ def test_flat_overflow_flag():
     xy, depth, conic, radius, valid = project_gaussians(
         means, cov3d, viewmat, intr, res, res)
     tiny = FlatPlan(span_x=2, span_y=2, c_max=128)  # way under capacity
-    _, _, _, overflow = composite_tiles_flat(
+    _, _, _, flags = composite_tiles_flat(
         xy, depth, conic, opac, colors, valid, res, res, 16, tiny,
         interpret=INTERP)
-    assert int(overflow) == 1
+    assert int(flags["overflow"]) == 1
     good = plan_flat(xy, conic, opac, valid, 2, 2, 16)
-    _, _, _, ok = composite_tiles_flat(
+    _, _, _, flags_ok = composite_tiles_flat(
         xy, depth, conic, opac, colors, valid, res, res, 16, good,
         interpret=INTERP)
-    assert int(ok) == 0
+    assert int(flags_ok["overflow"]) == 0
 
 
 def test_flat_empty_tiles_render_zero():
@@ -343,3 +343,80 @@ def test_flat_mm_modes_agree():
     np.testing.assert_allclose(outs["bf16x2"][1], outs["f32"][1], atol=2e-4)
     np.testing.assert_allclose(outs["bf16"][0], outs["f32"][0], atol=6e-3)
     np.testing.assert_allclose(outs["bf16"][1], outs["f32"][1], atol=6e-3)
+
+
+def test_flat_saturation_trim_exact_and_stale_flag():
+    """Saturation-trimmed plans (VERDICT r3 #1): feeding a walk's
+    used_chunks back into build_flat_bins must (a) reproduce the untrimmed
+    render EXACTLY with slack >= 1 and stale == 0, (b) shrink the static
+    capacity via plan_trimmed, and (c) raise the stale flag when the trim
+    is made too aggressive to cover the walk."""
+    from holoscene_tpu.ops.splat_flat import build_flat_bins, plan_trimmed
+
+    # an opaque near wall in front of more content: tiles saturate early
+    rng = np.random.default_rng(7)
+    n_front, n_back = 220, 600
+    front = np.stack(
+        [rng.uniform(-0.7, 0.7, n_front), rng.uniform(-0.7, 0.7, n_front),
+         rng.uniform(1.0, 1.1, n_front)], -1).astype(np.float32)
+    back = np.stack(
+        [rng.uniform(-0.7, 0.7, n_back), rng.uniform(-0.7, 0.7, n_back),
+         rng.uniform(1.5, 3.0, n_back)], -1).astype(np.float32)
+    means = jnp.asarray(np.concatenate([front, back]))
+    n = n_front + n_back
+    scales = jnp.asarray(
+        np.full((n, 3), 0.12, np.float32))
+    quats = jnp.asarray(np.tile([1.0, 0, 0, 0], (n, 1)).astype(np.float32))
+    opac = jnp.asarray(np.concatenate(
+        [np.full(n_front, 0.97), rng.uniform(0.3, 0.9, n_back)]
+    ).astype(np.float32))
+    colors = jnp.asarray(rng.uniform(0, 1, (n, 3)).astype(np.float32))
+    viewmat = jnp.eye(4)
+    res, ts = 64, 16
+    f = res * 0.8
+    intr = jnp.array([[f, 0, res / 2], [0, f, res / 2], [0, 0, 1.0]])
+
+    cov3d = covariance_3d(quats, scales)
+    xy, depth, conic, _r, valid = project_gaussians(
+        means, cov3d, viewmat, intr, res, res)
+    tiles = res // ts
+    plan = plan_flat(xy, conic, opac, valid, tiles, tiles, ts)
+
+    full_bins = build_flat_bins(xy, depth, conic, opac, valid,
+                                tiles_x=tiles, tiles_y=tiles, tile_size=ts,
+                                plan=plan)
+    rgb_f, _, alpha_f, flags_f = composite_tiles_flat(
+        xy, depth, conic, opac, colors, valid, res, res, ts, plan,
+        bins=full_bins, interpret=INTERP)
+    used = flags_f["used_chunks"]
+    assert int(flags_f["stale"]) == 0
+    # saturation must actually bite for this test to mean anything
+    assert int(jnp.sum(used)) < int(jnp.sum(full_bins["tile_chunk_cnt"]))
+
+    tplan = plan_trimmed(plan, full_bins["tile_chunk_cnt"], used,
+                         trim_slack=1, round_chunks=4)
+    assert tplan.c_max < plan.c_max
+    trim_bins = build_flat_bins(xy, depth, conic, opac, valid,
+                                tiles_x=tiles, tiles_y=tiles, tile_size=ts,
+                                plan=tplan, used_chunks=used, trim_slack=1)
+    assert int(trim_bins["overflow"]) == 0
+    assert int(jnp.sum(trim_bins["trimmed"])) > 0
+    rgb_t, _, alpha_t, flags_t = composite_tiles_flat(
+        xy, depth, conic, opac, colors, valid, res, res, ts, tplan,
+        bins=trim_bins, interpret=INTERP)
+    assert int(flags_t["stale"]) == 0
+    np.testing.assert_array_equal(np.asarray(rgb_t), np.asarray(rgb_f))
+    np.testing.assert_array_equal(np.asarray(alpha_t), np.asarray(alpha_f))
+
+    # over-aggressive trim: pretend every tile saturated after 0 chunks
+    # with no slack -> walks end live -> stale flips
+    zplan = plan_trimmed(plan, full_bins["tile_chunk_cnt"],
+                         jnp.zeros_like(used), trim_slack=1, round_chunks=4)
+    zbins = build_flat_bins(xy, depth, conic, opac, valid,
+                            tiles_x=tiles, tiles_y=tiles, tile_size=ts,
+                            plan=zplan, used_chunks=jnp.zeros_like(used),
+                            trim_slack=1)
+    _, _, _, flags_z = composite_tiles_flat(
+        xy, depth, conic, opac, colors, valid, res, res, ts, zplan,
+        bins=zbins, interpret=INTERP)
+    assert int(flags_z["stale"]) == 1
