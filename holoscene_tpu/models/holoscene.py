@@ -41,6 +41,11 @@ from holoscene_tpu.models.fields import (
     rendering_forward,
 )
 from holoscene_tpu.ops.density import laplace_beta, laplace_density
+from holoscene_tpu.ops.occupancy import (
+    OccGridConfig,
+    ray_range,
+    update_occ_grid,
+)
 from holoscene_tpu.ops.sampler import (
     SamplerConfig,
     error_bound_sample,
@@ -96,6 +101,15 @@ class HoloSceneConfig:
     # is far below dropping the same points (PERF.md offline probes).
     render_fine_top_f: int = 0
     render_fine_levels: int = 8
+    # Persistent occupancy grid (ops/occupancy.py): per-ray sampling-interval
+    # restriction from cached min-|SDF| evidence, updated free from the
+    # sampler's own probe buffer. The sample BUDGET is unchanged (static
+    # shapes); the same samples land on the occupied span, so upsample
+    # rounds converge sooner (their lax.cond skip fires) and quadrature
+    # sharpens. No reference analog — the reference re-probes the full
+    # interval every step (ray_sampler.py:130-287).
+    use_occupancy: bool = False
+    occupancy: OccGridConfig = OccGridConfig()
 
     def __post_init__(self):
         # the pruned kept-set must be able to span [near, far]: both
@@ -170,6 +184,12 @@ class HoloSceneConfig:
             render_fine_top_f=conf.get_int("render_fine_top_f", 0),
             render_fine_levels=conf.get_int("render_fine_levels", 8),
             forward_grad_mode=conf.get_string("forward_grad_mode", "vjp"),
+            use_occupancy=conf.get_bool("use_occupancy", False),
+            occupancy=OccGridConfig(
+                resolution=conf.get_int("occupancy_resolution", 64),
+                bound=sbs,
+                taps=conf.get_int("occupancy_taps", 64),
+            ),
         )
 
 
@@ -222,25 +242,46 @@ def render_rays(
     w2c_rot: jnp.ndarray,
     training: bool = True,
     compute_eikonal: bool = True,
+    occ: jnp.ndarray | None = None,
+    update_occ: bool = False,
 ) -> dict[str, jnp.ndarray]:
     """Render a batch of rays (model/network.py:778-913).
 
     rays_o [R,3], rays_d [R,3] unit; depth_scale [R,1] (camera-z of the unit
     ray, converts distance to z-depth); w2c_rot [3,3] rotates world normals
     into the camera frame.
+
+    occ: optional occupancy grid (ops/occupancy.init_occ_grid) — restricts
+    each ray's sampling interval to its occupied span; with update_occ the
+    sampler's probe buffer is folded back in and the refreshed grid is
+    returned as out["occ"] (unchanged grid otherwise).
     """
     R = rays_o.shape[0]
     k_sampler, k_eik, k_nei = jax.random.split(key, 3)
 
+    beta_sg = jax.lax.stop_gradient(get_beta(params, cfg))
+    near = far = None
+    if occ is not None:
+        from holoscene_tpu.ops.rays import near_far_from_cube
+
+        _, far0 = near_far_from_cube(
+            rays_o, rays_d, bound=cfg.sampler.scene_bounding_sphere,
+            min_near=cfg.sampler.near, max_far=cfg.sampler.far,
+        )
+        near0 = jnp.full((R, 1), cfg.sampler.near)
+        near, far = ray_range(
+            occ, rays_o, rays_d, near0, far0, beta_sg, cfg.occupancy)
+
     prune_m = cfg.render_top_m if training else 0
     tier_ord = None
-    if prune_m > 0:
+    need_aux = prune_m > 0 or (occ is not None and update_occ)
+    if need_aux:
         z_vals, z_eik, (z_buf, sdf_buf, beta_buf) = error_bound_sample(
             k_sampler, rays_o, rays_d, scene_sdf_nograd(params, cfg),
-            jax.lax.stop_gradient(get_beta(params, cfg)), cfg.sampler,
-            training=training, return_aux=True,
+            beta_sg, cfg.sampler,
+            training=training, return_aux=True, near=near, far=far,
         )
-        if prune_m < z_vals.shape[-1]:
+        if 0 < prune_m < z_vals.shape[-1]:
             est_w = estimate_weights_from_buffer(z_vals, z_buf, sdf_buf,
                                                  beta_buf)
             # force-keep both endpoints so the kept set spans [near, far]
@@ -257,8 +298,8 @@ def render_rays(
     else:
         z_vals, z_eik = error_bound_sample(
             k_sampler, rays_o, rays_d, scene_sdf_nograd(params, cfg),
-            jax.lax.stop_gradient(get_beta(params, cfg)), cfg.sampler,
-            training=training,
+            beta_sg, cfg.sampler,
+            training=training, near=near, far=far,
         )
     S = z_vals.shape[-1]
 
@@ -362,6 +403,15 @@ def render_rays(
         "sdf": sdf.reshape(R, S),
         "weights": weights,
     }
+
+    if occ is not None:
+        if update_occ:
+            probe_pts = (rays_o[:, None, :]
+                         + z_buf[..., None] * rays_d[:, None, :])
+            out["occ"] = update_occ_grid(occ, probe_pts, sdf_buf,
+                                         cfg.occupancy)
+        else:
+            out["occ"] = occ
 
     if training and compute_eikonal:
         # eikonal + smoothness samples (network.py:843-866)

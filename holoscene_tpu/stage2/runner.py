@@ -818,6 +818,7 @@ class Stage2Runner:
         mesh_list: list[Mesh | None],
         translations: dict[int, np.ndarray],
         max_rounds: int = 3,
+        verify_uncapped: bool = True,
     ):
         """Final whole-scene physics settle (reference step 6:
         holoscene_train_post.py:2003 calling utils/sim.py:638 sim_scene).
@@ -829,7 +830,15 @@ class Stage2Runner:
         is re-validated, up to `max_rounds`. The post-translation
         configuration is therefore physically validated, not just
         intersection-free. Writes `scene_settle.json` and returns the final
-        translations + the per-round report."""
+        translations + the per-round report.
+
+        verify_uncapped (default on): the settle loop simulates decimated
+        stand-ins (<= view_mesh_cap faces) for speed, but contact/support
+        geometry of a decimated hull can differ near the stability
+        threshold — so the FINAL configuration is re-simulated once on the
+        UNCAPPED meshes and the report records whether stability and drift
+        agree (`uncapped_check` / `uncapped_agrees`). One full-resolution
+        sim at the end bounds the decimation error instead of trusting it."""
         import json
 
         translations = {i: np.asarray(t, np.float64) for i, t in translations.items()}
@@ -894,6 +903,43 @@ class Stage2Runner:
                     f"[scene_settle] round {rnd}: re-settled "
                     f"{[int(i) for i, _ in needs_settle]}"
                 )
+
+        if verify_uncapped:
+            # one full-resolution re-sim of the FINAL configuration: bounds
+            # the decimated-stand-in error (VERDICT r3 #8) instead of
+            # assuming translations transfer across the face cap
+            scene_full = [
+                mesh_list[i].apply_translation(
+                    translations.get(i, np.zeros(3)))
+                for i in idxs
+            ]
+            results_full = sim_scene(scene_full)
+            check = []
+            agrees = True
+            capped_last = {r["obj"]: r for r in report["rounds"][-1]}
+            for pos, res in enumerate(results_full, start=1):
+                obj_i = idxs[pos]
+                moved = float(np.linalg.norm(res.translation)) > move_eps
+                row = {
+                    "obj": int(obj_i),
+                    "drift_deg": float(res.drift_deg),
+                    "stable": bool(res.stable),
+                    "moved": bool(moved),
+                }
+                capped = capped_last.get(obj_i)
+                if capped is not None:
+                    row["drift_delta_deg"] = float(
+                        abs(res.drift_deg - capped["drift_deg"]))
+                    if bool(res.stable) != bool(capped["stable"]):
+                        agrees = False
+                if not res.stable or moved:
+                    agrees = False
+                check.append(row)
+            report["uncapped_check"] = check
+            report["uncapped_agrees"] = bool(agrees)
+            if not agrees and not self.quiet:
+                print("[scene_settle] WARNING: uncapped re-sim disagrees "
+                      "with the decimated settle (see scene_settle.json)")
 
         with open(os.path.join(self.out_dir, "scene_settle.json"), "w") as f:
             json.dump(report, f, indent=1)

@@ -90,12 +90,17 @@ def make_train_step(cfg: HoloSceneConfig, lcfg: LossConfig, optimizer,
     Returns step(params, opt_state, key, batch, step_idx, *, call_reg,
     with_bg_reg) -> (params, opt_state, metrics). Static flags select the
     compiled variant.
+
+    occ (optional occupancy grid, ops/occupancy.py): when passed, the
+    sampler restricts each ray to its occupied span and the step returns a
+    FOURTH element — the grid, refreshed from the sampler's probe buffer on
+    update_occ=True steps (trainers pass i % occ_update_every == 0).
     """
 
-    @partial(jax.jit, static_argnames=("call_reg", "with_bg"),
+    @partial(jax.jit, static_argnames=("call_reg", "with_bg", "update_occ"),
              donate_argnums=(0, 1))
     def step(params, opt_state, key, batch, step_idx, call_reg: bool,
-             with_bg: bool):
+             with_bg: bool, occ=None, update_occ: bool = False):
         k_jit, k_render, k_bg_uv, k_bg = jax.random.split(key, 4)
 
         def loss_fn(p):
@@ -103,7 +108,8 @@ def make_train_step(cfg: HoloSceneConfig, lcfg: LossConfig, optimizer,
                 batch["uv"], batch["pose"], batch["intrinsics"], k_jit
             )
             out = render_rays(p, cfg, k_render, rays_o, rays_d, dscale, w2c,
-                              training=True)
+                              training=True, occ=occ, update_occ=update_occ)
+            occ_new = out.pop("occ", None)
             if with_bg:
                 # random bg patch (reference network.py:916-930)
                 cx2 = batch["intrinsics"][0, 2] * 2.0
@@ -129,11 +135,11 @@ def make_train_step(cfg: HoloSceneConfig, lcfg: LossConfig, optimizer,
             psnr = -10.0 * jnp.log10(
                 jnp.mean((out["rgb_values"] - gt["rgb"].reshape(-1, 3)) ** 2)
             )
-            return losses["loss"], (losses, psnr)
+            return losses["loss"], (losses, psnr, occ_new)
 
-        (_, (losses, psnr)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params
-        )
+        (_, (losses, psnr, occ_new)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params)
         # NaN guard: skip the update on non-finite losses (the reference
         # bails out of bad iterations, holoscene_train_post.py:608-623)
         finite = jnp.isfinite(losses["loss"])
@@ -144,7 +150,9 @@ def make_train_step(cfg: HoloSceneConfig, lcfg: LossConfig, optimizer,
         params = optax.apply_updates(params, updates)
         metrics = {**losses, "psnr": psnr, "nonfinite": 1.0 - finite,
                    "beta": jnp.abs(params["density"]["beta"]) + cfg.beta_min}
-        return params, opt_state, metrics
+        if occ is None:
+            return params, opt_state, metrics
+        return params, opt_state, metrics, occ_new
 
     return step
 
@@ -310,6 +318,16 @@ class Stage1Runner:
         self.train_step = make_train_step(self.model_cfg, self.loss_cfg,
                                           self.optimizer)
         self.render_frame = make_eval_render(self.model_cfg)
+        # occupancy-grid sampling restriction (model.use_occupancy conf):
+        # the grid is rebuilt from probe evidence within ~1 update cycle, so
+        # it is deliberately NOT checkpointed — a resume starts conservative
+        # (occupied everywhere) and re-tightens
+        self.occ = None
+        self.occ_update_every = conf.get_int("train.occ_update_every", 8)
+        if self.model_cfg.use_occupancy:
+            from holoscene_tpu.ops.occupancy import init_occ_grid
+
+            self.occ = init_occ_grid(self.model_cfg.occupancy)
         self.history: list[dict] = []
 
         from holoscene_tpu.utils.logging import MetricsLogger
@@ -481,10 +499,19 @@ class Stage1Runner:
                 self.model_cfg.use_bg_reg
                 and it % self.model_cfg.render_bg_iter == 0
             )
-            self.params, self.opt_state, metrics = self.train_step(
-                self.params, self.opt_state, k_step, batch, it,
-                call_reg=call_reg, with_bg=with_bg,
-            )
+            if self.occ is not None:
+                self.params, self.opt_state, metrics, self.occ = (
+                    self.train_step(
+                        self.params, self.opt_state, k_step, batch, it,
+                        call_reg=call_reg, with_bg=with_bg, occ=self.occ,
+                        update_occ=it % self.occ_update_every == 0,
+                    )
+                )
+            else:
+                self.params, self.opt_state, metrics = self.train_step(
+                    self.params, self.opt_state, k_step, batch, it,
+                    call_reg=call_reg, with_bg=with_bg,
+                )
             rays_done += self.num_pixels
 
             if it % log_every == 0 or it == end - 1:

@@ -121,3 +121,57 @@ def test_scene_settle_moves_floating_object(tmp_path):
     assert len(report["rounds"]) >= 1
     r0 = report["rounds"][0][0]
     assert (not r0["stable"]) or r0["moved"]
+
+
+def test_scene_settle_uncapped_verification(tmp_path):
+    """The final scene_settle configuration is re-simulated on UNCAPPED
+    meshes (VERDICT r3 #8): with a stub cap that forces heavy decimation,
+    the report must carry the uncapped cross-check and agree on a clearly
+    stable scene."""
+
+    from holoscene_tpu.utils.mesh import Mesh
+
+    def _fine_box(center, half, n=6):
+        """Box tessellated n x n per face (12 * n^2 triangles)."""
+        import itertools
+
+        verts, faces = [], []
+        lin = np.linspace(-1.0, 1.0, n + 1)
+        for axis, sign in itertools.product(range(3), (-1.0, 1.0)):
+            base = len(verts)
+            for a in lin:
+                for b in lin:
+                    p = np.array(center, np.float64).copy()
+                    p[axis] += sign * half[axis]
+                    p[(axis + 1) % 3] += a * half[(axis + 1) % 3]
+                    p[(axis + 2) % 3] += b * half[(axis + 2) % 3]
+                    verts.append(p)
+            for i in range(n):
+                for j in range(n):
+                    v0 = base + i * (n + 1) + j
+                    v1, v2, v3 = v0 + 1, v0 + n + 1, v0 + n + 2
+                    faces += [[v0, v1, v2], [v1, v3, v2]]
+        return Mesh(np.asarray(verts, np.float32),
+                    np.asarray(faces, np.int32))
+
+    floor = _fine_box((0, 0.55, 0), (1.0, 0.05, 1.0))
+    box = _fine_box((0, 0.3, 0), (0.2, 0.2, 0.2))
+    assert len(floor.faces) > 100
+
+    stub = _SettleStub(str(tmp_path))
+    stub.view_mesh_cap = 60  # force real decimation of the stand-ins
+    tr, report = Stage2Runner.scene_settle(
+        stub, [floor, box], {0: np.zeros(3), 1: np.zeros(3)}
+    )
+    assert "uncapped_check" in report
+    assert report["uncapped_agrees"] is True
+    assert report["uncapped_check"][0]["stable"]
+    assert report["uncapped_check"][0]["drift_delta_deg"] < 8.0
+
+    # opt-out skips the extra sim
+    stub2 = _SettleStub(str(tmp_path))
+    _, report2 = Stage2Runner.scene_settle(
+        stub2, [floor, box], {0: np.zeros(3), 1: np.zeros(3)},
+        verify_uncapped=False,
+    )
+    assert "uncapped_check" not in report2
