@@ -103,6 +103,9 @@ def flagship_config() -> HoloSceneConfig:
         # offline error probe: PERF.md round-2 (0 = off)
         render_fine_top_f=int(os.environ.get("BENCH_FINE_TOP_F", "32")),
         render_fine_levels=int(os.environ.get("BENCH_FINE_LEVELS", "6")),
+        # occupancy-grid sampling restriction (ops/occupancy.py); A/B knob,
+        # ships default-on only after the 2500-iter train gate
+        use_occupancy=os.environ.get("BENCH_OCC", "0") == "1",
     )
 
 
@@ -203,12 +206,37 @@ def bench_stage4(n: int = 100_000, res: int = 512, timed_steps: int = 20):
         plan = plan_flat(xy0, conic0, jax.nn.sigmoid(params["opac"]),
                          valid0, tiles, tiles, 16)
 
+        used0 = None
+        if os.environ.get("BENCH_SPLAT_TRIM", "1") == "1":
+            # saturation-trimmed plan (ops/splat_flat.py): one probe render
+            # under the full plan yields per-tile walked-chunk counts; the
+            # trimmed plan stops gathering payload behind the saturation
+            # depth. Output stays exact (stale flag guards drift).
+            from holoscene_tpu.ops.splat_flat import plan_trimmed
+
+            @jax.jit
+            def _probe(p):
+                xy, depth, conic, _, valid = _proj(p)
+                bins = build_flat_bins(
+                    xy, depth, conic, jax.nn.sigmoid(p["opac"]), valid,
+                    tiles_x=tiles, tiles_y=tiles, tile_size=16, plan=plan)
+                out = render_gaussians(
+                    p["means"], quats, jnp.exp(p["scales"]),
+                    jax.nn.sigmoid(p["opac"]), p["colors"], viewmat, intr,
+                    width=res, height=res, tile_size=16, flat_plan=plan,
+                    flat_bins=bins)
+                return out["used_chunks"], bins["tile_chunk_cnt"]
+
+            used0, cnt0 = _probe(params)
+            plan = plan_trimmed(plan, cnt0, used0, trim_slack=2)
+
         @jax.jit
         def rebin(p):
             xy, depth, conic, _, valid = _proj(p)
             return build_flat_bins(
                 xy, depth, conic, jax.nn.sigmoid(p["opac"]), valid,
-                tiles_x=tiles, tiles_y=tiles, tile_size=16, plan=plan)
+                tiles_x=tiles, tiles_y=tiles, tile_size=16, plan=plan,
+                used_chunks=used0)
 
         def loss(p, bins):
             out = render_gaussians(
@@ -297,11 +325,24 @@ def _main():
     step = make_train_step(cfg, lcfg, optimizer)
     batch = make_batch(k_batch, NUM_RAYS)
 
+    occ = None
+    occ_every = int(os.environ.get("BENCH_OCC_EVERY", "8"))
+    if cfg.use_occupancy:
+        from holoscene_tpu.ops.occupancy import init_occ_grid
+
+        occ = init_occ_grid(cfg.occupancy)
+
+    def run_step(p, o, k, i, occ):
+        if occ is None:
+            p, o, m = step(p, o, k, batch, i, call_reg=True, with_bg=False)
+            return p, o, m, None
+        return step(p, o, k, batch, i, call_reg=True, with_bg=False,
+                    occ=occ, update_occ=i % occ_every == 0)
+
     for i in range(WARMUP_STEPS):
         key, k = jax.random.split(key)
-        params, opt_state, metrics = step(
-            params, opt_state, k, batch, i, call_reg=True, with_bg=False
-        )
+        params, opt_state, metrics, occ = run_step(params, opt_state, k, i,
+                                                   occ)
     # host readback forces the full chain (block_until_ready is unreliable
     # through remote-execution relays)
     _ = float(metrics["loss"])
@@ -309,9 +350,8 @@ def _main():
     t0 = time.perf_counter()
     for i in range(TIMED_STEPS):
         key, k = jax.random.split(key)
-        params, opt_state, metrics = step(
-            params, opt_state, k, batch, i, call_reg=True, with_bg=False
-        )
+        params, opt_state, metrics, occ = run_step(params, opt_state, k, i,
+                                                   occ)
     _ = float(metrics["loss"])
     dt = time.perf_counter() - t0
 
