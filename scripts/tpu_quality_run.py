@@ -57,9 +57,18 @@ runner.model_cfg = dataclasses.replace(
         color_bwd_sample=_cbwd,
         sdf_bwd_sample=_sbwd,
         dense_max_res=int(os.environ.get("QUALITY_DENSE_MAX_RES", "0"))))
+_occ = os.environ.get("QUALITY_OCC", "0") == "1"
+if _occ:
+    from holoscene_tpu.ops.occupancy import OccGridConfig, init_occ_grid
+
+    runner.model_cfg = dataclasses.replace(
+        runner.model_cfg, use_occupancy=True,
+        occupancy=OccGridConfig(
+            bound=runner.model_cfg.scene_bounding_sphere))
+    runner.occ = init_occ_grid(runner.model_cfg.occupancy)
 print(f"quality run: top_m={_top_m} grad_mode={_grad_mode} dual={_dual} "
       f"interp={_interp} fetch={_fetch} color_bwd_sample={_cbwd} "
-      f"sdf_bwd_sample={_sbwd}", flush=True)
+      f"sdf_bwd_sample={_sbwd} occ={_occ}", flush=True)
 from holoscene_tpu.training.stage1 import make_train_step, make_eval_render
 runner.train_step = make_train_step(runner.model_cfg, runner.loss_cfg, runner.optimizer)
 runner.render_frame = make_eval_render(runner.model_cfg)
