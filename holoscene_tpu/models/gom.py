@@ -73,6 +73,14 @@ class GoMConfig:
     # cadence (staleness tolerance gated in tests/test_splat_flat.py)
     use_flat: bool | None = None
     rebin_every: int = 8
+    # saturation trim (ops/splat_flat.py): once every training frame has
+    # reported its walked-chunk counts, the trainer swaps to a shrunken
+    # static plan and each frame's rebin keeps only used+slack chunks per
+    # tile — the payload gathers stop paying for candidates behind the
+    # saturation depth. Exact (stale tiles self-heal: a truncating tile
+    # walks to its cap, so the next rebin grows it by trim_slack).
+    trim_flat: bool = True
+    trim_slack: int = 2
 
 
 # ---------------------------------------------------------------------------
@@ -388,9 +396,12 @@ def gom_project(params, static, cfg: GoMConfig, pose_c2w, intrinsics,
 
 
 def gom_flat_bins(params, static, cfg: GoMConfig, pose_c2w, intrinsics,
-                  width: int, height: int, plan, visible_mask=None):
+                  width: int, height: int, plan, visible_mask=None,
+                  used_chunks=None):
     """build_flat_bins over the current GoM state for one camera (the
-    amortized-binning refresh; see ops/splat_flat.build_flat_bins)."""
+    amortized-binning refresh; see ops/splat_flat.build_flat_bins).
+    used_chunks: this frame's last walked-chunk counts — enables the
+    saturation trim (splat_flat.build_flat_candidates)."""
     from holoscene_tpu.ops.splat_flat import build_flat_bins
 
     xy, depth, conic, valid = gom_project(
@@ -400,7 +411,8 @@ def gom_flat_bins(params, static, cfg: GoMConfig, pose_c2w, intrinsics,
     tiles_y = -(-height // cfg.tile_size)
     return build_flat_bins(
         xy, depth, conic, opac, valid, tiles_x=tiles_x, tiles_y=tiles_y,
-        tile_size=cfg.tile_size, plan=plan)
+        tile_size=cfg.tile_size, plan=plan,
+        used_chunks=used_chunks, trim_slack=cfg.trim_slack)
 
 
 def gom_loss(outputs, batch, cfg: GoMConfig, with_scale_reg: bool = False,

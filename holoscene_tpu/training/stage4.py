@@ -164,6 +164,8 @@ class Stage4Runner:
         self._mesh_cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
         self.history: list[dict] = []
 
+        self._used_cache: dict[int, "jnp.ndarray"] = {}
+        self._trim_active = False
         self._build_jits()
         self.vis_info_list = [[] for _ in range(len(meshes))]
 
@@ -193,6 +195,7 @@ class Stage4Runner:
                 span_x=max(best.span_x, pl.span_x),
                 span_y=max(best.span_y, pl.span_y),
                 c_max=max(best.c_max, pl.c_max))
+        self.flat_plan_full = best  # eval renders + trim fallback
         self.flat_plan = best
         if not self.quiet:
             print(f"[stage4] flat plan {best} "
@@ -200,21 +203,58 @@ class Stage4Runner:
 
     def _grow_flat_plan(self):
         """Overflow recovery: re-probe with a larger capacity margin and
-        re-jit (the gsplat buffer-realloc analog)."""
+        re-jit (the gsplat buffer-realloc analog). Any active trim resets —
+        the next _maybe_trim_plan re-derives it from the used caches."""
         self._flat_margin *= 1.5
+        self._trim_active = False
         self._init_flat_plan()
         self._bins_cache.clear()
         self._bins_age.clear()
         self._build_jits()
 
+    def _maybe_trim_plan(self):
+        """Swap to the saturation-trimmed static plan once every training
+        frame has reported walked-chunk counts (GoMConfig.trim_flat; see
+        ops/splat_flat.plan_trimmed). One re-jit; per-frame rebins then pass
+        the frame's used counts so the gathers stop at saturation depth."""
+        if (self._trim_active or not self.use_flat
+                or not self.cfg.trim_flat
+                or len(self._used_cache) < self.dataset.n_images):
+            return
+        from holoscene_tpu.ops.splat_flat import FlatPlan, plan_trimmed
+
+        full = self.flat_plan_full
+        c_max = 0
+        for f, used in self._used_cache.items():
+            bins = self._bins_cache.get(f)
+            if bins is None:
+                return  # frame's bins evicted before trim; wait for revisit
+            pl = plan_trimmed(full, bins["tile_chunk_cnt"], used,
+                              trim_slack=self.cfg.trim_slack)
+            c_max = max(c_max, pl.c_max)
+        if c_max >= full.c_max:
+            self._trim_active = True  # nothing to gain; don't re-check
+            return
+        self.flat_plan = FlatPlan(span_x=full.span_x, span_y=full.span_y,
+                                  c_max=c_max)
+        self._trim_active = True
+        self._bins_cache.clear()
+        self._bins_age.clear()
+        self._build_jits()
+        if not self.quiet:
+            print(f"[stage4] trim active: c_max {full.c_max} -> {c_max} "
+                  f"({100 * c_max / full.c_max:.0f}%)")
+
     def _refresh_bins(self, frame_idx: int, pose, intr):
-        bins = self._rebin(self.params, pose, intr)
+        used = (self._used_cache.get(frame_idx)
+                if self._trim_active else None)
+        bins = self._rebin(self.params, pose, intr, used)
         if int(bins["overflow"]) != 0:
             if not self.quiet:
                 print(f"[stage4] flat plan overflow at frame {frame_idx}; "
                       "growing capacity")
             self._grow_flat_plan()
-            bins = self._rebin(self.params, pose, intr)
+            bins = self._rebin(self.params, pose, intr, None)
         return bins
 
     def _get_bins(self, frame_idx: int, pose, intr):
@@ -237,8 +277,10 @@ class Stage4Runner:
         if self.use_flat:
             from holoscene_tpu.models.gom import gom_flat_bins
 
-            self._rebin = jax.jit(lambda p, pose, intr: gom_flat_bins(
-                p, static, cfg_, pose, intr, w_ds, h_ds, flat_plan))
+            self._rebin = jax.jit(
+                lambda p, pose, intr, used: gom_flat_bins(
+                    p, static, cfg_, pose, intr, w_ds, h_ds, flat_plan,
+                    used_chunks=used))
         else:
             self._rebin = None
 
@@ -265,14 +307,19 @@ class Stage4Runner:
                 psnr = -10.0 * jnp.log10(
                     jnp.mean((out["rgb"] - image) ** 2) + 1e-12
                 )
-                return total, (losses, psnr)
+                # flat-path walk diagnostics feed the saturation trim (the
+                # trainer caches used per frame; stale is log-only — trims
+                # self-heal through the used feedback, no per-step sync)
+                used = out.get("used_chunks", jnp.zeros((), jnp.int32))
+                stale = out.get("stale", jnp.zeros((), jnp.int32))
+                return total, (losses, psnr, used, stale)
 
-            (total, (losses, psnr)), grads = jax.value_and_grad(
+            (total, (losses, psnr, used, stale)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True
             )(params)
             updates, opt_state = optimizer.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            return params, opt_state, {**losses, "loss": total, "psnr": psnr}
+            return (params, opt_state,
+                    {**losses, "loss": total, "psnr": psnr}, used, stale)
 
         self._step = jax.jit(step_fn, donate_argnums=(0, 1))
 
@@ -310,10 +357,14 @@ class Stage4Runner:
 
         self._invis_step = jax.jit(invis_step_fn, donate_argnums=(0, 1))
 
+        flat_plan_full = getattr(self, "flat_plan_full", flat_plan)
+
         def render_eval(params, pose, intr, h: int, w: int):
             bg = jnp.zeros(3)
             # eval renders bin fresh (exact, no staleness) on the flat path
-            fp = flat_plan if (h, w) == (h_ds, w_ds) else None
+            # — under the FULL plan: a trimmed capacity without per-frame
+            # used counts would overflow
+            fp = flat_plan_full if (h, w) == (h_ds, w_ds) else None
             return render_gom(params, static, cfg_, pose, intr, w, h, bg,
                               flat_plan=fp)
 
@@ -367,11 +418,14 @@ class Stage4Runner:
             intr = jnp.asarray(self.dataset.intrinsics[:3, :3])
             bins = (self._get_bins(frame_idx, pose, intr)
                     if self.use_flat else None)
-            self.params, self.opt_state, metrics = self._step(
+            self.params, self.opt_state, metrics, used, _stale = self._step(
                 self.params, self.opt_state, k, pose, intr,
                 jnp.asarray(image), jnp.asarray(acm), jnp.asarray(mesh_depth),
                 bins,
             )
+            if self.use_flat:
+                self._used_cache[frame_idx] = used
+                self._maybe_trim_plan()
             if has_vis:
                 # one random object's generated view per iteration
                 # (reference :640-660)

@@ -136,3 +136,31 @@ def test_stage4_flat_amortized_binning(scene, tmp_path):
     assert max(runner._bins_age.values()) >= 1
     ev = runner.eval_split("train", max_frames=1)
     assert np.isfinite(ev["psnr"])
+
+
+def test_stage4_flat_trim_activates_and_trains(scene, tmp_path):
+    """Flat path with trim_flat: after every frame reports walked-chunk
+    counts the trainer swaps to the trimmed static plan (or proves there is
+    nothing to trim), keeps training finite, and eval renders still run
+    under the full plan."""
+    import jax.numpy as jnp
+
+    meshes = _gt_meshes()
+    cfg = GoMConfig(sh_degree=1, tile_size=16, use_flat=True,
+                    rebin_every=4, trim_flat=True, trim_slack=1)
+    runner = Stage4Runner(
+        meshes, scene, cfg=cfg, area_to_subdivide=5e-3,
+        max_total_iters=80, out_dir=str(tmp_path / "out"), quiet=True,
+    )
+    assert runner.use_flat
+    full_cmax = runner.flat_plan_full.c_max
+    hist = runner.run(n_iters=60, log_every=20)
+    assert all(np.isfinite(h["loss"]) for h in hist)
+    # 60 random draws over 6 frames: all frames visited (coupon collector
+    # p_fail < 1e-9 at this ratio), so the trim decision has been made
+    assert len(runner._used_cache) == scene.n_images
+    assert runner._trim_active
+    assert runner.flat_plan.c_max <= full_cmax
+    # eval path renders exactly under the full plan after the swap
+    m = runner.eval_split("train", max_frames=1)
+    assert np.isfinite(m["psnr"])
