@@ -80,7 +80,12 @@ def flagship_config() -> HoloSceneConfig:
             multires_point=4, multires_normal=4,
         ),
         sampler=SamplerConfig(
-            N_samples=64, N_samples_eval=128, N_samples_extra=32,
+            N_samples=64,
+            # 128 is the reference workload shape; the knob exists for the
+            # occupancy-restricted A/B (fewer eval probes on a tighter
+            # interval) — any shipped change needs the train gate first
+            N_samples_eval=int(os.environ.get("BENCH_EVAL_SAMPLES", "128")),
+            N_samples_extra=32,
             eps=0.1, beta_iters=10,
             # upsample rounds; reference default 5. 4 rounds match 5 on
             # sample placement (offline probe) and passed the combined
