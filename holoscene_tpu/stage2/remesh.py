@@ -254,10 +254,27 @@ def coarse_recon(
     multiview normals/masks -> cleaned mesh).
 
     views: vis_info-style packs {pose [4,4] c2w, half_extent, normal [H,W,3]
-    camera-frame, mask [H,W]}.
+    camera-frame, mask [H,W]} at ANY resolution — targets are resampled to
+    cfg.img_res (generated views ship at the provider's img_size, e.g. 128
+    or 256; the r4a hardware chain failed here on a 128-vs-64 mismatch).
     """
     import jax
     import jax.numpy as jnp
+
+    res = cfg.img_res
+    resized = []
+    for v in views:
+        n = np.asarray(v["normal"], np.float32)
+        mk = np.asarray(v["mask"], np.float32)
+        if n.shape[:2] != (res, res):
+            n = np.asarray(jax.image.resize(n, (res, res, 3), "bilinear"))
+            n = n / np.maximum(
+                np.linalg.norm(n, axis=-1, keepdims=True), 1e-8)
+        if mk.shape != (res, res):
+            mk = (np.asarray(jax.image.resize(mk, (res, res), "bilinear"))
+                  > 0.5).astype(np.float32)
+        resized.append({**v, "normal": n, "mask": mk})
+    views = resized
 
     mesh = icosphere(radius * 0.7, center, subdivisions=1)
     verts = mesh.vertices

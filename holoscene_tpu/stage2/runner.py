@@ -888,8 +888,17 @@ class Stage2Runner:
             report["stable"] = False
             for obj_i, res in needs_settle:
                 if res.stable:
-                    # simulator settled it by translation: adopt that pose
+                    # simulator settled it by translation: adopt that pose —
+                    # clamped: a near-free-fall translation (object found no
+                    # contact all sim long, e.g. a hole in the recon floor)
+                    # must not teleport the object out of the scene (the r4a
+                    # chain adopted a 4.9-unit drop unclamped)
                     delta = np.asarray(res.translation, np.float64)
+                    nrm = float(np.linalg.norm(delta))
+                    if nrm > 0.5:
+                        delta = delta * (0.5 / nrm)
+                        report.setdefault("clamped", []).append(
+                            {"obj": int(obj_i), "raw_norm": round(nrm, 3)})
                 else:
                     supports = [composed(j) for j in idxs if j != obj_i]
                     delta = settle_drop(composed(obj_i), supports)

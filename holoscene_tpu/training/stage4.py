@@ -89,6 +89,19 @@ class Stage4Runner:
         os.makedirs(out_dir, exist_ok=True)
 
         self.static = seed_gaussians_from_meshes(meshes, area_to_subdivide, cfg)
+        # jit inputs: the per-gaussian static arrays must enter every jit as
+        # ARGUMENTS — closed over, they lower as embedded HLO constants,
+        # and at real scale (the r4a chain baked ~500k-face meshes) the
+        # compile payload blows past the remote-compile relay's request
+        # limit (HTTP 413). Host-side scalars/lists stay closure-bound.
+        self._static_arr = {
+            k: v for k, v in self.static.items()
+            if hasattr(v, "ndim") and getattr(v, "ndim", 0) > 0
+        }
+        self._static_host = {
+            k: v for k, v in self.static.items()
+            if k not in self._static_arr
+        }
         self.meshes = meshes
         self.instance_ranges = self.static["instance_ranges"]
         self.params = init_gom_params(self.static, cfg)
@@ -181,13 +194,15 @@ class Stage4Runner:
         tiles_y = -(-h // cfg.tile_size)
         frames = sorted({0, self.dataset.n_images // 2,
                          self.dataset.n_images - 1})
-        proj = jax.jit(lambda p, pose, intr: gom_project(
-            p, self.static, cfg, pose, intr, w, h))
+        host = self._static_host
+        proj = jax.jit(lambda sa, p, pose, intr: gom_project(
+            p, {**host, **sa}, cfg, pose, intr, w, h))
         opac = gom_opacities(self.params, None)
         best = None
         for f in frames:
             xy, _depth, conic, valid = proj(
-                self.params, jnp.asarray(self.dataset.pose_all[f]),
+                self._static_arr, self.params,
+                jnp.asarray(self.dataset.pose_all[f]),
                 jnp.asarray(self.dataset.intrinsics[:3, :3]))
             pl = plan_flat(xy, conic, opac, valid, tiles_x, tiles_y,
                            cfg.tile_size, margin=self._flat_margin)
@@ -267,7 +282,10 @@ class Stage4Runner:
         return self._bins_cache[frame_idx]
 
     def _build_jits(self):
-        static = self.static
+        # static gaussian-geometry ARRAYS enter every jit as the `sa`
+        # argument (see __init__: closure constants overflow the remote
+        # compiler at real mesh scale); host scalars stay closure-bound
+        host = self._static_host
         cfg_ = self.cfg
         optimizer = self.optimizer
         loss_scale = self.loss_scale
@@ -277,15 +295,18 @@ class Stage4Runner:
         if self.use_flat:
             from holoscene_tpu.models.gom import gom_flat_bins
 
-            self._rebin = jax.jit(
-                lambda p, pose, intr, used: gom_flat_bins(
-                    p, static, cfg_, pose, intr, w_ds, h_ds, flat_plan,
-                    used_chunks=used))
+            self._rebin_jit = jax.jit(
+                lambda sa, p, pose, intr, used: gom_flat_bins(
+                    p, {**host, **sa}, cfg_, pose, intr, w_ds, h_ds,
+                    flat_plan, used_chunks=used))
+            self._rebin = lambda p, pose, intr, used: self._rebin_jit(
+                self._static_arr, p, pose, intr, used)
         else:
             self._rebin = None
 
-        def step_fn(params, opt_state, key, pose, intr, image, acm,
+        def step_fn(sa, params, opt_state, key, pose, intr, image, acm,
                     mesh_depth, bins):
+            static = {**host, **sa}
             h, w = image.shape[0], image.shape[1]
             bg = jax.random.uniform(key, (3,))
 
@@ -321,16 +342,18 @@ class Stage4Runner:
             return (params, opt_state,
                     {**losses, "loss": total, "psnr": psnr}, used, stale)
 
-        self._step = jax.jit(step_fn, donate_argnums=(0, 1))
+        self._step_jit = jax.jit(step_fn, donate_argnums=(1, 2))
+        self._step = lambda *a: self._step_jit(self._static_arr, *a)
 
         n_gauss = self.static["num_gaussians"]
 
-        def invis_step_fn(params, opt_state, key, pose, half_extent, image,
-                          mask, visible_mask):
+        def invis_step_fn(sa, params, opt_state, key, pose, half_extent,
+                          image, mask, visible_mask):
             """Invisible-view supervision: render ONLY one object's gaussians
             from a generated orthographic view (reference get_invis_loss /
             get_bg_loss, holoscene_train_gaussian.py:936/:1069 with
             visible_gs_indices opacity masking, model/gom.py:1004-1011)."""
+            static = {**host, **sa}
             h, w = image.shape[0], image.shape[1]
             bg = jax.random.uniform(key, (3,))
             intr = jnp.array(
@@ -355,20 +378,24 @@ class Stage4Runner:
             params = optax.apply_updates(params, updates)
             return params, opt_state, l1
 
-        self._invis_step = jax.jit(invis_step_fn, donate_argnums=(0, 1))
+        self._invis_step_jit = jax.jit(invis_step_fn, donate_argnums=(1, 2))
+        self._invis_step = lambda *a: self._invis_step_jit(
+            self._static_arr, *a)
 
         flat_plan_full = getattr(self, "flat_plan_full", flat_plan)
 
-        def render_eval(params, pose, intr, h: int, w: int):
+        def render_eval(sa, params, pose, intr, h: int, w: int):
             bg = jnp.zeros(3)
             # eval renders bin fresh (exact, no staleness) on the flat path
             # — under the FULL plan: a trimmed capacity without per-frame
             # used counts would overflow
             fp = flat_plan_full if (h, w) == (h_ds, w_ds) else None
-            return render_gom(params, static, cfg_, pose, intr, w, h, bg,
-                              flat_plan=fp)
+            return render_gom(params, {**host, **sa}, cfg_, pose, intr,
+                              w, h, bg, flat_plan=fp)
 
-        self._render_eval = jax.jit(render_eval, static_argnums=(3, 4))
+        self._render_eval_jit = jax.jit(render_eval, static_argnums=(4, 5))
+        self._render_eval = lambda *a: self._render_eval_jit(
+            self._static_arr, *a)
 
     def _frame_mesh_raster(self, frame_idx: int):
         """Cached mesh mask + depth for a training frame

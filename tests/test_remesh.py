@@ -105,3 +105,32 @@ def test_coarse_recon_recovers_sphere():
     r = np.linalg.norm(rec.vertices, axis=1)
     assert abs(float(np.median(r)) - 0.4) < 0.08, f"median radius {np.median(r)}"
     assert len(rec.faces) > 50
+
+
+def test_coarse_recon_accepts_mismatched_view_resolution():
+    """Generated views arrive at the provider's img_size (128/256), not the
+    recon raster res — coarse_recon must resample targets instead of
+    crashing (the r4a hardware chain failed here: (64,64) vs (128,128))."""
+    gt = icosphere(radius=0.4, subdivisions=2)
+    center = np.zeros(3)
+    rig = wonder3d_camera_rig(center, 1.5)
+    from holoscene_tpu.ops.rasterizer import rasterize_mesh
+
+    views = []
+    for pose in rig[:3]:
+        out = rasterize_mesh(gt.vertices, gt.faces, pose, None, (128, 128),
+                             ortho_half_extent=0.7)
+        mask = np.asarray(out["mask"])
+        tri = np.asarray(out["pix_verts"])
+        n = np.cross(tri[..., 1, :] - tri[..., 0, :],
+                     tri[..., 2, :] - tri[..., 0, :])
+        n = n / np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
+        views.append({"pose": pose, "half_extent": 0.7,
+                      "normal": (n @ pose[:3, :3]).astype(np.float32),
+                      "mask": mask})
+
+    rec = coarse_recon(views, center, 0.5,
+                       CoarseReconConfig(iters=40, remesh_every=30,
+                                         img_res=64))
+    assert len(rec.faces) > 20
+    assert np.isfinite(rec.vertices).all()
