@@ -537,6 +537,35 @@ def _mm_mode() -> str:
     return os.environ.get("HOLOSCENE_FLAT_MM", "bf16x2")
 
 
+def _power_mode() -> str:
+    """'mxu' (default): per-chunk gaussian exponents via ONE [P,6]@[6,C]
+    matmul over TILE-LOCAL coordinates (|coord| <= ~tile_size, so the
+    quadratic expansion stays well-conditioned in f32) — the ~9 [P,C] VPU
+    ops of the direct quadratic become ~12 [1,C] row ops + a tiny MXU
+    contraction. 'vpu' restores the direct form (A/B knob)."""
+    import os
+
+    return os.environ.get("HOLOSCENE_FLAT_POWER", "mxu")
+
+
+def _power_basis(pxl, pyl):
+    """F [P,6] = [x^2, xy, y^2, x, y, 1] in tile-local coords."""
+    one = jnp.ones_like(pxl)
+    return jnp.concatenate(
+        [pxl * pxl, pxl * pyl, pyl * pyl, pxl, pyl, one], axis=1)
+
+
+def _power_coeffs(ca, cb, cc_, gxl, gyl):
+    """Q [6,C] with F @ Q == -0.5 * d^T conic d, d = p - g (tile-local)."""
+    q0 = -0.5 * ca
+    q1 = -cb
+    q2 = -0.5 * cc_
+    q3 = ca * gxl + cb * gyl
+    q4 = cb * gxl + cc_ * gyl
+    q5 = -0.5 * (ca * gxl * gxl + 2.0 * cb * gxl * gyl + cc_ * gyl * gyl)
+    return jnp.concatenate([q0, q1, q2, q3, q4, q5], axis=0)
+
+
 def _tri_dot_r(x, mask, mode):
     """Triangular prefix matmul x [P, C] @ mask [C, C] -> [P, C] f32, with
     the 0/1 mask exact in bf16. See HOLOSCENE_FLAT_MM above."""
@@ -557,7 +586,8 @@ def _tri_dot_r(x, mask, mode):
 
 def _flat_fwd_kernel3(cs_ref, cc_ref, cand_hbm, out_ref, buf, sem,
                       *, tile_size: int, tiles_x: int,
-                      img_w: int, img_h: int, mm_mode: str):
+                      img_w: int, img_h: int, mm_mode: str,
+                      power_mode: str = "vpu"):
     """Forward tile walk.
 
     cs/cc: scalar-prefetched per-tile chunk start/count (chunk units).
@@ -589,6 +619,11 @@ def _flat_fwd_kernel3(cs_ref, cc_ref, cand_hbm, out_ref, buf, sem,
     # chunk's depth order) via log1m @ lower
     lower = (row < col).astype(jnp.float32)
 
+    # tile-local pixel basis for the MXU power path (loop-invariant)
+    cx = ox + tile_size * 0.5
+    cy = oy + tile_size * 0.5
+    fbasis = _power_basis(px - cx, py - cy) if power_mode == "mxu" else None
+
     def dma(kc, slot):
         return pltpu.make_async_copy(
             cand_hbm.at[c0 + kc], buf.at[slot], sem.at[slot])
@@ -614,9 +649,16 @@ def _flat_fwd_kernel3(cs_ref, cc_ref, cand_hbm, out_ref, buf, sem,
         gx, gy = c[0:1, :], c[1:2, :]     # [1, C]
         ca, cb, cc_ = c[2:3, :], c[3:4, :], c[4:5, :]
         op = c[5:6, :]
-        dx = px - gx                      # [P, C]
-        dy = py - gy
-        power = -0.5 * (ca * dx * dx + 2.0 * cb * dx * dy + cc_ * dy * dy)
+        if power_mode == "mxu":
+            q = _power_coeffs(ca, cb, cc_, gx - cx, gy - cy)    # [6, C]
+            power = jax.lax.dot_general(
+                fbasis, q, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=HIGH)
+        else:
+            dx = px - gx                  # [P, C]
+            dy = py - gy
+            power = -0.5 * (ca * dx * dx + 2.0 * cb * dx * dy
+                            + cc_ * dy * dy)
         a = jnp.minimum(0.999, op * jnp.exp(jnp.minimum(power, 0.0)))
         a = jnp.where(a >= ALPHA_EPS, a, 0.0)
 
@@ -654,7 +696,8 @@ def _flat_fwd_kernel3(cs_ref, cc_ref, cand_hbm, out_ref, buf, sem,
 def _flat_bwd_kernel3(cs_ref, cc_ref, cand_hbm, fwd_ref, v_ref, dcand_hbm,
                       buf, obuf, sem, osem,
                       *, tile_size: int, tiles_x: int,
-                      img_w: int, img_h: int, n_chunks: int, mm_mode: str):
+                      img_w: int, img_h: int, n_chunks: int, mm_mode: str,
+                      power_mode: str = "vpu"):
     """Reverse tile walk over the chunks the forward actually composited.
 
     fwd: [1, P, 8] forward outputs (used in ch 5, total log1m in ch 6).
@@ -691,6 +734,13 @@ def _flat_bwd_kernel3(cs_ref, cc_ref, cand_hbm, fwd_ref, v_ref, dcand_hbm,
     lower = (row < col).astype(jnp.float32)   # prefix: sum_{r < c}
     upper = (row > col).astype(jnp.float32)   # suffix: sum_{r > c}
 
+    # tile-local pixel basis: powers the MXU exponent AND the pixel-moment
+    # reduction M = F^T @ dpow (rows: x^2, xy, y^2, x, y, 1 moments), from
+    # which every conic/position gradient row reconstructs on [1,C] vregs
+    cx = ox + tile_size * 0.5
+    cy = oy + tile_size * 0.5
+    fbasis = _power_basis(px - cx, py - cy) if power_mode == "mxu" else None
+
     total = fwd_ref[0, :, 6:7]            # [P, 1]
     v = v_ref[0]                          # [P, 8]
 
@@ -720,9 +770,17 @@ def _flat_bwd_kernel3(cs_ref, cc_ref, cand_hbm, fwd_ref, v_ref, dcand_hbm,
         gx, gy = c[0:1, :], c[1:2, :]
         ca, cb, cc_ = c[2:3, :], c[3:4, :], c[4:5, :]
         op = c[5:6, :]
-        dx = px - gx                      # [P, C]
-        dy = py - gy
-        power = -0.5 * (ca * dx * dx + 2.0 * cb * dx * dy + cc_ * dy * dy)
+        if power_mode == "mxu":
+            gxl, gyl = gx - cx, gy - cy   # [1, C]
+            q = _power_coeffs(ca, cb, cc_, gxl, gyl)
+            power = jax.lax.dot_general(
+                fbasis, q, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=HIGH)
+        else:
+            dx = px - gx                  # [P, C]
+            dy = py - gy
+            power = -0.5 * (ca * dx * dx + 2.0 * cb * dx * dy
+                            + cc_ * dy * dy)
         e = jnp.exp(jnp.minimum(power, 0.0))
         a_pre = op * e
         a_cap = jnp.minimum(0.999, a_pre)
@@ -759,16 +817,37 @@ def _flat_bwd_kernel3(cs_ref, cc_ref, cand_hbm, fwd_ref, v_ref, dcand_hbm,
         du = jax.lax.dot_general(
             v[:, 0:4], w, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=HIGH)  # [4, C]
-        obuf[slot] = jnp.concatenate([
-            red(dpow * (ca * dx + cb * dy)),
-            red(dpow * (cb * dx + cc_ * dy)),
-            red(dpow * (-0.5 * dx * dx)),
-            red(dpow * (-dx * dy)),
-            red(dpow * (-0.5 * dy * dy)),
-            red(da * e),
-            du,
-            jnp.zeros((6, CHUNK), jnp.float32),
-        ], axis=0)                        # [16, C]
+        if power_mode == "mxu":
+            # pixel moments of dpow: one [6,P]@[P,C] MXU contraction
+            # replaces the five [P,C]-sized gradient-row products
+            mm = jax.lax.dot_general(
+                fbasis, dpow, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=HIGH)
+            mx2, mxy, my2 = mm[0:1, :], mm[1:2, :], mm[2:3, :]
+            mx, my, m0 = mm[3:4, :], mm[4:5, :], mm[5:6, :]
+            ex = mx - gxl * m0            # red(dpow * dx)
+            ey = my - gyl * m0
+            obuf[slot] = jnp.concatenate([
+                ca * ex + cb * ey,
+                cb * ex + cc_ * ey,
+                -0.5 * (mx2 - 2.0 * gxl * mx + gxl * gxl * m0),
+                -(mxy - gxl * my - gyl * mx + gxl * gyl * m0),
+                -0.5 * (my2 - 2.0 * gyl * my + gyl * gyl * m0),
+                red(da * e),
+                du,
+                jnp.zeros((6, CHUNK), jnp.float32),
+            ], axis=0)                    # [16, C]
+        else:
+            obuf[slot] = jnp.concatenate([
+                red(dpow * (ca * dx + cb * dy)),
+                red(dpow * (cb * dx + cc_ * dy)),
+                red(dpow * (-0.5 * dx * dx)),
+                red(dpow * (-dx * dy)),
+                red(dpow * (-0.5 * dy * dy)),
+                red(da * e),
+                du,
+                jnp.zeros((6, CHUNK), jnp.float32),
+            ], axis=0)                    # [16, C]
         dma_out(j, slot).start()
 
         return suffix + csum, s_after + jnp.sum(ws, axis=1, keepdims=True)
@@ -835,7 +914,7 @@ def _flat_bwd_kernel3(cs_ref, cc_ref, cand_hbm, fwd_ref, v_ref, dcand_hbm,
 
 
 def _fwd_call3(cand, cs, cc, n_tiles, tile_size, tiles_x, img_w, img_h,
-               interpret, mm_mode):
+               interpret, mm_mode, power_mode="vpu"):
     p = tile_size * tile_size
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -850,35 +929,36 @@ def _fwd_call3(cand, cs, cc, n_tiles, tile_size, tiles_x, img_w, img_h,
     )
     return pl.pallas_call(
         partial(_flat_fwd_kernel3, tile_size=tile_size, tiles_x=tiles_x,
-                img_w=img_w, img_h=img_h, mm_mode=mm_mode),
+                img_w=img_w, img_h=img_h, mm_mode=mm_mode,
+                power_mode=power_mode),
         out_shape=jax.ShapeDtypeStruct((n_tiles, p, 8), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
     )(cs, cc, cand)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9))
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9, 10))
 def _flat_core(cand, cs, cc, n_tiles, tile_size, tiles_x, img_w, img_h,
-               interpret, mm_mode):
+               interpret, mm_mode, power_mode="vpu"):
     """Composite the packed candidate blocks [n_chunks, 16, 128].
     Returns the raw per-tile output block [T, P, 8] — channels rgb(3),
-    depth_acc (unnormalized), alpha, used_chunks, total_log1m, pad — so the
-    VJP receives its cotangent in kernel-native orientation (callers slice;
-    channels 5-7 are non-differentiable diagnostics whose cotangents pair
-    with zero payload rows)."""
+    depth_acc (unnormalized), alpha, used_chunks, total_log1m,
+    ended-live flag — so the VJP receives its cotangent in kernel-native
+    orientation (callers slice; channels 5-7 are non-differentiable
+    diagnostics whose cotangents pair with zero payload rows)."""
     return _fwd_call3(cand, cs, cc, n_tiles, tile_size, tiles_x, img_w,
-                      img_h, interpret, mm_mode)
+                      img_h, interpret, mm_mode, power_mode)
 
 
 def _flat_core_fwd(cand, cs, cc, n_tiles, tile_size, tiles_x, img_w, img_h,
-                   interpret, mm_mode):
+                   interpret, mm_mode, power_mode="vpu"):
     out = _fwd_call3(cand, cs, cc, n_tiles, tile_size, tiles_x, img_w,
-                     img_h, interpret, mm_mode)
+                     img_h, interpret, mm_mode, power_mode)
     return out, (cand, cs, cc, out)
 
 
 def _flat_core_bwd(n_tiles, tile_size, tiles_x, img_w, img_h, interpret,
-                   mm_mode, res, d_out):
+                   mm_mode, power_mode, res, d_out):
     cand, cs, cc, out = res
     n_chunks = cand.shape[0]
     p = tile_size * tile_size
@@ -904,7 +984,7 @@ def _flat_core_bwd(n_tiles, tile_size, tiles_x, img_w, img_h, interpret,
     dcand = pl.pallas_call(
         partial(_flat_bwd_kernel3, tile_size=tile_size, tiles_x=tiles_x,
                 img_w=img_w, img_h=img_h, n_chunks=n_chunks,
-                mm_mode=mm_mode),
+                mm_mode=mm_mode, power_mode=power_mode),
         out_shape=jax.ShapeDtypeStruct((n_chunks, CAND_ROWS, CHUNK),
                                        jnp.float32),
         grid_spec=grid_spec,
@@ -976,7 +1056,8 @@ def composite_tiles_flat(
 
     out = _flat_core(
         cand, bins["tile_chunk_start"], bins["tile_chunk_cnt"],
-        n_tiles, tile_size, tiles_x, width, height, interpret, _mm_mode())
+        n_tiles, tile_size, tiles_x, width, height, interpret, _mm_mode(),
+        _power_mode())
     rgb_t = out[:, :, :3]                            # [T, P, 3]
     depth_acc = out[:, :, 3]
     alpha = out[:, :, 4]

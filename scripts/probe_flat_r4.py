@@ -62,10 +62,11 @@ def run():
                 used_chunks=used, trim_slack=SLACK)
         return rebin
 
-    def make_step(pl, lanes: bool):
+    def make_step(pl, lanes: bool, power: str = "vpu"):
         def loss(p, bins):
             os.environ["HOLOSCENE_FLAT_CUMSUM"] = (
                 "lanes" if lanes else "blocked")
+            os.environ["HOLOSCENE_FLAT_POWER"] = power
             out = render_gaussians(
                 p["means"], quats, jnp.exp(p["scales"]),
                 jax.nn.sigmoid(p["opac"]), p["colors"], viewmat, intr,
@@ -154,7 +155,17 @@ def run():
                 "grad trim/blocked ")
     tl = timeit_step(make_step(tplan, True), rebin_trim, bins_trim,
                      "grad trim/lanes   ")
-    print(f"combined speedup: {base / tl:.2f}x")
+    # MXU-power kernels (exponent via [P,6]@[6,C], gradient rows via pixel
+    # moments) on the trimmed plan
+    tm = timeit_step(make_step(tplan, False, power="mxu"), rebin_trim,
+                     bins_trim, "grad trim/mxupow  ")
+    # parity check vs the vpu-power step on identical inputs
+    g_v = make_step(tplan, False, power="vpu")(params, bins_trim)
+    g_m = make_step(tplan, False, power="mxu")(params, bins_trim)
+    md = max(float(jnp.max(jnp.abs(g_v[k] - g_m[k])))
+             for k in g_v)
+    print(f"mxu-power grad parity: max|diff| {md:.2e}")
+    print(f"combined speedup: {base / min(tl, tm):.2f}x")
 
 
 if __name__ == "__main__":
