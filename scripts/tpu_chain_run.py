@@ -106,7 +106,17 @@ runner4 = Stage4Runner(
     area_to_subdivide=1e-5, max_total_iters=S4_ITERS,
     out_dir=runner1.plots_dir, quiet=False,
 )
-runner4.load_vis_info(runner1.plots_dir)
+# vis packs by ORIGINAL object id (failed objects leave holes in
+# tex_paths, so position-based load_vis_info would misalign)
+import pickle
+
+for slot, p in enumerate(tex_paths):
+    k = int(os.path.basename(p).split("_")[1].split(".")[0])
+    name = "bg_info.pkl" if k == 0 else f"vis_info_{k}.pkl"
+    vp = os.path.join(runner1.plots_dir, name)
+    if os.path.exists(vp):
+        with open(vp, "rb") as f:
+            runner4.vis_info_list[slot] = pickle.load(f)
 runner4.run(n_iters=S4_ITERS, log_every=100)
 metrics = runner4.eval_split("train", max_frames=4)
 runner4.export()

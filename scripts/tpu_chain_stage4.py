@@ -1,0 +1,80 @@
+"""Resume the hardware chain at stage 4 from the on-disk stage-3 artifacts
+(r4a ran stages 1->2->3 on the chip; stage 4 crashed on the
+closure-constant compile-payload bug, fixed since — this finishes the
+chain without redoing the 75-minute stage 2)."""
+import glob
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+import numpy as np
+
+import holoscene_tpu
+
+holoscene_tpu.setup_compile_cache()
+
+from holoscene_tpu.config import ConfigFactory
+from holoscene_tpu.datasets.ns_dataset import NSDataset
+from holoscene_tpu.models.gom import GoMConfig
+from holoscene_tpu.training.stage4 import Stage4Runner
+from holoscene_tpu.utils.mesh import read_obj
+
+work = os.environ.get("FLAGSHIP_WORK", "/tmp/tpu_chain_mini")
+RES = int(os.environ.get("FLAGSHIP_RES", "256"))
+S4_ITERS = int(os.environ.get("CHAIN_S4_ITERS", "500"))
+
+runs = sorted(glob.glob(os.path.join(
+    work, "exps", "flagship_synth", "*", "plots")))
+assert runs, f"no run dirs under {work}"
+plots_dir = runs[-1]
+tex_paths = sorted(glob.glob(os.path.join(plots_dir, "surface_*.obj")))
+assert tex_paths, f"no stage-3 textured meshes in {plots_dir}"
+print(f"resuming stage 4 from {plots_dir}: {len(tex_paths)} textured meshes",
+      flush=True)
+
+conf = ConfigFactory.parse_file("/root/repo/confs/replica_room0.conf")
+dataset = NSDataset(os.path.join(work, "data"), "scene_0",
+                    img_res=(RES, RES))
+
+t0 = time.time()
+baked = [read_obj(p) for p in tex_paths]
+runner4 = Stage4Runner(
+    baked, dataset, cfg=GoMConfig(sh_degree=3, max_per_tile=0),
+    area_to_subdivide=1e-5, max_total_iters=S4_ITERS,
+    out_dir=plots_dir, quiet=False,
+)
+# vis packs by ORIGINAL object id parsed from surface_{k}.obj (failed
+# objects leave holes, so position-based load_vis_info would misalign)
+import pickle
+
+for slot, p in enumerate(tex_paths):
+    k = int(os.path.basename(p).split("_")[1].split(".")[0])
+    name = "bg_info.pkl" if k == 0 else f"vis_info_{k}.pkl"
+    vp = os.path.join(plots_dir, name)
+    if os.path.exists(vp):
+        with open(vp, "rb") as f:
+            runner4.vis_info_list[slot] = pickle.load(f)
+runner4.run(n_iters=S4_ITERS, log_every=100)
+metrics = runner4.eval_split("train", max_frames=4)
+runner4.export()
+n_g = int(runner4.static["num_gaussians"])
+wall = time.time() - t0
+
+timeline_path = os.path.join(plots_dir, "chain_timeline.json")
+timeline = {}
+if os.path.exists(timeline_path):
+    with open(timeline_path) as f:
+        timeline = json.load(f)
+timeline["stage4"] = {
+    "wall_s": round(wall, 1), "psnr": round(metrics["psnr"], 2),
+    "ssim": round(metrics["ssim"], 4), "gaussians": n_g,
+    "splats_per_sec": round(n_g * S4_ITERS / wall),
+    "resumed": True,
+}
+with open(timeline_path, "w") as f:
+    json.dump(timeline, f, indent=1)
+print(f"== chain stage4: {json.dumps(timeline['stage4'])}", flush=True)
+print(f"== CHAIN DONE psnr={metrics['psnr']:.2f} "
+      f"ssim={metrics['ssim']:.3f}", flush=True)
