@@ -19,4 +19,6 @@ run fwd_parts 2400 python -u scripts/probe_flat_fwd_parts.py
 
 run s4_trainer 3600 python -u scripts/probe_stage4_trainer.py
 
+run occ_phases 3600 python -u scripts/probe_occ_phases.py
+
 echo "=== QUEUE R4C DONE $(date -u)"
