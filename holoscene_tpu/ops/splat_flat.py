@@ -386,11 +386,15 @@ def build_flat_bins(xy, depth, conic, opac, valid,
         tiles_x=tiles_x, tiles_y=tiles_y, tile_size=tile_size, plan=plan,
         used_chunks=used_chunks, trim_slack=trim_slack)
     c_max = plan.c_max
-    _, perm = jax.lax.sort(
+    sg, perm = jax.lax.sort(
         (meta["gidx"], jnp.arange(c_max, dtype=jnp.int32)), num_keys=1)
-    counts = jnp.bincount(meta["gidx"], length=n + 1)
-    bounds = jnp.concatenate(
-        [jnp.zeros((1,), counts.dtype), jnp.cumsum(counts)]
+    # run boundaries via binary search over the sorted ids (n+2 queries)
+    # instead of bincount+cumsum — the bincount is a c_max-element
+    # scatter-add on the ~88 M elem/s scatter engine (PERF.md), several ms
+    # of the rebin at flagship scale for a result the sort already implies
+    bounds = jnp.searchsorted(
+        sg, jnp.arange(n + 2, dtype=jnp.int32), side="left",
+        method="scan_unrolled",
     ).astype(jnp.int32)                              # [n + 2]
     meta["perm"] = perm
     meta["bounds"] = bounds

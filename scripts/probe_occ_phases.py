@@ -74,10 +74,21 @@ def run():
     batch = make_batch(jax.random.PRNGKey(3), NRAYS)
     key = jax.random.PRNGKey(0)
 
-    # warm the grid with real update steps
+    # warm the grid with real update steps, then pin beta to the ANNEALED
+    # regime (~0.01 by iteration ~2k of a 100k-iter run) — at the init
+    # beta=0.1 the 4-beta safety margin marks every cell occupied and the
+    # restriction is correctly a no-op (bench_occ r4 measured exactly
+    # that: 5035 vs 5061 rays/s); occupancy is a LATE-TRAINING lever and
+    # this probe measures that regime
     occ = init_occ_grid(cfg.occupancy)
     p, o = params, opt_state
-    for i in range(6):
+    for i in range(3):
+        key, k = jax.random.split(key)
+        p, o, m, occ = step(p, o, k, batch, i, call_reg=True, with_bg=False,
+                            occ=occ, update_occ=True)
+    _ = float(m["loss"])
+    p["density"]["beta"] = jnp.asarray(0.01, jnp.float32)
+    for i in range(3, 6):
         key, k = jax.random.split(key)
         p, o, m, occ = step(p, o, k, batch, i, call_reg=True, with_bg=False,
                             occ=occ, update_occ=True)
