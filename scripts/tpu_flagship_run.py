@@ -49,9 +49,18 @@ runner.model_cfg = dataclasses.replace(
         sdf_bwd_sample=_cb and os.environ.get("FLAGSHIP_SDF_BWD", "1") == "1",
     ),
 )
+if os.environ.get("FLAGSHIP_OCC", "0") == "1":
+    from holoscene_tpu.ops.occupancy import OccGridConfig, init_occ_grid
+
+    runner.model_cfg = dataclasses.replace(
+        runner.model_cfg, use_occupancy=True,
+        occupancy=OccGridConfig(
+            bound=runner.model_cfg.scene_bounding_sphere))
+    runner.occ = init_occ_grid(runner.model_cfg.occupancy)
 print(f"flagship cfg: top_m={runner.model_cfg.render_top_m} "
       f"dual={runner.model_cfg.implicit.fused_dual_grid} "
-      f"interp={runner.model_cfg.implicit.grid_interp}", flush=True)
+      f"interp={runner.model_cfg.implicit.grid_interp} "
+      f"occ={runner.model_cfg.use_occupancy}", flush=True)
 runner.train_step = make_train_step(runner.model_cfg, runner.loss_cfg, runner.optimizer)
 runner.render_frame = make_eval_render(runner.model_cfg)
 

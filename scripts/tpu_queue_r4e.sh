@@ -1,0 +1,23 @@
+#!/bin/bash
+# Round-4 part E: flagship 512^2 validation of the occupancy-restricted
+# sampler (launch only after gate_occ passes) — real-scale rays/s where
+# beta is annealed + quality vs the r3 anneal row (36.91 dB).
+set -u
+cd /root/repo
+export PYTHONPATH=/root/.axon_site:/root/repo
+LOCK=/tmp/holoscene_chip.lock
+
+run() {
+  local tag=$1 to=$2; shift 2
+  echo "=== [$tag] $(date -u +%H:%M:%S) :: $*"
+  flock "$LOCK" env HOLOSCENE_CHIP_LOCK_HELD=1 timeout "$to" "$@" 2>&1 | tail -80
+  echo "=== [$tag] rc=${PIPESTATUS[0]} $(date -u +%H:%M:%S)"
+}
+
+run flagship_occ 10800 env FLAGSHIP_WORK=/tmp/tpu_flagship_occ \
+    FLAGSHIP_RES=512 FLAGSHIP_ITERS=10000 FLAGSHIP_CKPT_FREQ=500 \
+    FLAGSHIP_OCC=1 \
+    python scripts/tpu_supervise.py --stall-sec 1200 -- \
+    python -u scripts/tpu_flagship_run.py
+
+echo "=== QUEUE R4E DONE $(date -u)"
