@@ -386,15 +386,14 @@ def build_flat_bins(xy, depth, conic, opac, valid,
         tiles_x=tiles_x, tiles_y=tiles_y, tile_size=tile_size, plan=plan,
         used_chunks=used_chunks, trim_slack=trim_slack)
     c_max = plan.c_max
-    sg, perm = jax.lax.sort(
+    _, perm = jax.lax.sort(
         (meta["gidx"], jnp.arange(c_max, dtype=jnp.int32)), num_keys=1)
-    # run boundaries via binary search over the sorted ids (n+2 queries)
-    # instead of bincount+cumsum — the bincount is a c_max-element
-    # scatter-add on the ~88 M elem/s scatter engine (PERF.md), several ms
-    # of the rebin at flagship scale for a result the sort already implies
-    bounds = jnp.searchsorted(
-        sg, jnp.arange(n + 2, dtype=jnp.int32), side="left",
-        method="scan_unrolled",
+    # bounds via bincount+cumsum: measured FASTER than the searchsorted
+    # alternative (r4c probe: binary search = ~20 gather rounds over 100k
+    # queries ≈ 2M gather rows, worse than one c_max-element scatter)
+    counts = jnp.bincount(meta["gidx"], length=n + 1)
+    bounds = jnp.concatenate(
+        [jnp.zeros((1,), counts.dtype), jnp.cumsum(counts)]
     ).astype(jnp.int32)                              # [n + 2]
     meta["perm"] = perm
     meta["bounds"] = bounds
@@ -542,14 +541,16 @@ def _mm_mode() -> str:
 
 
 def _power_mode() -> str:
-    """'mxu' (default): per-chunk gaussian exponents via ONE [P,6]@[6,C]
-    matmul over TILE-LOCAL coordinates (|coord| <= ~tile_size, so the
-    quadratic expansion stays well-conditioned in f32) — the ~9 [P,C] VPU
-    ops of the direct quadratic become ~12 [1,C] row ops + a tiny MXU
-    contraction. 'vpu' restores the direct form (A/B knob)."""
+    """'mxu': per-chunk gaussian exponents via ONE [P,6]@[6,C] matmul over
+    TILE-LOCAL coordinates (well-conditioned in f32), gradient rows via a
+    [6,P]@[P,C] pixel-moment contraction. Measured NEUTRAL vs 'vpu' on v5e
+    (r4c probe: 22.12 vs 22.14 ms/step, gradients bit-identical) — the walk
+    is not bound on these VPU ops at CHUNK=128 — so the simpler 'vpu' form
+    stays default; the mxu path is kept for wider-chunk variants where the
+    tri-matmul balance shifts."""
     import os
 
-    return os.environ.get("HOLOSCENE_FLAT_POWER", "mxu")
+    return os.environ.get("HOLOSCENE_FLAT_POWER", "vpu")
 
 
 def _power_basis(pxl, pyl):
