@@ -37,12 +37,17 @@ K = int(os.environ.get("PROBE_REPS", "12"))
 
 
 def timeit(fn, *args, tag=""):
-    out = fn(*args)
-    _ = float(np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[0])
+    # sync by a jitted scalar reduce: reading any full output copies MBs
+    # through the relay (~300 MB/s) and swamps the op being measured (the
+    # first run of this probe measured exactly that)
+    red = jax.jit(lambda *a: sum(
+        jnp.sum(leaf) for leaf in jax.tree_util.tree_leaves(fn(*a))
+        if jnp.issubdtype(leaf.dtype, jnp.floating)))
+    _ = float(red(*args))
     t0 = time.perf_counter()
     for _i in range(K):
-        out = fn(*args)
-    _ = float(np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[0])
+        out = red(*args)
+    _ = float(out)
     dt = (time.perf_counter() - t0) / K
     print(f"{tag}: {dt * 1e3:7.2f} ms", flush=True)
     return dt

@@ -52,7 +52,7 @@ def _gt_meshes(res=48):
 
 
 def run():
-    work = "/tmp/probe_s4_trainer"
+    work = f"/tmp/probe_s4_trainer_{RES}"
     os.makedirs(work, exist_ok=True)
     scene_dir = os.path.join(work, "data", "scene_0")
     if not os.path.exists(os.path.join(scene_dir, "transforms.json")):

@@ -14,6 +14,10 @@ run() {
   echo "=== [$tag] rc=${PIPESTATUS[0]} $(date -u +%H:%M:%S)"
 }
 
+run fwd_parts2 2400 python -u scripts/probe_flat_fwd_parts.py
+
+run s4_trainer2 3600 python -u scripts/probe_stage4_trainer.py
+
 run flagship_occ 10800 env FLAGSHIP_WORK=/tmp/tpu_flagship_occ \
     FLAGSHIP_RES=512 FLAGSHIP_ITERS=10000 FLAGSHIP_CKPT_FREQ=500 \
     FLAGSHIP_OCC=1 \
