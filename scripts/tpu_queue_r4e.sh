@@ -18,6 +18,10 @@ run fwd_parts2 2400 python -u scripts/probe_flat_fwd_parts.py
 
 run s4_trainer2 3600 python -u scripts/probe_stage4_trainer.py
 
+# sampler cost is 38% of the step (occ_phases r4c); eval-sample-count A/Bs
+run bench_es96 2400 env BENCH_EVAL_SAMPLES=96 BENCH_SKIP_STAGE4=1 python bench.py
+run bench_es64 2400 env BENCH_EVAL_SAMPLES=64 BENCH_SKIP_STAGE4=1 python bench.py
+
 run flagship_occ 10800 env FLAGSHIP_WORK=/tmp/tpu_flagship_occ \
     FLAGSHIP_RES=512 FLAGSHIP_ITERS=10000 FLAGSHIP_CKPT_FREQ=500 \
     FLAGSHIP_OCC=1 \
