@@ -397,13 +397,22 @@ class Stage4Runner:
         self._render_eval = lambda *a: self._render_eval_jit(
             self._static_arr, *a)
 
-    def _frame_mesh_raster(self, frame_idx: int):
+    def _frame_mesh_raster(self, frame_idx: int, max_faces: int = 150_000):
         """Cached mesh mask + depth for a training frame
-        (reference :550-575, recomputed per-iter there)."""
+        (reference :550-575, recomputed per-iter there). Meshes above the
+        face cap rasterize DECIMATED: the mask/depth priors don't need
+        stage-3 texture-resolution geometry, and full-res rasterization of
+        a ~500k-face baked scene OOMs the chip next to the training state
+        (r4d chain run)."""
         if frame_idx not in self._mesh_cache:
+            if not hasattr(self, "_raster_meshes"):
+                self._raster_meshes = [
+                    m.decimate(max_faces) if len(m.faces) > max_faces else m
+                    for m in self.meshes
+                ]
             h, w = self.dataset.img_res
             out = rasterize_mesh_list(
-                [(m.vertices, m.faces) for m in self.meshes],
+                [(m.vertices, m.faces) for m in self._raster_meshes],
                 self.dataset.pose_all[frame_idx],
                 self.dataset.intrinsics[:3, :3],
                 (h, w),
