@@ -14,6 +14,11 @@ run() {
   echo "=== [$tag] rc=${PIPESTATUS[0]} $(date -u +%H:%M:%S)"
 }
 
+run chain_s4b 5400 env FLAGSHIP_WORK=/tmp/tpu_chain_mini FLAGSHIP_RES=256 \
+    CHAIN_S4_ITERS=500 \
+    python scripts/tpu_supervise.py --stall-sec 1500 -- \
+    python -u scripts/tpu_chain_stage4.py
+
 run fwd_parts2 2400 python -u scripts/probe_flat_fwd_parts.py
 
 run s4_trainer2 3600 python -u scripts/probe_stage4_trainer.py
