@@ -411,12 +411,17 @@ class Stage4Runner:
                     for m in self.meshes
                 ]
             h, w = self.dataset.img_res
-            out = rasterize_mesh_list(
-                [(m.vertices, m.faces) for m in self._raster_meshes],
-                self.dataset.pose_all[frame_idx],
-                self.dataset.intrinsics[:3, :3],
-                (h, w),
-            )
+            # raster on the HOST: this runs once per frame and caches, and
+            # at chain scale the chip's HBM is already committed to the
+            # training state — the r4e run OOM'd on the raster's upload
+            cpu = jax.devices("cpu")[0]
+            with jax.default_device(cpu):
+                out = rasterize_mesh_list(
+                    [(m.vertices, m.faces) for m in self._raster_meshes],
+                    self.dataset.pose_all[frame_idx],
+                    self.dataset.intrinsics[:3, :3],
+                    (h, w),
+                )
             mask = np.asarray(out["mask"], dtype=np.float32)
             depth = np.asarray(out["depth"], dtype=np.float32)
             depth = np.where(mask > 0, depth, depth[mask > 0].max() if mask.any() else 1.0)
