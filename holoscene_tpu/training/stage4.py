@@ -181,6 +181,13 @@ class Stage4Runner:
         self._trim_active = False
         self._build_jits()
         self.vis_info_list = [[] for _ in range(len(meshes))]
+        # pre-rasterize every frame's mesh mask/depth NOW, while the chip
+        # still has headroom: once training steps execute, the workspace +
+        # state of a chain-scale run leaves too little HBM for the raster's
+        # buffers (r4e OOM'd lazily rasterizing frame 2 mid-training); the
+        # cache stores host numpy, so the raster buffers free immediately
+        for _f in range(self.dataset.n_images):
+            self._frame_mesh_raster(_f)
 
     def _init_flat_plan(self):
         """Probe a few training cameras and derive the shared FlatPlan (max
@@ -411,17 +418,12 @@ class Stage4Runner:
                     for m in self.meshes
                 ]
             h, w = self.dataset.img_res
-            # raster on the HOST: this runs once per frame and caches, and
-            # at chain scale the chip's HBM is already committed to the
-            # training state — the r4e run OOM'd on the raster's upload
-            cpu = jax.devices("cpu")[0]
-            with jax.default_device(cpu):
-                out = rasterize_mesh_list(
-                    [(m.vertices, m.faces) for m in self._raster_meshes],
-                    self.dataset.pose_all[frame_idx],
-                    self.dataset.intrinsics[:3, :3],
-                    (h, w),
-                )
+            out = rasterize_mesh_list(
+                [(m.vertices, m.faces) for m in self._raster_meshes],
+                self.dataset.pose_all[frame_idx],
+                self.dataset.intrinsics[:3, :3],
+                (h, w),
+            )
             mask = np.asarray(out["mask"], dtype=np.float32)
             depth = np.asarray(out["depth"], dtype=np.float32)
             depth = np.where(mask > 0, depth, depth[mask > 0].max() if mask.any() else 1.0)
