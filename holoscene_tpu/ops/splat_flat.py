@@ -1045,12 +1045,30 @@ def composite_tiles_flat(
     # candidate payload fetch: ONE 16-wide row gather whose reshape IS the
     # kernel's row-major chunk layout (no transpose, no pad pass); row N is
     # the dead/trash row. Columns: x y ca cb cc op r g b z 1 pad(5).
-    payload = jnp.concatenate(
-        [xy, conic, opac[:, None], rgb, depth[:, None],
-         jnp.ones((n, 1), xy.dtype),
-         jnp.zeros((n, CAND_ROWS - 11), xy.dtype)], axis=-1)   # [N, 16]
-    payload = jnp.concatenate(
-        [payload, jnp.zeros((1, CAND_ROWS), payload.dtype)], axis=0)
+    import os as _os
+
+    if _os.environ.get("HOLOSCENE_FLAT_PAYT", "0") == "1":
+        # transposed build: stack the 11 sources as [11, N] rows (minor-N,
+        # no lane padding on the writes) and transpose ONCE into the
+        # row-major gather source — the direct [N, 16] concat measured
+        # 3.1 ms at flagship shapes (fwd_parts r4: every [N, few] slice
+        # write pays the 128-lane pad)
+        pay_t = jnp.stack(
+            [xy[:, 0], xy[:, 1], conic[:, 0], conic[:, 1], conic[:, 2],
+             opac, rgb[:, 0], rgb[:, 1], rgb[:, 2], depth,
+             jnp.ones((n,), xy.dtype)], axis=0)                # [11, N]
+        pay_t = jnp.concatenate(
+            [pay_t, jnp.zeros((CAND_ROWS - 11, n), pay_t.dtype)], axis=0)
+        pay_t = jnp.concatenate(
+            [pay_t, jnp.zeros((CAND_ROWS, 1), pay_t.dtype)], axis=1)
+        payload = pay_t.T                                      # [N+1, 16]
+    else:
+        payload = jnp.concatenate(
+            [xy, conic, opac[:, None], rgb, depth[:, None],
+             jnp.ones((n, 1), xy.dtype),
+             jnp.zeros((n, CAND_ROWS - 11), xy.dtype)], axis=-1)  # [N, 16]
+        payload = jnp.concatenate(
+            [payload, jnp.zeros((1, CAND_ROWS), payload.dtype)], axis=0)
     cand_rows = _planned_take_sliced(
         payload, bins["gidx"], bins["perm"], bins["bounds"],
         11)                                          # [c_max, 16]
