@@ -106,6 +106,7 @@ class Mesh:
         if len(self.faces) <= max_faces:
             return self
         v, f = self.vertices, self.faces
+        vc = self.vertex_colors
         lo = v.min(0)
         ext = np.maximum(v.max(0) - lo, 1e-9)
         g = max(int(np.sqrt(max_faces)), 8)
@@ -120,6 +121,13 @@ class Mesh:
             np.add.at(nv, inv, v)
             np.add.at(cnt, inv, 1)
             nv /= cnt[:, None]
+            nvc = None
+            if vc is not None:
+                # carry colors through the clustering (stage-4 seeds
+                # gaussian colors from baked vertex colors)
+                acc = np.zeros((len(uniq), 3))
+                np.add.at(acc, inv, np.asarray(vc, np.float64)[:, :3])
+                nvc = (acc / cnt[:, None]).astype(vc.dtype)
             nf = inv[f]
             keep = ((nf[:, 0] != nf[:, 1]) & (nf[:, 1] != nf[:, 2])
                     & (nf[:, 0] != nf[:, 2]))
@@ -130,7 +138,7 @@ class Mesh:
                     (skey[:, 0] * len(uniq) + skey[:, 1]) * len(uniq)
                     + skey[:, 2], return_index=True)
                 nf = nf[np.sort(first)]
-            best = Mesh(nv, nf)
+            best = Mesh(nv, nf, nvc)
             if len(nf) <= max_faces:
                 return best
             g = min(int(g / 1.3), g - 1)

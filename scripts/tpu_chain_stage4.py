@@ -40,6 +40,14 @@ dataset = NSDataset(os.path.join(work, "data"), "scene_0",
 
 t0 = time.time()
 baked = [read_obj(p) for p in tex_paths]
+# one v5e: cap the gaussian count — stage-3 bakes the bg at texture-grade
+# ~530k faces, and seeding one gaussian per (subdivided) face plus Adam
+# state plus the span-5x7 binning expansion exceeds 16 GB HBM (r4d/r4e
+# OOMs). 256² supervision doesn't resolve that face density anyway.
+max_faces = int(os.environ.get("CHAIN_S4_MAX_FACES", "150000"))
+baked = [m.decimate(max_faces) if len(m.faces) > max_faces else m
+         for m in baked]
+print(f"stage-4 meshes: {[len(m.faces) for m in baked]} faces", flush=True)
 runner4 = Stage4Runner(
     baked, dataset, cfg=GoMConfig(sh_degree=3, max_per_tile=0),
     area_to_subdivide=1e-5, max_total_iters=S4_ITERS,
