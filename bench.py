@@ -108,12 +108,12 @@ def flagship_config() -> HoloSceneConfig:
         # offline error probe: PERF.md round-2 (0 = off)
         render_fine_top_f=int(os.environ.get("BENCH_FINE_TOP_F", "32")),
         render_fine_levels=int(os.environ.get("BENCH_FINE_LEVELS", "6")),
-        # occupancy-grid sampling restriction (ops/occupancy.py): shipped
-        # default after the r4 quality gate (35.80 dB vs 35.62, chamfer
-        # improves). At the bench's init beta the grid is conservatively
-        # all-occupied, so the headline number is unchanged (measured
-        # neutral: 5035 vs 5061); the win appears once beta anneals.
-        use_occupancy=os.environ.get("BENCH_OCC", "1") == "1",
+        # occupancy-grid sampling restriction (ops/occupancy.py): OPT-IN —
+        # the 2500-iter gate improved but the 512²/10k flagship run showed
+        # an eval-quality collapse (unsupervised excluded regions drift;
+        # PERF.md r4). Re-gate with the full-coverage mitigation before
+        # flipping this back on.
+        use_occupancy=os.environ.get("BENCH_OCC", "0") == "1",
     )
 
 

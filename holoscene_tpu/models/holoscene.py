@@ -261,7 +261,13 @@ def render_rays(
 
     beta_sg = jax.lax.stop_gradient(get_beta(params, cfg))
     near = far = None
-    if occ is not None:
+    if occ is not None and not update_occ:
+        # grid-update steps (1 in occ_update_every) deliberately sample the
+        # FULL interval: restricted-only training starves excluded regions
+        # of color/density supervision and they drift to fog the eval
+        # sampler then integrates (the r4 512² flagship collapse, PERF.md);
+        # the duty-cycled full pass keeps every region supervised AND gives
+        # the grid unrestricted probe coverage
         from holoscene_tpu.ops.rays import near_far_from_cube
 
         _, far0 = near_far_from_cube(

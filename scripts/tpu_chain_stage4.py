@@ -48,11 +48,29 @@ max_faces = int(os.environ.get("CHAIN_S4_MAX_FACES", "150000"))
 baked = [m.decimate(max_faces) if len(m.faces) > max_faces else m
          for m in baked]
 print(f"stage-4 meshes: {[len(m.faces) for m in baked]} faces", flush=True)
+
+# pick the subdivision threshold from a TOTAL gaussian budget: seeding is
+# one gaussian per subdivided face, and a fixed area threshold explodes a
+# room-scale mesh into millions of slots (the r4e retry OOM'd at ~2M)
+target_g = int(os.environ.get("CHAIN_S4_TARGET_G", "300000"))
+
+
+def _area(m):
+    v, f = np.asarray(m.vertices), np.asarray(m.faces)
+    c = np.cross(v[f[:, 1]] - v[f[:, 0]], v[f[:, 2]] - v[f[:, 0]])
+    return float(np.linalg.norm(c, axis=1).sum() / 2)
+
+
+total_area = sum(_area(m) for m in baked)
+area_sub = max(1e-5, total_area / target_g)
+print(f"total area {total_area:.2f} -> area_to_subdivide {area_sub:.2e} "
+      f"(target ~{target_g} gaussians)", flush=True)
 runner4 = Stage4Runner(
     baked, dataset, cfg=GoMConfig(sh_degree=3, max_per_tile=0),
-    area_to_subdivide=1e-5, max_total_iters=S4_ITERS,
+    area_to_subdivide=area_sub, max_total_iters=S4_ITERS,
     out_dir=plots_dir, quiet=False,
 )
+print(f"gaussians: {int(runner4.static['num_gaussians'])}", flush=True)
 # vis packs by ORIGINAL object id parsed from surface_{k}.obj (failed
 # objects leave holes, so position-based load_vis_info would misalign)
 import pickle

@@ -49,7 +49,7 @@ runner.model_cfg = dataclasses.replace(
         sdf_bwd_sample=_cb and os.environ.get("FLAGSHIP_SDF_BWD", "1") == "1",
     ),
 )
-if os.environ.get("FLAGSHIP_OCC", "1") == "1":
+if os.environ.get("FLAGSHIP_OCC", "0") == "1":
     from holoscene_tpu.ops.occupancy import OccGridConfig, init_occ_grid
 
     runner.model_cfg = dataclasses.replace(
