@@ -40,6 +40,24 @@ dataset = NSDataset(os.path.join(work, "data"), "scene_0",
 
 t0 = time.time()
 baked = [read_obj(p) for p in tex_paths]
+# bake the stage-3 texture into per-vertex colors (read_obj keeps UVs but
+# not colors; gaussian seeding inits features_dc from vertex colors — the
+# first completed chain run seeded grey and spent its 500 iters
+# relearning color from scratch: PSNR 10.3)
+from PIL import Image
+
+for m, p in zip(baked, tex_paths):
+    png = p.replace(".obj", ".png")
+    if m.uvs is not None and len(m.uvs) == len(m.vertices) \
+            and os.path.exists(png):
+        tex = np.asarray(Image.open(png).convert("RGB"))
+        hgt, wdt = tex.shape[:2]
+        u = np.clip(m.uvs[:, 0], 0, 1)
+        v = np.clip(m.uvs[:, 1], 0, 1)
+        px = np.clip((u * (wdt - 1)).round().astype(int), 0, wdt - 1)
+        py = np.clip(((1.0 - v) * (hgt - 1)).round().astype(int), 0,
+                     hgt - 1)
+        m.vertex_colors = tex[py, px]
 # one v5e: cap the gaussian count — stage-3 bakes the bg at texture-grade
 # ~530k faces, and seeding one gaussian per (subdivided) face plus Adam
 # state plus the span-5x7 binning expansion exceeds 16 GB HBM (r4d/r4e
