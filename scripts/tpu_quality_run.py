@@ -27,7 +27,10 @@ conf.put("model.implicit_network.feature_vector_size", 128)
 conf.put("model.feature_vector_size", 128)
 conf.put("model.rendering_network.dims", [128, 128])
 conf.put("model.ray_sampler.N_samples", 48)
-conf.put("model.ray_sampler.N_samples_eval", 96)
+# gate-scale default 96; QUALITY_EVAL_SAMPLES gates the eval-probe-count
+# reduction (bench A/B r4e: 128->64 = +8.6% rays/s at flagship shapes)
+conf.put("model.ray_sampler.N_samples_eval",
+         int(os.environ.get("QUALITY_EVAL_SAMPLES", "96")))
 conf.put("model.ray_sampler.N_samples_extra", 24)
 conf.put("model.ray_sampler.max_total_iters",
          int(os.environ.get("QUALITY_SAMPLER_ITERS", "4")))
