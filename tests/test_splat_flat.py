@@ -420,3 +420,35 @@ def test_flat_saturation_trim_exact_and_stale_flag():
         xy, depth, conic, opac, colors, valid, res, res, ts, zplan,
         bins=zbins, interpret=INTERP)
     assert int(flags_z["stale"]) == 1
+
+
+def test_flat_cached_bins_track_motion_16_steps():
+    """The staleness contract at DOUBLE the shipped rebin cadence: 16
+    optimizer steps of 3DGS position drift against a frozen plan must stay
+    >= 45 dB of fresh binning (gates rebin_every=16)."""
+    from holoscene_tpu.ops.splat_flat import build_flat_bins
+
+    means, quats, scales, opac, colors, viewmat, intr = _scene(n=150, seed=9)
+    res, ts = 64, 16
+    tiles = res // ts
+    cov3d = covariance_3d(quats, scales)
+    xy, depth, conic, radius, valid = project_gaussians(
+        means, cov3d, viewmat, intr, res, res)
+    plan = plan_flat(xy, conic, opac, valid, tiles, tiles, ts, margin=1.6)
+    bins = build_flat_bins(xy, depth, conic, opac, valid,
+                           tiles_x=tiles, tiles_y=tiles, tile_size=ts,
+                           plan=plan)
+    nudged = means + 16 * 1.6e-4 * jnp.asarray(
+        np.random.default_rng(4).normal(size=means.shape).astype(np.float32))
+
+    def render(m, bins_arg):
+        return render_gaussians(
+            m, quats, scales, opac, colors, viewmat, intr,
+            width=res, height=res, tile_size=ts, flat_plan=plan,
+            flat_bins=bins_arg, use_pallas=not INTERP)["rgb"]
+
+    img_stale = np.asarray(render(nudged, bins))
+    img_fresh = np.asarray(render(nudged, None))
+    mse = float(np.mean((img_stale - img_fresh) ** 2))
+    psnr = -10 * np.log10(max(mse, 1e-12))
+    assert psnr > 45.0, psnr
