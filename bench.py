@@ -202,7 +202,11 @@ def bench_stage4(n: int = 100_000, res: int = 512, timed_steps: int = 20):
         )
         from holoscene_tpu.ops.splat_flat import build_flat_bins, plan_flat
 
-        rebin_every = int(os.environ.get("BENCH_REBIN_EVERY", "8"))
+        # 16 gated by the 16-STEP staleness test (test_splat_flat) and
+        # measured +3% over 8 (r4: 5.07 vs 4.92 M splats/s). The TRAINER
+        # keeps rebin_every=8 per-frame VISITS — a visit cadence spans more
+        # optimizer steps of drift than the bench's single-frame cadence.
+        rebin_every = int(os.environ.get("BENCH_REBIN_EVERY", "16"))
         tiles = res // 16
 
         def _proj(p):
