@@ -369,7 +369,15 @@ def render_gom(
         use_pallas=cfg.use_pallas, flat_plan=flat_plan, flat_bins=flat_bins,
     )
     rgb = jnp.clip(out["rgb"], 0.0, 1.0)
-    return {"rgb": rgb, "depth": out["depth"], "accumulation": out["alpha"]}
+    res = {"rgb": rgb, "depth": out["depth"], "accumulation": out["alpha"]}
+    # flat-path telemetry MUST survive this layer: the trainer's saturation
+    # trim feeds on used_chunks and re-plans on stale/overflow. (A dropped
+    # used_chunks once defaulted to 0 downstream, capping every tile at
+    # trim_slack chunks — silently truncated renders, diverging training.)
+    for k in ("overflow", "stale", "used_chunks"):
+        if k in out:
+            res[k] = out[k]
+    return res
 
 
 def gom_project(params, static, cfg: GoMConfig, pose_c2w, intrinsics,

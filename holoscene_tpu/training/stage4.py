@@ -179,6 +179,7 @@ class Stage4Runner:
 
         self._used_cache: dict[int, "jnp.ndarray"] = {}
         self._trim_active = False
+        self.stale_steps = 0  # trimmed-plan truncated renders (log + rebin)
         self._build_jits()
         self.vis_info_list = [[] for _ in range(len(meshes))]
         # pre-rasterize every frame's mesh mask/depth NOW, while the chip
@@ -335,17 +336,22 @@ class Stage4Runner:
                 psnr = -10.0 * jnp.log10(
                     jnp.mean((out["rgb"] - image) ** 2) + 1e-12
                 )
-                # flat-path walk diagnostics feed the saturation trim (the
-                # trainer caches used per frame; stale is log-only — trims
-                # self-heal through the used feedback, no per-step sync)
-                used = out.get("used_chunks", jnp.zeros((), jnp.int32))
-                stale = out.get("stale", jnp.zeros((), jnp.int32))
+                # flat-path walk diagnostics feed the saturation trim; a
+                # silent default here once fed used=0 into the trim caps
+                # (truncated renders, diverging training) — require them
+                if flat_plan is not None:
+                    used = out["used_chunks"]    # [T] int32 walked chunks
+                    stale = out["stale"]
+                else:
+                    used = jnp.zeros((), jnp.int32)
+                    stale = jnp.zeros((), jnp.int32)
                 return total, (losses, psnr, used, stale)
 
             (total, (losses, psnr, used, stale)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True
             )(params)
             updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
             return (params, opt_state,
                     {**losses, "loss": total, "psnr": psnr}, used, stale)
 
@@ -452,6 +458,7 @@ class Stage4Runner:
         h, w = self.dataset.img_res
         t0 = time.time()
         has_vis = any(len(v) for v in self.vis_info_list)
+        pending_stale = None  # (frame_idx, device scalar) — read next iter
         for it in range(self.iter_step, end):
             frame_idx = int(self.rng.integers(0, self.dataset.n_images))
             acm, mesh_depth = self._frame_mesh_raster(frame_idx)
@@ -459,15 +466,28 @@ class Stage4Runner:
             self.key, k = jax.random.split(self.key)
             pose = jnp.asarray(self.dataset.pose_all[frame_idx])
             intr = jnp.asarray(self.dataset.intrinsics[:3, :3])
+            if pending_stale is not None:
+                # one-step-delayed readback: by now the producing step has
+                # retired, so int() doesn't stall dispatch of THIS step
+                sf, sv = pending_stale
+                pending_stale = None
+                if int(sv):
+                    self.stale_steps += 1
+                    # the frame rendered truncated under a trimmed plan:
+                    # drop its cached bins so the next visit rebins early
+                    self._bins_cache.pop(sf, None)
+                    self._bins_age.pop(sf, None)
             bins = (self._get_bins(frame_idx, pose, intr)
                     if self.use_flat else None)
-            self.params, self.opt_state, metrics, used, _stale = self._step(
+            self.params, self.opt_state, metrics, used, stale = self._step(
                 self.params, self.opt_state, k, pose, intr,
                 jnp.asarray(image), jnp.asarray(acm), jnp.asarray(mesh_depth),
                 bins,
             )
             if self.use_flat:
                 self._used_cache[frame_idx] = used
+                if self._trim_active:
+                    pending_stale = (frame_idx, stale)
                 self._maybe_trim_plan()
             if has_vis:
                 # one random object's generated view per iteration
@@ -490,6 +510,7 @@ class Stage4Runner:
             if it % log_every == 0 or it == end - 1:
                 m = {k2: float(v) for k2, v in metrics.items()}
                 m["iter"] = it
+                m["stale_steps"] = self.stale_steps
                 m["splats_per_sec"] = (
                     self.static["num_gaussians"] * (it - self.iter_step + 1)
                     / max(time.time() - t0, 1e-9)

@@ -71,6 +71,39 @@ def test_stage4_end_to_end(scene, tmp_path):
     assert len(g["means"]) == hi - lo
 
 
+def test_stage4_main_step_updates_params(scene, tmp_path):
+    """One main-view _step call must change params (no invis views in play).
+
+    Regression guard: a step_fn rewrite once dropped optax.apply_updates,
+    making camera-view training a no-op that the end-to-end progress
+    assertion missed (invis-view steps still updated params)."""
+    import jax
+    import jax.numpy as jnp
+
+    meshes = _gt_meshes()
+    cfg = GoMConfig(sh_degree=1, max_per_tile=128, tile_size=16)
+    runner = Stage4Runner(
+        meshes, scene, cfg=cfg, area_to_subdivide=5e-3,
+        max_total_iters=4, out_dir=str(tmp_path / "out"), quiet=True,
+    )
+    assert not any(len(v) for v in runner.vis_info_list)  # no invis packs
+    h, w = runner.dataset.img_res
+    acm, mesh_depth = runner._frame_mesh_raster(0)
+    image = runner.dataset.rgb_images[0].reshape(h, w, 3)
+    before = jax.tree_util.tree_map(jnp.copy, runner.params)
+    params, _, metrics, _, _ = runner._step(
+        runner.params, runner.opt_state, jax.random.PRNGKey(0),
+        jnp.asarray(runner.dataset.pose_all[0]),
+        jnp.asarray(runner.dataset.intrinsics[:3, :3]),
+        jnp.asarray(image), jnp.asarray(acm), jnp.asarray(mesh_depth),
+        None,
+    )
+    deltas = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))), params, before)
+    assert max(jax.tree_util.tree_leaves(deltas)) > 0.0, (
+        "main train step left every param leaf unchanged")
+
+
 def test_stage4_auto_max_per_tile(scene, tmp_path):
     """max_per_tile=0 auto-picks K from p99 tile overlap at trainer init."""
     meshes = _gt_meshes()
@@ -161,6 +194,30 @@ def test_stage4_flat_trim_activates_and_trains(scene, tmp_path):
     assert len(runner._used_cache) == scene.n_images
     assert runner._trim_active
     assert runner.flat_plan.c_max <= full_cmax
+    # the cached used counts are REAL per-tile walk telemetry, not a
+    # dropped-key default (a silent used=0 once capped every tile at
+    # trim_slack chunks — truncated renders, diverging training)
+    u = np.asarray(next(iter(runner._used_cache.values())))
+    assert u.ndim == 1 and u.max() >= 1
+    # trimmed-bins training render == exact full-plan render (same params)
+    from holoscene_tpu.models.gom import render_gom
+
+    static = {**runner._static_host, **runner._static_arr}
+    pose = jnp.asarray(scene.pose_all[0])
+    intr = jnp.asarray(scene.intrinsics[:3, :3])
+    h, w = scene.img_res
+    bins = runner._get_bins(0, pose, intr)
+    ot = render_gom(runner.params, static, runner.cfg, pose, intr, w, h,
+                    jnp.zeros(3), flat_plan=runner.flat_plan, flat_bins=bins)
+    of = render_gom(runner.params, static, runner.cfg, pose, intr, w, h,
+                    jnp.zeros(3), flat_plan=runner.flat_plan_full)
+    assert float(jnp.max(jnp.abs(ot["rgb"] - of["rgb"]))) < 1e-5
+    assert float(jnp.max(jnp.abs(
+        ot["accumulation"] - of["accumulation"]))) < 1e-5
+    # flat-path flags survive the render_gom layer
+    assert "used_chunks" in ot and "stale" in ot and "overflow" in ot
     # eval path renders exactly under the full plan after the swap
     m = runner.eval_split("train", max_frames=1)
     assert np.isfinite(m["psnr"])
+    # convergence: trim must not break optimization (the 43->80 divergence)
+    assert hist[-1]["loss"] < hist[0]["loss"]
