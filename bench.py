@@ -306,24 +306,52 @@ def bench_stage4(n: int = 100_000, res: int = 512, timed_steps: int = 20):
     return n * timed_steps / dt, k
 
 
+def _stage4_rows(n: int = 100_000):
+    """stage4 bench row + the dp8-projected row (VERDICT r4 #3): measured
+    1-chip step + analytic ring all-reduce of the splat param tree over ICI
+    (same projection model as the stage-1 dp8 row — frames shard over
+    `data`, one grad psum per step; the sharded step itself is validated by
+    dryrun_multichip's stage-4 pass and tests/test_stage4_dp.py)."""
+    splats_per_sec, k_auto = bench_stage4(n)
+    row = {
+        "metric": "stage4_splats_per_sec",
+        "value": round(splats_per_sec, 1),
+        "unit": "splats/s",
+        "vs_baseline": round(
+            splats_per_sec
+            / (TARGET_MULTIPLIER * A100_REFERENCE_SPLATS_PER_SEC), 4),
+    }
+    if k_auto < 0:
+        row["splat_path"] = "flat"
+        row["rebin_every"] = -k_auto
+    else:
+        row["auto_max_per_tile"] = k_auto
+    rows = [row]
+    if os.environ.get("BENCH_DP_PROJECTION", "1") == "1":
+        grad_bytes = n * 10 * 4  # means3+scales3+opac1+colors3 fp32
+        step_s = n / splats_per_sec
+        n_dev = 8
+        coll_s = 2 * grad_bytes * (n_dev - 1) / n_dev / (45e9 * 2)
+        dp_rate = n_dev * n / (step_s + coll_s)
+        rows.append({
+            "metric": "stage4_dp8_projected_splats_per_sec",
+            "value": round(dp_rate, 1),
+            "unit": "splats/s",
+            "vs_baseline": round(
+                dp_rate / (TARGET_MULTIPLIER * A100_REFERENCE_SPLATS_PER_SEC),
+                4),
+            "projection": "1-chip measured step + analytic ring allreduce",
+            "collective_ms": round(coll_s * 1e3, 3),
+        })
+    return rows
+
+
 def _main():
     if os.environ.get("BENCH_SKIP_STAGE1", "0") == "1":
         # splat-only A/B mode: report stage4 as the primary metric
-        splats_per_sec, k_auto = bench_stage4()
-        row = {
-            "metric": "stage4_splats_per_sec",
-            "value": round(splats_per_sec, 1),
-            "unit": "splats/s",
-            "vs_baseline": round(
-                splats_per_sec
-                / (TARGET_MULTIPLIER * A100_REFERENCE_SPLATS_PER_SEC), 4),
-        }
-        if k_auto < 0:
-            row["splat_path"] = "flat"
-            row["rebin_every"] = -k_auto
-        else:
-            row["auto_max_per_tile"] = k_auto
-        print(json.dumps(row))
+        rows = _stage4_rows()
+        rows[0]["extra_metrics"] = rows[1:]
+        print(json.dumps(rows[0]))
         return
 
     cfg = flagship_config()
@@ -395,23 +423,7 @@ def _main():
                 "collective_ms": round(coll_s * 1e3, 2),
             })
     if os.environ.get("BENCH_SKIP_STAGE4", "0") != "1":
-        splats_per_sec, k_auto = bench_stage4()
-        row = {
-            "metric": "stage4_splats_per_sec",
-            "value": round(splats_per_sec, 1),
-            "unit": "splats/s",
-            "vs_baseline": round(
-                splats_per_sec
-                / (TARGET_MULTIPLIER * A100_REFERENCE_SPLATS_PER_SEC),
-                4,
-            ),
-        }
-        if k_auto < 0:  # flat amortized-binning path (exact, no K)
-            row["splat_path"] = "flat"
-            row["rebin_every"] = -k_auto
-        else:
-            row["auto_max_per_tile"] = k_auto
-        extra.append(row)
+        extra.extend(_stage4_rows())
 
     print(
         json.dumps(

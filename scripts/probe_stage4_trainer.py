@@ -74,14 +74,24 @@ def run():
     # warm the jits + plan caches outside the timed window
     runner.run(n_iters=10, log_every=5)
     t0 = time.time()
-    hist = runner.run(n_iters=ITERS, log_every=50)
+    hist = runner.run(n_iters=ITERS, log_every=20)
     wall = time.time() - t0
     print(f"TRAINER: {ITERS} iters in {wall:.1f}s -> "
           f"{n_g * ITERS / wall / 1e6:.2f} M splats/s "
           f"(trim_active={runner._trim_active}, "
           f"plan {runner.flat_plan.c_max}/{runner.flat_plan_full.c_max})",
           flush=True)
-    print(f"final psnr={hist[-1]['psnr']:.2f} loss={hist[-1]['loss']:.4f}",
+    print(f"final psnr={hist[-1]['psnr']:.2f} loss={hist[-1]['loss']:.4f} "
+          f"stale_steps={runner.stale_steps}", flush=True)
+    # convergence evidence (VERDICT r4 #1): quartile medians must DECREASE
+    ls = [h["loss"] for h in hist]
+    q = max(len(ls) // 4, 1)
+    med = lambda xs: float(np.median(xs))
+    print(f"loss quartile medians: {med(ls[:q]):.2f} -> "
+          f"{med(ls[q:2*q]):.2f} -> {med(ls[2*q:3*q]):.2f} -> "
+          f"{med(ls[3*q:]):.2f}", flush=True)
+    ev = runner.eval_split("train", max_frames=1)
+    print(f"eval train-frame psnr={ev['psnr']:.2f} ssim={ev['ssim']:.3f}",
           flush=True)
 
 
