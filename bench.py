@@ -114,6 +114,12 @@ def flagship_config() -> HoloSceneConfig:
         # PERF.md r4). Re-gate with the full-coverage mitigation before
         # flipping this back on.
         use_occupancy=os.environ.get("BENCH_OCC", "0") == "1",
+        # baked probe grid (ops/probe_grid.py): sampler placement proxy,
+        # re-baked every BENCH_PROBE_EVERY steps inside the timed window
+        # (the bake cost is part of the reported rate). A/B knob until the
+        # quality gates pass.
+        probe_grid_res=int(os.environ.get("BENCH_PROBE_GRID", "0")),
+        probe_update_every=int(os.environ.get("BENCH_PROBE_EVERY", "16")),
     )
 
 
@@ -372,12 +378,27 @@ def _main():
 
         occ = init_occ_grid(cfg.occupancy)
 
+    probe_bake = None
+    probe = [None]
+    if cfg.probe_grid_res > 0:
+        from holoscene_tpu.models.holoscene import make_probe_bake
+
+        probe_bake = make_probe_bake(cfg)
+
+    gstep = [0]  # global step counter: warmup + timed share the re-bake
+    # cadence (the timed loop's i resets, which would double-bake at i=0)
+
     def run_step(p, o, k, i, occ):
+        if probe_bake is not None and (
+                probe[0] is None or gstep[0] % cfg.probe_update_every == 0):
+            probe[0] = probe_bake(p)
+        gstep[0] += 1
         if occ is None:
-            p, o, m = step(p, o, k, batch, i, call_reg=True, with_bg=False)
+            p, o, m = step(p, o, k, batch, i, call_reg=True, with_bg=False,
+                           probe=probe[0])
             return p, o, m, None
         return step(p, o, k, batch, i, call_reg=True, with_bg=False,
-                    occ=occ, update_occ=i % occ_every == 0)
+                    occ=occ, update_occ=i % occ_every == 0, probe=probe[0])
 
     for i in range(WARMUP_STEPS):
         key, k = jax.random.split(key)

@@ -110,6 +110,12 @@ class HoloSceneConfig:
     # interval every step (ray_sampler.py:130-287).
     use_occupancy: bool = False
     occupancy: OccGridConfig = OccGridConfig()
+    # Baked dense probe grid (ops/probe_grid.py): sampler probe SDF queries
+    # ride one block-row gather per point instead of levels x 8 hashed rows
+    # + the MLP; trainers re-bake every probe_update_every steps (placement
+    # reads a slightly stale proxy; render/gradients stay exact). 0 = off.
+    probe_grid_res: int = 0
+    probe_update_every: int = 16
 
     def __post_init__(self):
         # the pruned kept-set must be able to span [near, far]: both
@@ -185,6 +191,8 @@ class HoloSceneConfig:
             render_fine_levels=conf.get_int("render_fine_levels", 8),
             forward_grad_mode=conf.get_string("forward_grad_mode", "vjp"),
             use_occupancy=conf.get_bool("use_occupancy", False),
+            probe_grid_res=conf.get_int("probe_grid_res", 0),
+            probe_update_every=conf.get_int("probe_update_every", 16),
             occupancy=OccGridConfig(
                 resolution=conf.get_int("occupancy_resolution", 64),
                 bound=sbs,
@@ -232,6 +240,24 @@ def scene_sdf_nograd(params: Params, cfg: HoloSceneConfig, obj_idxs=None):
     return fn
 
 
+def make_probe_bake(cfg: HoloSceneConfig):
+    """Jitted bake of the sampler probe grid from the CURRENT params
+    (ops/probe_grid.bake_probe_grid over the same coarse-level SDF the
+    sampler would query). Trainers call this every cfg.probe_update_every
+    steps and pass the result as render_rays(probe=...)."""
+    assert cfg.probe_grid_res > 0, "probe_grid_res must be set"
+
+    from holoscene_tpu.ops.probe_grid import bake_probe_grid
+
+    @jax.jit
+    def bake(params):
+        return bake_probe_grid(
+            scene_sdf_nograd(params, cfg), cfg.probe_grid_res,
+            cfg.sampler.scene_bounding_sphere)
+
+    return bake
+
+
 def render_rays(
     params: Params,
     cfg: HoloSceneConfig,
@@ -244,6 +270,7 @@ def render_rays(
     compute_eikonal: bool = True,
     occ: jnp.ndarray | None = None,
     update_occ: bool = False,
+    probe: jnp.ndarray | None = None,
 ) -> dict[str, jnp.ndarray]:
     """Render a batch of rays (model/network.py:778-913).
 
@@ -255,6 +282,11 @@ def render_rays(
     each ray's sampling interval to its occupied span; with update_occ the
     sampler's probe buffer is folded back in and the refreshed grid is
     returned as out["occ"] (unchanged grid otherwise).
+
+    probe: optional baked probe-grid block table (ops/probe_grid.py,
+    [probe_grid_res^3, 8]) — the sampler's placement SDF queries read this
+    proxy instead of the hashed field (trainers re-bake it on a cadence;
+    make_probe_bake). Rendering and all gradients stay exact.
     """
     R = rays_o.shape[0]
     k_sampler, k_eik, k_nei = jax.random.split(key, 3)
@@ -278,12 +310,21 @@ def render_rays(
         near, far = ray_range(
             occ, rays_o, rays_d, near0, far0, beta_sg, cfg.occupancy)
 
+    if probe is not None:
+        from holoscene_tpu.ops.probe_grid import probe_sdf_fn
+
+        sampler_sdf = probe_sdf_fn(
+            jax.lax.stop_gradient(probe), cfg.probe_grid_res,
+            cfg.sampler.scene_bounding_sphere)
+    else:
+        sampler_sdf = scene_sdf_nograd(params, cfg)
+
     prune_m = cfg.render_top_m if training else 0
     tier_ord = None
     need_aux = prune_m > 0 or (occ is not None and update_occ)
     if need_aux:
         z_vals, z_eik, (z_buf, sdf_buf, beta_buf) = error_bound_sample(
-            k_sampler, rays_o, rays_d, scene_sdf_nograd(params, cfg),
+            k_sampler, rays_o, rays_d, sampler_sdf,
             beta_sg, cfg.sampler,
             training=training, return_aux=True, near=near, far=far,
         )
@@ -303,7 +344,7 @@ def render_rays(
                 tier_ord = jnp.argsort(-kept_w, axis=-1)  # [R, M]
     else:
         z_vals, z_eik = error_bound_sample(
-            k_sampler, rays_o, rays_d, scene_sdf_nograd(params, cfg),
+            k_sampler, rays_o, rays_d, sampler_sdf,
             beta_sg, cfg.sampler,
             training=training, near=near, far=far,
         )

@@ -100,7 +100,7 @@ def make_train_step(cfg: HoloSceneConfig, lcfg: LossConfig, optimizer,
     @partial(jax.jit, static_argnames=("call_reg", "with_bg", "update_occ"),
              donate_argnums=(0, 1))
     def step(params, opt_state, key, batch, step_idx, call_reg: bool,
-             with_bg: bool, occ=None, update_occ: bool = False):
+             with_bg: bool, occ=None, update_occ: bool = False, probe=None):
         k_jit, k_render, k_bg_uv, k_bg = jax.random.split(key, 4)
 
         def loss_fn(p):
@@ -108,7 +108,8 @@ def make_train_step(cfg: HoloSceneConfig, lcfg: LossConfig, optimizer,
                 batch["uv"], batch["pose"], batch["intrinsics"], k_jit
             )
             out = render_rays(p, cfg, k_render, rays_o, rays_d, dscale, w2c,
-                              training=True, occ=occ, update_occ=update_occ)
+                              training=True, occ=occ, update_occ=update_occ,
+                              probe=probe)
             occ_new = out.pop("occ", None)
             if with_bg:
                 # random bg patch (reference network.py:916-930)
@@ -328,6 +329,15 @@ class Stage1Runner:
             from holoscene_tpu.ops.occupancy import init_occ_grid
 
             self.occ = init_occ_grid(self.model_cfg.occupancy)
+        # baked probe grid (model.probe_grid_res conf): sampler placement
+        # proxy re-baked every probe_update_every steps; like the occupancy
+        # grid it is NOT checkpointed — a resume re-bakes at its first step
+        self.probe = None
+        self._probe_bake = None
+        if self.model_cfg.probe_grid_res > 0:
+            from holoscene_tpu.models.holoscene import make_probe_bake
+
+            self._probe_bake = make_probe_bake(self.model_cfg)
         self.history: list[dict] = []
 
         from holoscene_tpu.utils.logging import MetricsLogger
@@ -499,18 +509,23 @@ class Stage1Runner:
                 self.model_cfg.use_bg_reg
                 and it % self.model_cfg.render_bg_iter == 0
             )
+            if self._probe_bake is not None and (
+                    self.probe is None
+                    or it % self.model_cfg.probe_update_every == 0):
+                self.probe = self._probe_bake(self.params)
             if self.occ is not None:
                 self.params, self.opt_state, metrics, self.occ = (
                     self.train_step(
                         self.params, self.opt_state, k_step, batch, it,
                         call_reg=call_reg, with_bg=with_bg, occ=self.occ,
                         update_occ=it % self.occ_update_every == 0,
+                        probe=self.probe,
                     )
                 )
             else:
                 self.params, self.opt_state, metrics = self.train_step(
                     self.params, self.opt_state, k_step, batch, it,
-                    call_reg=call_reg, with_bg=with_bg,
+                    call_reg=call_reg, with_bg=with_bg, probe=self.probe,
                 )
             rays_done += self.num_pixels
 

@@ -60,6 +60,14 @@ runner.model_cfg = dataclasses.replace(
         color_bwd_sample=_cbwd,
         sdf_bwd_sample=_sbwd,
         dense_max_res=int(os.environ.get("QUALITY_DENSE_MAX_RES", "0"))))
+_probe_res = int(os.environ.get("QUALITY_PROBE_GRID", "0"))
+if _probe_res:
+    from holoscene_tpu.models.holoscene import make_probe_bake
+
+    runner.model_cfg = dataclasses.replace(
+        runner.model_cfg, probe_grid_res=_probe_res,
+        probe_update_every=int(os.environ.get("QUALITY_PROBE_EVERY", "16")))
+    runner._probe_bake = make_probe_bake(runner.model_cfg)
 _occ = os.environ.get("QUALITY_OCC", "0") == "1"
 if _occ:
     from holoscene_tpu.ops.occupancy import OccGridConfig, init_occ_grid
