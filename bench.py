@@ -256,14 +256,16 @@ def bench_stage4(n: int = 100_000, res: int = 512, timed_steps: int = 20):
                 tiles_x=tiles, tiles_y=tiles, tile_size=16, plan=plan,
                 used_chunks=used0)
 
+        tgt_chw = tgt.transpose(2, 0, 1)  # trainer-layout target [3,H,W]
+
         def loss(p, bins):
             out = render_gaussians(
                 p["means"], quats, jnp.exp(p["scales"]),
                 jax.nn.sigmoid(p["opac"]), p["colors"], viewmat, intr,
                 width=res, height=res, tile_size=16, flat_plan=plan,
-                flat_bins=bins,
+                flat_bins=bins, chw=True,
             )
-            return jnp.mean((out["rgb"] - tgt) ** 2)
+            return jnp.mean((out["rgb"] - tgt_chw) ** 2)
 
         step = jax.jit(jax.grad(loss))
         bins = rebin(params)

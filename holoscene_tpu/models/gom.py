@@ -343,9 +343,11 @@ def render_gom(
     ortho: bool = False,
     flat_plan=None,
     flat_bins: dict | None = None,
+    chw: bool = False,
 ):
     """Full GoM render (gom.py:1082-1170). Returns dict(rgb, depth,
-    accumulation)."""
+    accumulation). chw=True renders rgb as [3,H,W] (channels-major
+    training-loss layout; ops/splat._image_epilogue)."""
     means = gom_means(params, static, cfg)
     quats = gom_quats(params, static, cfg)
     scales = gom_scales(params, static, cfg)
@@ -367,6 +369,7 @@ def render_gom(
         width, height, tile_size=cfg.tile_size, max_per_tile=cfg.max_per_tile,
         sh_degree=cfg.sh_degree, background=background, ortho=ortho,
         use_pallas=cfg.use_pallas, flat_plan=flat_plan, flat_bins=flat_bins,
+        chw=chw,
     )
     rgb = jnp.clip(out["rgb"], 0.0, 1.0)
     res = {"rgb": rgb, "depth": out["depth"], "accumulation": out["alpha"]}
@@ -424,9 +427,13 @@ def gom_flat_bins(params, static, cfg: GoMConfig, pose_c2w, intrinsics,
 
 
 def gom_loss(outputs, batch, cfg: GoMConfig, with_scale_reg: bool = False,
-             scales_linear=None):
+             scales_linear=None, chw: bool = False):
     """Stage-4 loss (gom.py:1211-1267). batch: image [H,W,3], acm [H,W],
-    mesh_depth [H,W] (optional), mask [H,W] (optional)."""
+    mesh_depth [H,W] (optional), mask [H,W] (optional).
+
+    chw=True: outputs/batch images are channels-major [3,H,W] (the render's
+    chw layout); masks/acm/depth stay [H,W]. Identical math — only the
+    tensor layout changes (W-minor avoids the [*,3] lane padding)."""
     gt = batch["image"]
     pred = outputs["rgb"]
 
@@ -436,7 +443,7 @@ def gom_loss(outputs, batch, cfg: GoMConfig, with_scale_reg: bool = False,
     )
 
     if "mask" in batch and batch["mask"] is not None:
-        m = batch["mask"][..., None]
+        m = (batch["mask"][None] if chw else batch["mask"][..., None])
         gt = gt * m
         pred = pred * m
 
@@ -449,7 +456,12 @@ def gom_loss(outputs, batch, cfg: GoMConfig, with_scale_reg: bool = False,
         l1_depth = 0.0
 
     l1 = jnp.mean(jnp.abs(gt - pred))
-    simloss = 1.0 - ssim_fn(gt, pred)
+    if chw:
+        from holoscene_tpu.ops.ssim import ssim_chw
+
+        simloss = 1.0 - ssim_chw(gt, pred)
+    else:
+        simloss = 1.0 - ssim_fn(gt, pred)
 
     scale_reg = jnp.asarray(0.0)
     if with_scale_reg and scales_linear is not None:

@@ -151,7 +151,7 @@ def calibrate_max_per_tile(
     static_argnames=(
         "width", "height", "tile_size", "max_per_tile", "sh_degree",
         "use_pallas", "ortho", "camera_model", "dist", "fetch",
-        "cumprod", "chunk", "flat_plan",
+        "cumprod", "chunk", "flat_plan", "chw",
     ),
 )
 def render_gaussians(
@@ -178,9 +178,11 @@ def render_gaussians(
     chunk: int | None = None,
     flat_plan=None,
     flat_bins: dict | None = None,
+    chw: bool = False,
 ):
     """Returns dict(rgb [H,W,3], depth [H,W] alpha-normalized expected depth,
-    alpha [H,W]).
+    alpha [H,W]). chw=True returns rgb as [3,H,W] (channels-major; the
+    training-loss layout — see _image_epilogue).
 
     use_pallas composites through the fused Pallas tile kernels
     (ops/splat_pallas.py), differentiable via the custom-VJP backward
@@ -250,7 +252,7 @@ def render_gaussians(
         )
         out = _image_epilogue(
             rgb_t, depth_norm_t * alpha_t, alpha_t, tiles_x, tiles_y,
-            tile_size, width, height, background,
+            tile_size, width, height, background, chw=chw,
         )
         # cached-bins callers watch these to trigger a replan: overflow =
         # capacity outgrown; stale = a saturation-trimmed tile may truncate;
@@ -422,13 +424,18 @@ def render_gaussians(
         alpha_t = alpha_t.reshape(-1, tile_size * tile_size)[:n_tiles]
 
     return _image_epilogue(rgb_t, depth_t, alpha_t, tiles_x, tiles_y,
-                           tile_size, width, height, background)
+                           tile_size, width, height, background, chw=chw)
 
 
 def _image_epilogue(rgb_t, depth_t, alpha_t, tiles_x, tiles_y, tile_size,
-                    width, height, background):
+                    width, height, background, chw: bool = False):
     """[n_tiles, P(,C)] tile buffers -> image dict (shared by the top-K and
-    flat pipelines)."""
+    flat pipelines).
+
+    chw=True emits rgb as [3, H, W] (channels-major): the whole downstream
+    loss then runs W-minor instead of 3-minor, skipping the 128-lane pad
+    every [H, W, 3] elementwise op pays (PERF.md r4 attribution; eval /
+    export callers keep the HWC default)."""
 
     def tiles_to_image(tiles_flat, channels):
         img = tiles_flat.reshape(
@@ -438,6 +445,24 @@ def _image_epilogue(rgb_t, depth_t, alpha_t, tiles_x, tiles_y, tile_size,
             tiles_y * tile_size, tiles_x * tile_size, channels
         )
         return img[:height, :width]
+
+    def tiles_to_image_chw(tiles_flat, channels):
+        img = tiles_flat.reshape(
+            tiles_y, tiles_x, tile_size, tile_size, channels
+        )
+        img = img.transpose(4, 0, 2, 1, 3).reshape(
+            channels, tiles_y * tile_size, tiles_x * tile_size
+        )
+        return img[:, :height, :width]
+
+    if chw:
+        rgb = tiles_to_image_chw(rgb_t, 3)                       # [3, H, W]
+        alpha = tiles_to_image_chw(alpha_t[..., None], 1)[0]
+        depth_acc = tiles_to_image_chw(depth_t[..., None], 1)[0]
+        depth_norm = depth_acc / jnp.maximum(alpha, 1e-10)
+        if background is not None:
+            rgb = rgb + (1.0 - alpha[None]) * background[:, None, None]
+        return {"rgb": rgb, "depth": depth_norm, "alpha": alpha}
 
     rgb = tiles_to_image(rgb_t, 3)
     alpha = tiles_to_image(alpha_t[..., None], 1)[..., 0]

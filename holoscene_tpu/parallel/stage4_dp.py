@@ -43,7 +43,8 @@ def make_stage4_dp_step(mesh: Mesh, optimizer, static_host: dict, cfg,
     stale [B]).
 
     All per-frame inputs carry a leading B axis sharded over `data`
-    (B = mesh.shape['data']); params / opt_state / static_arr replicate.
+    (B = mesh.shape['data']); images are channels-major [B, 3, H, W];
+    params / opt_state / static_arr replicate.
     `bins`: the per-frame cached index plans (models/gom.gom_flat_bins)
     stacked along axis 0 when cfg uses the flat path (flat_plan given),
     else the argument is ignored (pass None).
@@ -54,18 +55,21 @@ def make_stage4_dp_step(mesh: Mesh, optimizer, static_host: dict, cfg,
 
     def per_frame_loss(params, static, key, pose, intr, image, acm,
                        mesh_depth, bins):
+        # image is channels-major [3, H, W] — the trainer step's layout
+        # (training/stage4.py step_fn; avoids the [*, 3] lane padding)
         bg = jax.random.uniform(key, (3,))
         out = render_gom(params, static, cfg, pose, intr, width, height, bg,
-                         flat_plan=flat_plan, flat_bins=bins)
+                         flat_plan=flat_plan, flat_bins=bins, chw=True)
         batch = {
-            "image": image * acm[..., None] + (1 - acm[..., None]) * bg,
+            "image": image * acm[None] + (1 - acm[None]) * bg[:, None, None],
             "acm": acm,
             "mesh_depth": mesh_depth,
             "mask": None,
         }
         losses = gom_loss(out, batch, cfg,
                           with_scale_reg=cfg.use_scale_regularization,
-                          scales_linear=gom_scales(params, static, cfg))
+                          scales_linear=gom_scales(params, static, cfg),
+                          chw=True)
         total = losses["main_loss"] * loss_scale + losses["scale_reg"]
         psnr = -10.0 * jnp.log10(jnp.mean((out["rgb"] - image) ** 2) + 1e-12)
         if flat_plan is not None:

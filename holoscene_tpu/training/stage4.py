@@ -175,6 +175,7 @@ class Stage4Runner:
         self.key = jax.random.PRNGKey(seed)
         self.iter_step = 0
         self._mesh_cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        self._chw_cache: dict[int, np.ndarray] = {}
         self.history: list[dict] = []
 
         self._used_cache: dict[int, "jnp.ndarray"] = {}
@@ -314,15 +315,21 @@ class Stage4Runner:
 
         def step_fn(sa, params, opt_state, key, pose, intr, image, acm,
                     mesh_depth, bins):
+            """image arrives CHANNELS-MAJOR [3, H, W] (the trainer
+            pre-transposes once per frame): the whole render+loss graph
+            then runs W-minor, skipping the [*, 3] 128-lane pad (PERF.md
+            r4 attribution, ~5-6 ms of the step at 512^2)."""
             static = {**host, **sa}
-            h, w = image.shape[0], image.shape[1]
+            h, w = image.shape[1], image.shape[2]
             bg = jax.random.uniform(key, (3,))
 
             def loss_fn(p):
                 out = render_gom(p, static, cfg_, pose, intr, w, h, bg,
-                                 flat_plan=flat_plan, flat_bins=bins)
+                                 flat_plan=flat_plan, flat_bins=bins,
+                                 chw=True)
                 batch = {
-                    "image": image * acm[..., None] + (1 - acm[..., None]) * bg,
+                    "image": image * acm[None] + (1 - acm[None])
+                    * bg[:, None, None],
                     "acm": acm,
                     "mesh_depth": mesh_depth,
                     "mask": None,
@@ -331,6 +338,7 @@ class Stage4Runner:
                     out, batch, cfg_,
                     with_scale_reg=cfg_.use_scale_regularization,
                     scales_linear=gom_scales(p, static, cfg_),
+                    chw=True,
                 )
                 total = losses["main_loss"] * loss_scale + losses["scale_reg"]
                 psnr = -10.0 * jnp.log10(
@@ -462,7 +470,12 @@ class Stage4Runner:
         for it in range(self.iter_step, end):
             frame_idx = int(self.rng.integers(0, self.dataset.n_images))
             acm, mesh_depth = self._frame_mesh_raster(frame_idx)
-            image = self.dataset.rgb_images[frame_idx].reshape(h, w, 3)
+            if frame_idx not in self._chw_cache:
+                # channels-major [3,H,W] (step_fn's layout), host-cached
+                self._chw_cache[frame_idx] = np.ascontiguousarray(
+                    self.dataset.rgb_images[frame_idx]
+                    .reshape(h, w, 3).transpose(2, 0, 1))
+            image = self._chw_cache[frame_idx]
             self.key, k = jax.random.split(self.key)
             pose = jnp.asarray(self.dataset.pose_all[frame_idx])
             intr = jnp.asarray(self.dataset.intrinsics[:3, :3])

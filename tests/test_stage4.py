@@ -89,7 +89,8 @@ def test_stage4_main_step_updates_params(scene, tmp_path):
     assert not any(len(v) for v in runner.vis_info_list)  # no invis packs
     h, w = runner.dataset.img_res
     acm, mesh_depth = runner._frame_mesh_raster(0)
-    image = runner.dataset.rgb_images[0].reshape(h, w, 3)
+    # step_fn takes channels-major [3,H,W] images (see stage4 run loop)
+    image = runner.dataset.rgb_images[0].reshape(h, w, 3).transpose(2, 0, 1)
     before = jax.tree_util.tree_map(jnp.copy, runner.params)
     params, _, metrics, _, _ = runner._step(
         runner.params, runner.opt_state, jax.random.PRNGKey(0),

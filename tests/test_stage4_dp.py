@@ -75,7 +75,8 @@ def test_stage4_dp_matches_single_device(setup):
     poses = jnp.stack([jnp.asarray(ds.pose_all[f]) for f in range(B)])
     intrs = jnp.stack([jnp.asarray(ds.intrinsics[:3, :3])] * B)
     images = jnp.stack([
-        jnp.asarray(ds.rgb_images[f].reshape(h, w, 3)) for f in range(B)])
+        jnp.asarray(ds.rgb_images[f].reshape(h, w, 3).transpose(2, 0, 1))
+        for f in range(B)])                       # [B, 3, H, W] (chw)
     acms = jnp.ones((B, h, w))
     depths = jnp.ones((B, h, w))
     bins = [gom_flat_bins(params, static, cfg, poses[f], intrs[f], w, h,
@@ -87,17 +88,18 @@ def test_stage4_dp_matches_single_device(setup):
     def frame_loss(p, f):
         bg = jax.random.uniform(keys[f], (3,))
         out = render_gom(p, static, cfg, poses[f], intrs[f], w, h, bg,
-                         flat_plan=plan, flat_bins=bins[f])
+                         flat_plan=plan, flat_bins=bins[f], chw=True)
         batch = {
-            "image": images[f] * acms[f][..., None]
-            + (1 - acms[f][..., None]) * bg,
+            "image": images[f] * acms[f][None]
+            + (1 - acms[f][None]) * bg[:, None, None],
             "acm": acms[f],
             "mesh_depth": depths[f],
             "mask": None,
         }
         losses = gom_loss(out, batch, cfg,
                           with_scale_reg=cfg.use_scale_regularization,
-                          scales_linear=gom_scales(p, static, cfg))
+                          scales_linear=gom_scales(p, static, cfg),
+                          chw=True)
         return losses["main_loss"] * 5.0 + losses["scale_reg"]
 
     grads = [jax.grad(frame_loss)(params, f) for f in range(B)]
