@@ -84,6 +84,21 @@ def main():
             key, rays_o, rays_d, sfn, beta0, sc, training=True)
 
     timed("full", lambda k: sampler(sdf_real, scfg)(k))
+    # proxy path: sampler over the baked probe grid + the bake itself
+    from holoscene_tpu.ops.probe_grid import bake_probe_grid, probe_sdf_fn
+
+    for res_pg in (128,):
+        table = jax.jit(
+            lambda: bake_probe_grid(sdf_real, res_pg, 1.0))()
+        proxy = probe_sdf_fn(table, res_pg, 1.0)
+        timed(f"full_pg{res_pg}", lambda k: sampler(proxy, scfg)(k))
+
+        def bake_once(k):
+            # perturb so the scan can't hoist the bake (pitfall #5)
+            return bake_probe_grid(
+                lambda p: sdf_real(p) + 0.0 * k[0], res_pg, 1.0)
+        timed(f"bake_pg{res_pg}",
+              lambda k: bake_once(jax.random.uniform(k, (1,))))
     # probe evals alone: T rounds x R*E points through the coarse-level SDF
     pts = jnp.asarray(rng.uniform(-1, 1, (T * R * E, 3)).astype(np.float32))
     timed("sdf_probes", lambda k: sdf_real(

@@ -58,6 +58,16 @@ print(f"== chain: resumed stage-1 at iter {runner1.start_iter}", flush=True)
 
 timeline = {}
 
+# stage-1 quality column (VERDICT r4 #4: per-stage quality in the timeline)
+t0 = time.time()
+_s1_eval = runner1.plot(it=runner1.start_iter)
+timeline["stage1"] = {
+    "iters": runner1.start_iter,
+    "eval_psnr": round(float(_s1_eval["psnr"]), 2),
+    "eval_wall_s": round(time.time() - t0, 1),
+}
+print(f"== chain stage1: {json.dumps(timeline['stage1'])}", flush=True)
+
 
 def mark(stage, t0, extra=None):
     timeline[stage] = {"wall_s": round(time.time() - t0, 1), **(extra or {})}
@@ -117,13 +127,32 @@ for slot, p in enumerate(tex_paths):
     if os.path.exists(vp):
         with open(vp, "rb") as f:
             runner4.vis_info_list[slot] = pickle.load(f)
-runner4.run(n_iters=S4_ITERS, log_every=100)
+hist4 = runner4.run(n_iters=S4_ITERS, log_every=100)
 metrics = runner4.eval_split("train", max_frames=4)
 runner4.export()
 n_g = int(runner4.static["num_gaussians"])
-mark("stage4", t0, {"psnr": round(metrics["psnr"], 2),
-                    "ssim": round(metrics["ssim"], 4), "gaussians": n_g})
+ls4 = [h["loss"] for h in hist4]
+q4 = max(len(ls4) // 4, 1)
+mark("stage4", t0, {
+    "psnr": round(metrics["psnr"], 2),
+    "ssim": round(metrics["ssim"], 4),
+    "lpips": (round(metrics["lpips"], 4)
+              if np.isfinite(metrics.get("lpips", float("nan"))) else None),
+    "gaussians": n_g,
+    "iters": S4_ITERS,
+    "stale_steps": runner4.stale_steps,
+    # convergence evidence: quartile-median loss trend over the run
+    "loss_quartile_medians": [
+        round(float(np.median(ls4[i * q4:(i + 1) * q4] or ls4[-q4:])), 2)
+        for i in range(4)],
+})
 
 mark("total", t_wall)
+# commit-ready artifact: chain quality tracked round-over-round like bench
+chain_out = os.environ.get("CHAIN_OUT", "")
+if chain_out:
+    with open(chain_out, "w") as f:
+        json.dump(timeline, f, indent=1)
+    print(f"== timeline copied to {chain_out}", flush=True)
 print(f"== CHAIN DONE psnr={metrics['psnr']:.2f} ssim={metrics['ssim']:.3f} "
       f"wall={time.time()-t_wall:.0f}s", flush=True)
