@@ -69,8 +69,12 @@ class GoMConfig:
     use_pallas: bool | None = None  # fused Pallas kernels; None = auto (TPU)
     # flat sorted-candidate pipeline with amortized binning (EXACT
     # compositing, no K truncation; ops/splat_flat.py). None = auto: on for
-    # TPU training renders. rebin_every = per-frame-visit index refresh
-    # cadence (staleness tolerance gated in tests/test_splat_flat.py)
+    # TPU training renders. rebin_every = per-frame-VISIT index refresh
+    # cadence. The trainer default stays 8 while the bench runs 16: a
+    # trainer visit spans ~n_frames optimizer steps of parameter drift
+    # (random frame draws), so 8 visits ≈ the bench's 16 consecutive
+    # single-frame steps; the 16-step drift tolerance itself is gated by
+    # test_flat_cached_bins_track_motion_16_steps.
     use_flat: bool | None = None
     rebin_every: int = 8
     # saturation trim (ops/splat_flat.py): once every training frame has

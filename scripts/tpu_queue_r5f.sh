@@ -1,0 +1,29 @@
+#!/bin/bash
+# Round-5 part F: flagship 512^2/10k occupancy run WITH the duty-cycle
+# mitigation (VERDICT r4 #5 — the knob ships unvalidated after the r4
+# collapse; this run validates or condemns it), then the final full bench.
+set -u
+cd /root/repo
+export PYTHONPATH=/root/.axon_site:/root/repo
+LOCK=/tmp/holoscene_chip.lock
+
+run() {
+  local tag=$1 to=$2; shift 2
+  echo "=== [$tag] $(date -u +%H:%M:%S) :: $*"
+  flock "$LOCK" env HOLOSCENE_CHIP_LOCK_HELD=1 timeout "$to" "$@" 2>&1 | tail -60
+  echo "=== [$tag] rc=${PIPESTATUS[0]} $(date -u +%H:%M:%S)"
+}
+
+rm -rf /tmp/tpu_flagship_occ5
+run flagship_occ_mit 10800 env FLAGSHIP_WORK=/tmp/tpu_flagship_occ5 \
+    FLAGSHIP_RES=512 FLAGSHIP_ITERS=10000 FLAGSHIP_CKPT_FREQ=500 \
+    FLAGSHIP_OCC=1 \
+    python scripts/tpu_supervise.py --stall-sec 1200 -- \
+    python -u scripts/tpu_flagship_run.py
+
+run posthoc_occ 3600 python scripts/flagship_posthoc_eval.py \
+    --work /tmp/tpu_flagship_occ5
+
+run bench_final 3600 python bench.py
+
+echo "=== QUEUE R5F DONE $(date -u)"
