@@ -68,22 +68,34 @@ def probe_sdf_fn(table: jnp.ndarray, res: int, bound: float) -> Callable:
     inv_cell = res / (2.0 * bound)
 
     def fn(pts: jnp.ndarray) -> jnp.ndarray:
-        clamped = jnp.clip(pts, -bound, bound)
-        oob = jnp.sqrt(jnp.sum((pts - clamped) ** 2, axis=-1) + 1e-12) \
-            - 1e-6
-        u = (clamped + bound) * inv_cell          # [M,3] in [0,res]
-        cell = jnp.clip(u.astype(jnp.int32), 0, res - 1)
-        frac = u - cell.astype(u.dtype)           # [M,3] in [0,1]
-        cid = cell[:, 0] * (res * res) + cell[:, 1] * res + cell[:, 2]
-        rows = table[cid]                         # [M,8] one gather row each
-        wx = jnp.stack([1.0 - frac[:, 0], frac[:, 0]], axis=-1)  # [M,2]
-        wy = jnp.stack([1.0 - frac[:, 1], frac[:, 1]], axis=-1)
-        wz = jnp.stack([1.0 - frac[:, 2], frac[:, 2]], axis=-1)
-        # rows are packed ix + 2*iy + 4*iz; weights in the same order:
-        # w[c] = wz[iz] * wy[iy] * wx[ix] with c = 4*iz + 2*iy + ix
-        w = (wz[:, :, None, None] * wy[:, None, :, None]
-             * wx[:, None, None, :]).reshape(-1, 8)
-        val = jnp.sum(rows * w, axis=-1)
-        return val + jnp.maximum(oob, 0.0)
+        # per-axis [M] vectors throughout: any [M, 2/3/8]-minor intermediate
+        # pads its minor dim to 128 lanes (the r5d proxy attribution showed
+        # the first stacked-weights version spending ~6x the gather cost on
+        # exactly that)
+        px, py, pz = pts[:, 0], pts[:, 1], pts[:, 2]
+        cx = jnp.clip(px, -bound, bound)
+        cy = jnp.clip(py, -bound, bound)
+        cz = jnp.clip(pz, -bound, bound)
+        oob2 = (px - cx) ** 2 + (py - cy) ** 2 + (pz - cz) ** 2
+        ux = (cx + bound) * inv_cell              # [M] in [0, res]
+        uy = (cy + bound) * inv_cell
+        uz = (cz + bound) * inv_cell
+        ix = jnp.clip(ux.astype(jnp.int32), 0, res - 1)
+        iy = jnp.clip(uy.astype(jnp.int32), 0, res - 1)
+        iz = jnp.clip(uz.astype(jnp.int32), 0, res - 1)
+        fx = ux - ix.astype(ux.dtype)
+        fy = uy - iy.astype(uy.dtype)
+        fz = uz - iz.astype(uz.dtype)
+        cid = ix * (res * res) + iy * res + iz
+        rt = table[cid].T                         # [M,8] gather -> [8,M]
+        gx0, gx1 = 1.0 - fx, fx
+        gy0, gy1 = 1.0 - fy, fy
+        gz0, gz1 = 1.0 - fz, fz
+        # corner c = ix + 2*iy + 4*iz
+        val = (gz0 * (gy0 * (gx0 * rt[0] + gx1 * rt[1])
+                      + gy1 * (gx0 * rt[2] + gx1 * rt[3]))
+               + gz1 * (gy0 * (gx0 * rt[4] + gx1 * rt[5])
+                        + gy1 * (gx0 * rt[6] + gx1 * rt[7])))
+        return val + jnp.sqrt(oob2 + 1e-20)
 
     return fn

@@ -143,6 +143,24 @@ def run():
         flat_plan=plan, flat_bins=bins)["rgb"] - tgt) ** 2)))
     timeit(loss, params, tag="full fwd+bwd      ")
 
+    # backward-side attribution (round 5: bwd is ~10.6 of the 19.9 ms step
+    # and was never split)
+    core_g = jax.jit(jax.grad(lambda c: jnp.sum(core(c))))
+    timeit(core_g, cand, tag="walk fwd+bwd      ")
+    gw_g = jax.jit(jax.grad(lambda pay: jnp.sum(core(g_t(pay)))))
+    timeit(gw_g, payload, tag="gthr+walk fwd+bwd ")
+    proj_g = jax.jit(jax.grad(lambda p: sum(
+        jnp.sum(x) for x in _proj(p)[:3])))
+    timeit(proj_g, params, tag="projection f+b    ")
+
+    # channels-major full step (the r5 CHW pipeline; bench parity check)
+    tgt_chw = tgt.transpose(2, 0, 1)
+    loss_chw = jax.jit(jax.grad(lambda p: jnp.mean((render_gaussians(
+        p["means"], quats, jnp.exp(p["scales"]), jax.nn.sigmoid(p["opac"]),
+        p["colors"], viewmat, intr, width=RES, height=RES, tile_size=16,
+        flat_plan=plan, flat_bins=bins, chw=True)["rgb"] - tgt_chw) ** 2)))
+    timeit(loss_chw, params, tag="full f+b CHW      ")
+
 
 if __name__ == "__main__":
     with chip_lock("probe_flat_fwd_parts"):
