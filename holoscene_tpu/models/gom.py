@@ -77,6 +77,16 @@ class GoMConfig:
     # test_flat_cached_bins_track_motion_16_steps.
     use_flat: bool | None = None
     rebin_every: int = 8
+    # adaptive rebinning (the VERDICT r3 #1b "incremental rebinning" ask,
+    # answered by amortization instead of plan surgery): when > 0, a frame
+    # rebins when its render reports more than this many PIXELS of max
+    # projected drift since the plan was binned (flags['xy_drift'],
+    # ops/splat_flat.py) — the periodic cadence stretches to
+    # rebin_every * 8 as a long-stop. Sub-threshold drift means candidate
+    # memberships and depth order are still valid, so the bitonic re-sort
+    # (the dominant rebin cost) is pure waste; as training converges and
+    # positions freeze, rebins approach zero instead of a fixed tax.
+    rebin_drift_px: float = 0.0
     # saturation trim (ops/splat_flat.py): once every training frame has
     # reported its walked-chunk counts, the trainer swaps to a shrunken
     # static plan and each frame's rebin keeps only used+slack chunks per
@@ -381,7 +391,7 @@ def render_gom(
     # trim feeds on used_chunks and re-plans on stale/overflow. (A dropped
     # used_chunks once defaulted to 0 downstream, capping every tile at
     # trim_slack chunks — silently truncated renders, diverging training.)
-    for k in ("overflow", "stale", "used_chunks"):
+    for k in ("overflow", "stale", "used_chunks", "xy_drift"):
         if k in out:
             res[k] = out[k]
     return res

@@ -260,6 +260,8 @@ def render_gaussians(
         out["overflow"] = flags["overflow"]
         out["stale"] = flags["stale"]
         out["used_chunks"] = flags["used_chunks"]
+        if "xy_drift" in flags:
+            out["xy_drift"] = flags["xy_drift"]
         return out
 
     # tile geometry

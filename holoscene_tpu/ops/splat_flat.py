@@ -397,7 +397,16 @@ def build_flat_bins(xy, depth, conic, opac, valid,
     ).astype(jnp.int32)                              # [n + 2]
     meta["perm"] = perm
     meta["bounds"] = bounds
+    # stride-16 projected-position snapshot at plan time: renders against
+    # this plan can report max screen drift since binning (the trainer's
+    # adaptive-rebin signal — rebins become on-demand instead of periodic;
+    # sub-sampling keeps the cached plan small, and drift is a global
+    # parameter-step property a subsample captures)
+    meta["xy_snap"] = jax.lax.stop_gradient(xy[::DRIFT_STRIDE])
     return meta
+
+
+DRIFT_STRIDE = 16  # xy_snap sub-sampling (build_flat_bins)
 
 
 def _f0_like(x):
@@ -1095,4 +1104,10 @@ def composite_tiles_flat(
         stale = jnp.any(ended_live & (trimmed > 0)).astype(jnp.int32)
     flags = {"overflow": bins["overflow"], "stale": stale,
              "used_chunks": used}
+    if "xy_snap" in bins:
+        # max screen-space drift (px) since the plan was binned — the
+        # trainer's adaptive-rebin signal (sub-pixel drift = memberships
+        # and depth order still valid; rebinning would be wasted sort work)
+        cur = jax.lax.stop_gradient(xy[::DRIFT_STRIDE])
+        flags["xy_drift"] = jnp.max(jnp.abs(cur - bins["xy_snap"]))
     return rgb_t, depth_norm, alpha, flags

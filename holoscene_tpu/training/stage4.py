@@ -181,6 +181,7 @@ class Stage4Runner:
         self._used_cache: dict[int, "jnp.ndarray"] = {}
         self._trim_active = False
         self.stale_steps = 0  # trimmed-plan truncated renders (log + rebin)
+        self.rebin_count = 0  # plan refreshes (adaptive-rebin telemetry)
         self._build_jits()
         self.vis_info_list = [[] for _ in range(len(meshes))]
         # pre-rasterize every frame's mesh mask/depth NOW, while the chip
@@ -283,10 +284,15 @@ class Stage4Runner:
 
     def _get_bins(self, frame_idx: int, pose, intr):
         age = self._bins_age.get(frame_idx, 0)
-        if frame_idx not in self._bins_cache or \
-                age % max(self.cfg.rebin_every, 1) == 0:
+        # adaptive mode (rebin_drift_px > 0): drift readbacks pop stale
+        # frames from the cache (run loop), so the periodic cadence is only
+        # a long-stop at 8x; cadence mode keeps the fixed period
+        period = max(self.cfg.rebin_every, 1) * (
+            8 if self.cfg.rebin_drift_px > 0 else 1)
+        if frame_idx not in self._bins_cache or age % period == 0:
             self._bins_cache[frame_idx] = self._refresh_bins(
                 frame_idx, pose, intr)
+            self.rebin_count += 1
         self._bins_age[frame_idx] = age + 1
         return self._bins_cache[frame_idx]
 
@@ -350,18 +356,20 @@ class Stage4Runner:
                 if flat_plan is not None:
                     used = out["used_chunks"]    # [T] int32 walked chunks
                     stale = out["stale"]
+                    drift = out.get("xy_drift", jnp.zeros(()))
                 else:
                     used = jnp.zeros((), jnp.int32)
                     stale = jnp.zeros((), jnp.int32)
-                return total, (losses, psnr, used, stale)
+                    drift = jnp.zeros(())
+                return total, (losses, psnr, used, stale, drift)
 
-            (total, (losses, psnr, used, stale)), grads = jax.value_and_grad(
-                loss_fn, has_aux=True
-            )(params)
+            (total, (losses, psnr, used, stale, drift)), grads = (
+                jax.value_and_grad(loss_fn, has_aux=True)(params))
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return (params, opt_state,
-                    {**losses, "loss": total, "psnr": psnr}, used, stale)
+                    {**losses, "loss": total, "psnr": psnr}, used, stale,
+                    drift)
 
         self._step_jit = jax.jit(step_fn, donate_argnums=(1, 2))
         self._step = lambda *a: self._step_jit(self._static_arr, *a)
@@ -467,6 +475,7 @@ class Stage4Runner:
         t0 = time.time()
         has_vis = any(len(v) for v in self.vis_info_list)
         pending_stale = None  # (frame_idx, device scalar) — read next iter
+        pending_drift = None  # (frame_idx, device scalar), adaptive rebin
         for it in range(self.iter_step, end):
             frame_idx = int(self.rng.integers(0, self.dataset.n_images))
             acm, mesh_depth = self._frame_mesh_raster(frame_idx)
@@ -490,9 +499,15 @@ class Stage4Runner:
                     # drop its cached bins so the next visit rebins early
                     self._bins_cache.pop(sf, None)
                     self._bins_age.pop(sf, None)
+            if pending_drift is not None:
+                df, dv = pending_drift
+                pending_drift = None
+                if float(dv) > self.cfg.rebin_drift_px:
+                    self._bins_cache.pop(df, None)  # rebin on next visit
             bins = (self._get_bins(frame_idx, pose, intr)
                     if self.use_flat else None)
-            self.params, self.opt_state, metrics, used, stale = self._step(
+            (self.params, self.opt_state, metrics, used, stale,
+             drift) = self._step(
                 self.params, self.opt_state, k, pose, intr,
                 jnp.asarray(image), jnp.asarray(acm), jnp.asarray(mesh_depth),
                 bins,
@@ -501,6 +516,8 @@ class Stage4Runner:
                 self._used_cache[frame_idx] = used
                 if self._trim_active:
                     pending_stale = (frame_idx, stale)
+                if self.cfg.rebin_drift_px > 0:
+                    pending_drift = (frame_idx, drift)
                 self._maybe_trim_plan()
             if has_vis:
                 # one random object's generated view per iteration
@@ -524,6 +541,7 @@ class Stage4Runner:
                 m = {k2: float(v) for k2, v in metrics.items()}
                 m["iter"] = it
                 m["stale_steps"] = self.stale_steps
+                m["rebin_count"] = self.rebin_count
                 m["splats_per_sec"] = (
                     self.static["num_gaussians"] * (it - self.iter_step + 1)
                     / max(time.time() - t0, 1e-9)

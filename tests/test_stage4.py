@@ -92,7 +92,7 @@ def test_stage4_main_step_updates_params(scene, tmp_path):
     # step_fn takes channels-major [3,H,W] images (see stage4 run loop)
     image = runner.dataset.rgb_images[0].reshape(h, w, 3).transpose(2, 0, 1)
     before = jax.tree_util.tree_map(jnp.copy, runner.params)
-    params, _, metrics, _, _ = runner._step(
+    params, _, metrics, _, _, _ = runner._step(
         runner.params, runner.opt_state, jax.random.PRNGKey(0),
         jnp.asarray(runner.dataset.pose_all[0]),
         jnp.asarray(runner.dataset.intrinsics[:3, :3]),
@@ -170,6 +170,40 @@ def test_stage4_flat_amortized_binning(scene, tmp_path):
     assert max(runner._bins_age.values()) >= 1
     ev = runner.eval_split("train", max_frames=1)
     assert np.isfinite(ev["psnr"])
+
+
+def test_stage4_adaptive_rebin_drift(scene, tmp_path):
+    """rebin_drift_px > 0: rebins happen on measured screen drift instead
+    of a fixed cadence — training stays finite/progressing, the drift flag
+    is produced, and the rebin count stays below the pure-cadence count."""
+    meshes = _gt_meshes()
+    cfg = GoMConfig(sh_degree=1, tile_size=16, use_flat=True,
+                    rebin_every=2, rebin_drift_px=0.5, trim_flat=False)
+    runner = Stage4Runner(
+        meshes, scene, cfg=cfg, area_to_subdivide=5e-3,
+        max_total_iters=20, out_dir=str(tmp_path / "outd"), quiet=True,
+    )
+    hist = runner.run(n_iters=16, log_every=8)
+    assert all(np.isfinite(h["loss"]) for h in hist)
+    assert hist[-1]["l1"] < hist[0]["l1"] * 1.05
+    # pure cadence at rebin_every=2 would refresh ~ every other visit
+    # (>= 6 of 16); drift-guarded long-stop (16) needs only the initial
+    # per-frame binning plus drift-triggered ones
+    assert runner.rebin_count <= scene.n_images + 4
+    # the drift diagnostic flows: a fresh plan + one step yields drift >= 0
+    import jax
+    import jax.numpy as jnp
+
+    h, w = scene.img_res
+    pose = jnp.asarray(scene.pose_all[0])
+    intr = jnp.asarray(scene.intrinsics[:3, :3])
+    bins = runner._get_bins(0, pose, intr)
+    acm, mesh_depth = runner._frame_mesh_raster(0)
+    image = scene.rgb_images[0].reshape(h, w, 3).transpose(2, 0, 1)
+    *_rest, drift = runner._step(
+        runner.params, runner.opt_state, jax.random.PRNGKey(0), pose, intr,
+        jnp.asarray(image), jnp.asarray(acm), jnp.asarray(mesh_depth), bins)
+    assert float(drift) >= 0.0
 
 
 def test_stage4_flat_trim_activates_and_trains(scene, tmp_path):
