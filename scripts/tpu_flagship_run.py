@@ -57,10 +57,19 @@ if os.environ.get("FLAGSHIP_OCC", "0") == "1":
         occupancy=OccGridConfig(
             bound=runner.model_cfg.scene_bounding_sphere))
     runner.occ = init_occ_grid(runner.model_cfg.occupancy)
+_pg = int(os.environ.get("FLAGSHIP_PROBE_GRID", "0"))
+if _pg:
+    from holoscene_tpu.models.holoscene import make_probe_bake
+
+    runner.model_cfg = dataclasses.replace(
+        runner.model_cfg, probe_grid_res=_pg,
+        probe_update_every=int(os.environ.get("FLAGSHIP_PROBE_EVERY", "64")))
+    runner._probe_bake = make_probe_bake(runner.model_cfg)
 print(f"flagship cfg: top_m={runner.model_cfg.render_top_m} "
       f"dual={runner.model_cfg.implicit.fused_dual_grid} "
       f"interp={runner.model_cfg.implicit.grid_interp} "
-      f"occ={runner.model_cfg.use_occupancy}", flush=True)
+      f"occ={runner.model_cfg.use_occupancy} "
+      f"probe_grid={runner.model_cfg.probe_grid_res}", flush=True)
 runner.train_step = make_train_step(runner.model_cfg, runner.loss_cfg, runner.optimizer)
 runner.render_frame = make_eval_render(runner.model_cfg)
 

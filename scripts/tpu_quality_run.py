@@ -10,14 +10,16 @@ from holoscene_tpu.config import ConfigFactory
 from holoscene_tpu.datasets.synthetic import generate_scene
 from holoscene_tpu.training.stage1 import Stage1Runner
 
-work = "/tmp/tpu_quality"
+work = os.environ.get("QUALITY_WORK", "/tmp/tpu_quality")
+RES = int(os.environ.get("QUALITY_RES", "128"))
+ITERS = int(os.environ.get("QUALITY_ITERS", "2500"))
 os.makedirs(work, exist_ok=True)
 os.chdir(work)
 if not os.path.exists("data/scene_0/transforms.json"):
-    generate_scene("data/scene_0", n_images=16, img_res=(128, 128))
+    generate_scene("data/scene_0", n_images=16, img_res=(RES, RES))
 
 conf = ConfigFactory.parse_file("/root/repo/confs/synthetic.conf")
-conf.put("dataset.img_res", [128, 128])
+conf.put("dataset.img_res", [RES, RES])
 conf.put("train.num_pixels", 1024)
 conf.put("model.implicit_network.num_levels", 12)
 conf.put("model.implicit_network.logmap", 17)
@@ -85,9 +87,9 @@ runner.train_step = make_train_step(runner.model_cfg, runner.loss_cfg, runner.op
 runner.render_frame = make_eval_render(runner.model_cfg)
 
 t0 = time.time()
-runner.run(n_iters=2500, log_every=250)
+runner.run(n_iters=ITERS, log_every=250)
 print(f"train wall: {time.time()-t0:.0f}s", flush=True)
-out = runner.plot(it=2500)
+out = runner.plot(it=ITERS)
 print(f"FINAL eval psnr: {out['psnr']:.2f}", flush=True)
 
 # geometry check: extracted background mesh vs analytic room

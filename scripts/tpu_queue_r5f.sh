@@ -1,7 +1,10 @@
 #!/bin/bash
-# Round-5 part F: flagship 512^2/10k occupancy run WITH the duty-cycle
-# mitigation (VERDICT r4 #5 — the knob ships unvalidated after the r4
-# collapse; this run validates or condemns it), then the final full bench.
+# Round-5 part F: flagship 512^2/10k validation of the BAKED PROBE GRID
+# (VERDICT r4 #2's done-bar needs a flagship-scale gate row for any
+# sampler-placement change), then posthoc geometry eval and the final
+# full bench. The occupancy duty-cycle mitigation gets its own MID-SCALE
+# gate in r5i — the single flagship slot goes to the throughput-relevant
+# knob.
 set -u
 cd /root/repo
 export PYTHONPATH=/root/.axon_site:/root/repo
@@ -14,15 +17,15 @@ run() {
   echo "=== [$tag] rc=${PIPESTATUS[0]} $(date -u +%H:%M:%S)"
 }
 
-rm -rf /tmp/tpu_flagship_occ5
-run flagship_occ_mit 10800 env FLAGSHIP_WORK=/tmp/tpu_flagship_occ5 \
+rm -rf /tmp/tpu_flagship_pg5
+run flagship_probe 10800 env FLAGSHIP_WORK=/tmp/tpu_flagship_pg5 \
     FLAGSHIP_RES=512 FLAGSHIP_ITERS=10000 FLAGSHIP_CKPT_FREQ=500 \
-    FLAGSHIP_OCC=1 \
+    FLAGSHIP_PROBE_GRID=128 FLAGSHIP_PROBE_EVERY=64 \
     python scripts/tpu_supervise.py --stall-sec 1200 -- \
     python -u scripts/tpu_flagship_run.py
 
-run posthoc_occ 3600 python scripts/flagship_posthoc_eval.py \
-    --work /tmp/tpu_flagship_occ5
+run posthoc_probe 3600 python scripts/flagship_posthoc_eval.py \
+    --work /tmp/tpu_flagship_pg5
 
 run bench_final 3600 python bench.py
 
