@@ -39,6 +39,15 @@ def main(argv=None):
         "--max_per_tile", type=int, default=0,
         help="compositing depth K per tile; 0 = auto from p99 tile overlap",
     )
+    parser.add_argument(
+        "--rebin_every", type=int, default=8,
+        help="flat-path per-frame-visit bin refresh cadence",
+    )
+    parser.add_argument(
+        "--rebin_drift_px", type=float, default=0.0,
+        help="adaptive rebinning: rebin on > this many px of measured "
+             "projected drift (0 = fixed cadence)",
+    )
     args = parser.parse_args(argv)
 
     conf = ConfigFactory.parse_file(args.conf)
@@ -74,7 +83,9 @@ def main(argv=None):
     runner = Stage4Runner(
         meshes, dataset,
         cfg=GoMConfig(use_pallas=args.use_pallas,
-                      max_per_tile=args.max_per_tile),
+                      max_per_tile=args.max_per_tile,
+                      rebin_every=args.rebin_every,
+                      rebin_drift_px=args.rebin_drift_px),
         area_to_subdivide=args.area_to_subdivide,
         max_total_iters=args.max_niters,
         out_dir=plots_dir,
