@@ -785,12 +785,21 @@ class Stage2Runner:
             cand, drift, stable = self.stability_ladder(
                 obj_i, supports or [mesh], extra_candidates=extra
             )
-            if cand is not None:
-                accepted[obj_i] = cand
-                write_ply(
-                    os.path.join(self.out_dir, f"coarse_recon_obj_{obj_i}.ply"),
-                    cand,
-                )
+            if cand is None:
+                # zero candidates at all (MC thresholds empty + recon
+                # threw): ship the pre-refinement stage-1 mesh rather than
+                # hole the scene — downstream stages texture/splat it and
+                # the failed flag records the degradation (r4 chain dropped
+                # obj 1 here and stage 4 trained a 2-object scene)
+                cand = mesh
+                if not self.quiet:
+                    print(f"  [obj {obj_i}] ladder empty — falling back to "
+                          f"the stage-1 mesh", flush=True)
+            accepted[obj_i] = cand
+            write_ply(
+                os.path.join(self.out_dir, f"coarse_recon_obj_{obj_i}.ply"),
+                cand,
+            )
             if gen_views:
                 save_vis_info(
                     os.path.join(self.out_dir, f"vis_info_{obj_i}.pkl"),
