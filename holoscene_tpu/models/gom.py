@@ -401,8 +401,6 @@ def gom_project(params, static, cfg: GoMConfig, pose_c2w, intrinsics,
                 width: int, height: int):
     """Projected splat geometry (xy, depth, conic, valid) for the flat
     pipeline's binning — the same EWA projection render_gom uses."""
-    from holoscene_tpu.ops.gaussians import covariance_3d, project_gaussians
-
     means = gom_means(params, static, cfg)
     quats = gom_quats(params, static, cfg)
     scales = gom_scales(params, static, cfg)
@@ -413,10 +411,11 @@ def gom_project(params, static, cfg: GoMConfig, pose_c2w, intrinsics,
         .at[:3, :3].set(rot)
         .at[:3, 3].set(-rot @ pose[:3, 3])
     )
-    cov3d = covariance_3d(quats, scales)
-    xy, depth, conic, _radius, valid = project_gaussians(
-        means, cov3d, viewmat, jnp.asarray(intrinsics, dtype=jnp.float32),
-        width, height)
+    from holoscene_tpu.ops.gaussians import project_gaussians_fused
+
+    xy, depth, conic, _radius, valid = project_gaussians_fused(
+        means, quats, scales, viewmat,
+        jnp.asarray(intrinsics, dtype=jnp.float32), width, height)
     return xy, depth, conic, valid
 
 

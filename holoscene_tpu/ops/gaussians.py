@@ -104,6 +104,117 @@ def covariance_3d(quats: jnp.ndarray, scales: jnp.ndarray) -> jnp.ndarray:
     return m @ jnp.swapaxes(m, -1, -2)
 
 
+def project_gaussians_fused(
+    means: jnp.ndarray,
+    quats: jnp.ndarray,
+    scales: jnp.ndarray,
+    viewmat: jnp.ndarray,
+    intrinsics: jnp.ndarray,
+    width: int,
+    height: int,
+    near: float = 0.01,
+    blur: float = 0.3,
+    ortho: bool = False,
+):
+    """EWA projection in scalar-channel (structure-of-arrays) form: every
+    intermediate is a flat [N] vector, so nothing pays the 128-lane pad
+    that [N,3,3]/[N,2,3] minor-dim tensors do on TPU (the r5g attribution
+    measured the einsum formulation's fwd+bwd at 8.2 ms for 100k gaussians
+    — dominated by padded layout traffic, not flops). Same math and same
+    returns as covariance_3d + project_gaussians (parity-tested, fwd and
+    grad); the backward differentiates pure [N] elementwise ops.
+    """
+    # camera-frame means: 3 fused dot products against the constant 3x4
+    r = viewmat[:3, :3]
+    t = viewmat[:3, 3]
+    mx, my, mz = means[:, 0], means[:, 1], means[:, 2]
+    x = r[0, 0] * mx + r[0, 1] * my + r[0, 2] * mz + t[0]
+    y = r[1, 0] * mx + r[1, 1] * my + r[1, 2] * mz + t[1]
+    z = r[2, 0] * mx + r[2, 1] * my + r[2, 2] * mz + t[2]
+    valid = z > near
+    zc = jnp.maximum(z, near)
+
+    # rotation entries as [N] scalars (normalized quats)
+    qn = jnp.sqrt(quats[:, 0] ** 2 + quats[:, 1] ** 2
+                  + quats[:, 2] ** 2 + quats[:, 3] ** 2)
+    qw, qx, qy, qz = (quats[:, 0] / qn, quats[:, 1] / qn,
+                      quats[:, 2] / qn, quats[:, 3] / qn)
+    r00 = 1 - 2 * (qy * qy + qz * qz)
+    r01 = 2 * (qx * qy - qw * qz)
+    r02 = 2 * (qx * qz + qw * qy)
+    r10 = 2 * (qx * qy + qw * qz)
+    r11 = 1 - 2 * (qx * qx + qz * qz)
+    r12 = 2 * (qy * qz - qw * qx)
+    r20 = 2 * (qx * qz - qw * qy)
+    r21 = 2 * (qy * qz + qw * qx)
+    r22 = 1 - 2 * (qx * qx + qy * qy)
+    s0sq = scales[:, 0] ** 2
+    s1sq = scales[:, 1] ** 2
+    s2sq = scales[:, 2] ** 2
+
+    # camera-frame row vectors a_i = R_cam[i,:] @ R_gauss (per-axis [N])
+    def cam_row(i):
+        return (r[i, 0] * r00 + r[i, 1] * r10 + r[i, 2] * r20,
+                r[i, 0] * r01 + r[i, 1] * r11 + r[i, 2] * r21,
+                r[i, 0] * r02 + r[i, 1] * r12 + r[i, 2] * r22)
+
+    a0 = cam_row(0)
+    a1 = cam_row(1)
+    a2 = cam_row(2)
+
+    # w_ij = a_i diag(s^2) a_j  (camera-frame 3D covariance entries)
+    def wcov(ai, aj):
+        return ai[0] * aj[0] * s0sq + ai[1] * aj[1] * s1sq \
+            + ai[2] * aj[2] * s2sq
+
+    w00 = wcov(a0, a0)
+    w01 = wcov(a0, a1)
+    w02 = wcov(a0, a2)
+    w11 = wcov(a1, a1)
+    w12 = wcov(a1, a2)
+    w22 = wcov(a2, a2)
+
+    fx, fy = intrinsics[0, 0], intrinsics[1, 1]
+    cx, cy = intrinsics[0, 2], intrinsics[1, 2]
+    if ortho:
+        # J = [[fx,0,0],[0,fy,0]]
+        ca = fx * fx * w00 + blur
+        cb = fx * fy * w01
+        cc = fy * fy * w11 + blur
+        px = fx * x + cx
+        py = fy * y + cy
+    else:
+        lim_x = 1.3 * (width / (2 * fx))
+        lim_y = 1.3 * (height / (2 * fy))
+        tx = jnp.clip(x / zc, -lim_x, lim_x) * zc
+        ty = jnp.clip(y / zc, -lim_y, lim_y) * zc
+        j00 = fx / zc
+        j02 = -fx * tx / (zc * zc)
+        j11 = fy / zc
+        j12 = -fy * ty / (zc * zc)
+        # cov2d = J W J^T with J = [[j00,0,j02],[0,j11,j12]]
+        ca = (j00 * j00 * w00 + 2 * j00 * j02 * w02
+              + j02 * j02 * w22) + blur
+        cb = (j00 * j11 * w01 + j00 * j12 * w02
+              + j02 * j11 * w12 + j02 * j12 * w22)
+        cc = (j11 * j11 * w11 + 2 * j11 * j12 * w12
+              + j12 * j12 * w22) + blur
+        px = fx * x / zc + cx
+        py = fy * y / zc + cy
+
+    det = jnp.maximum(ca * cc - cb * cb, 1e-12)
+    conic = jnp.stack([cc / det, -cb / det, ca / det], axis=-1)
+    mid = 0.5 * (ca + cc)
+    eig = mid + jnp.sqrt(jnp.maximum(mid * mid - det, 1e-12))
+    radius = jnp.ceil(3.0 * jnp.sqrt(eig))
+    on_screen = (
+        (px + radius > 0) & (px - radius < width)
+        & (py + radius > 0) & (py - radius < height)
+    )
+    xy = jnp.stack([px, py], axis=-1)
+    return xy, z, conic, radius, valid & (z > near) & on_screen
+
+
 def project_gaussians(
     means: jnp.ndarray,
     cov3d: jnp.ndarray,

@@ -227,9 +227,14 @@ def render_gaussians(
             camera_model=camera_model, dist=dist, viewmat_end=viewmat_end,
         )
     else:
-        cov3d = covariance_3d(quats, scales)
-        xy, depth, conic, radius, valid = project_gaussians(
-            means, cov3d, viewmat, intrinsics, width, height, ortho=ortho
+        # scalar-channel fused projection: [N]-vector math end to end (the
+        # einsum form's [N,3,3]/[N,2,3] intermediates pay the 128-lane
+        # minor-dim pad; r5g measured its fwd+bwd at 8.2 ms @ 100k)
+        from holoscene_tpu.ops.gaussians import project_gaussians_fused
+
+        xy, depth, conic, radius, valid = project_gaussians_fused(
+            means, quats, scales, viewmat, intrinsics, width, height,
+            ortho=ortho
         )
 
     if sh_degree is not None:
