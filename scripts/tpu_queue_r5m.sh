@@ -14,6 +14,8 @@ run() {
   echo "=== [$tag] rc=${PIPESTATUS[0]} $(date -u +%H:%M:%S)"
 }
 
+run bench_s4_proj 2400 env BENCH_SKIP_STAGE1=1 python bench.py
+
 rm -rf /tmp/tpu_flagship_pg5
 run flagship_probe 10800 env FLAGSHIP_WORK=/tmp/tpu_flagship_pg5 \
     FLAGSHIP_RES=512 FLAGSHIP_ITERS=10000 FLAGSHIP_CKPT_FREQ=500 \
@@ -23,8 +25,6 @@ run flagship_probe 10800 env FLAGSHIP_WORK=/tmp/tpu_flagship_pg5 \
 
 run posthoc_probe 3600 python scripts/flagship_posthoc_eval.py \
     --work /tmp/tpu_flagship_pg5
-
-run bench_s4_proj 2400 env BENCH_SKIP_STAGE1=1 python bench.py
 
 run gate_occ_mid 7200 env QUALITY_WORK=/tmp/tpu_quality_occ_mid \
     QUALITY_RES=256 QUALITY_ITERS=5000 \
