@@ -111,9 +111,41 @@ mark("stage3", t0, {"textured": len(tex_paths),
 
 t0 = time.time()
 baked = [read_obj(p) for p in tex_paths]
+# bake stage-3 textures into vertex colors + cap faces + budget-derive the
+# subdivision threshold (the tpu_chain_stage4.py fixes, ported: a fixed
+# 1e-5 threshold on a ~450k-face baked bg mesh seeds millions of gaussians
+# — the r5 fresh chain was host-OOM-killed at 130 GB RSS exactly here)
+from PIL import Image
+
+for m, p in zip(baked, tex_paths):
+    png = p.replace(".obj", ".png")
+    if m.uvs is not None and len(m.uvs) == len(m.vertices) \
+            and os.path.exists(png):
+        tex = np.asarray(Image.open(png).convert("RGB"))
+        hgt, wdt = tex.shape[:2]
+        u = np.clip(m.uvs[:, 0], 0, 1)
+        v = np.clip(m.uvs[:, 1], 0, 1)
+        px = np.clip((u * (wdt - 1)).round().astype(int), 0, wdt - 1)
+        py = np.clip(((1.0 - v) * (hgt - 1)).round().astype(int), 0, hgt - 1)
+        m.vertex_colors = tex[py, px]
+max_faces = int(os.environ.get("CHAIN_S4_MAX_FACES", "150000"))
+baked = [m.decimate(max_faces) if len(m.faces) > max_faces else m
+         for m in baked]
+target_g = int(os.environ.get("CHAIN_S4_TARGET_G", "300000"))
+
+
+def _tri_area(m):
+    v, f = np.asarray(m.vertices), np.asarray(m.faces)
+    c = np.cross(v[f[:, 1]] - v[f[:, 0]], v[f[:, 2]] - v[f[:, 0]])
+    return float(np.linalg.norm(c, axis=1).sum() / 2)
+
+
+area_sub = max(1e-5, sum(_tri_area(m) for m in baked) / target_g)
+print(f"== stage4 seeding: faces {[len(m.faces) for m in baked]}, "
+      f"area_to_subdivide {area_sub:.2e}", flush=True)
 runner4 = Stage4Runner(
     baked, runner1.dataset, cfg=GoMConfig(sh_degree=3, max_per_tile=0),
-    area_to_subdivide=1e-5, max_total_iters=S4_ITERS,
+    area_to_subdivide=area_sub, max_total_iters=S4_ITERS,
     out_dir=runner1.plots_dir, quiet=False,
 )
 # vis packs by ORIGINAL object id (failed objects leave holes in

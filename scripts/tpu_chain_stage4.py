@@ -100,7 +100,7 @@ for slot, p in enumerate(tex_paths):
     if os.path.exists(vp):
         with open(vp, "rb") as f:
             runner4.vis_info_list[slot] = pickle.load(f)
-runner4.run(n_iters=S4_ITERS, log_every=100)
+hist4 = runner4.run(n_iters=S4_ITERS, log_every=100)
 metrics = runner4.eval_split("train", max_frames=4)
 runner4.export()
 n_g = int(runner4.static["num_gaussians"])
@@ -111,14 +111,30 @@ timeline = {}
 if os.path.exists(timeline_path):
     with open(timeline_path) as f:
         timeline = json.load(f)
+ls4 = [h["loss"] for h in hist4]
+q4 = max(len(ls4) // 4, 1)
 timeline["stage4"] = {
     "wall_s": round(wall, 1), "psnr": round(metrics["psnr"], 2),
-    "ssim": round(metrics["ssim"], 4), "gaussians": n_g,
+    "ssim": round(metrics["ssim"], 4),
+    "lpips": (round(metrics["lpips"], 4)
+              if np.isfinite(metrics.get("lpips", float("nan"))) else None),
+    "gaussians": n_g,
+    "iters": S4_ITERS,
     "splats_per_sec": round(n_g * S4_ITERS / wall),
+    "stale_steps": runner4.stale_steps,
+    "rebin_count": runner4.rebin_count,
+    "loss_quartile_medians": [
+        round(float(np.median(ls4[i * q4:(i + 1) * q4] or ls4[-q4:])), 2)
+        for i in range(4)],
     "resumed": True,
 }
 with open(timeline_path, "w") as f:
     json.dump(timeline, f, indent=1)
+chain_out = os.environ.get("CHAIN_OUT", "")
+if chain_out:
+    with open(chain_out, "w") as f:
+        json.dump(timeline, f, indent=1)
+    print(f"== timeline copied to {chain_out}", flush=True)
 print(f"== chain stage4: {json.dumps(timeline['stage4'])}", flush=True)
 print(f"== CHAIN DONE psnr={metrics['psnr']:.2f} "
       f"ssim={metrics['ssim']:.3f}", flush=True)
