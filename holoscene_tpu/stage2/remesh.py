@@ -329,6 +329,14 @@ def coarse_recon(
         )
         m = 0.9 * m + g
         verts = verts - cfg.lr * m
+        # hard trust region: the object lives inside the generated views'
+        # ortho volume by construction — unclamped SGD+momentum on a
+        # degenerate view once blasted vertices to ±5000 scene units and
+        # the exploded mesh poisoned the whole stage-4 gaussian budget
+        # (r5 chain: obj 2 area 72k in a ±1 scene)
+        lo = np.asarray(center) - 2.0 * radius
+        hi = np.asarray(center) + 2.0 * radius
+        np.clip(verts, lo, hi, out=verts)
         if (it + 1) % cfg.remesh_every == 0 and it < cfg.iters - 1:
             verts, faces = remesh_step(verts, faces, target_edge)
             m = np.zeros_like(verts)

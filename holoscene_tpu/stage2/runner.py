@@ -262,7 +262,25 @@ class Stage2Runner:
         best = None
         best_drift = np.inf
         supports_v = [self._view_mesh(s) for s in support_meshes]
-        for cand in [*self.object_mesh_candidates(obj_i), *extra_candidates]:
+        # geometric sanity gate BEFORE physics: a candidate far outside the
+        # normalized scene volume is corrupt regardless of its sim drift
+        # (an unclamped coarse_recon once emitted a ±5000-unit mesh the
+        # drift test happily "accepted"; see remesh.py trust region)
+        sane_r = 3.0 * float(getattr(
+            self.cfg, "scene_bounding_sphere", 1.0))
+
+        def _sane(c):
+            v = np.asarray(c.vertices)
+            ok = len(v) > 0 and np.isfinite(v).all() and \
+                float(np.abs(v).max()) <= sane_r
+            if not ok and not self.quiet:
+                print(f"  [obj {obj_i}] candidate REJECTED by sanity gate "
+                      f"(extent {float(np.abs(v).max()) if len(v) else 0:.1f}"
+                      f" > {sane_r:.1f})", flush=True)
+            return ok
+
+        for cand in filter(_sane, [*self.object_mesh_candidates(obj_i),
+                                   *extra_candidates]):
             res = sim_validation([*supports_v, self._view_mesh(cand)])
             if not self.quiet:
                 print(f"  [obj {obj_i}] candidate drift={res.drift_deg:.1f}deg",
