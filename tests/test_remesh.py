@@ -134,3 +134,26 @@ def test_coarse_recon_accepts_mismatched_view_resolution():
                                          img_res=64))
     assert len(rec.faces) > 20
     assert np.isfinite(rec.vertices).all()
+
+
+def test_coarse_recon_trust_region_on_degenerate_views():
+    """Near-empty masks once drove the unclamped recon SGD+momentum to
+    +-5000 scene units (the r5 chain's corrupt object 2). The per-step
+    trust region must keep vertices inside the views' ortho volume."""
+    rng = np.random.default_rng(0)
+    center = np.array([0.1, -0.1, 0.0])
+    radius = 0.7
+    rig = wonder3d_camera_rig(center, 2.0)
+    views = []
+    for pose in rig[:4]:
+        mask = np.zeros((64, 64), np.float32)
+        mask[30:33, 30:33] = 1.0  # ~0.2% coverage, inconsistent placement
+        n = rng.normal(size=(64, 64, 3)).astype(np.float32)
+        n /= np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-8)
+        views.append({"pose": pose, "half_extent": 1.0,
+                      "normal": n, "mask": mask})
+    rec = coarse_recon(views, center, radius,
+                       CoarseReconConfig(iters=120, img_res=64))
+    v = np.asarray(rec.vertices)
+    assert np.isfinite(v).all()
+    assert np.abs(v - center).max() <= 2.0 * radius + 1e-5
