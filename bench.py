@@ -115,11 +115,15 @@ def flagship_config() -> HoloSceneConfig:
         # flipping this back on.
         use_occupancy=os.environ.get("BENCH_OCC", "0") == "1",
         # baked probe grid (ops/probe_grid.py): sampler placement proxy,
-        # re-baked every BENCH_PROBE_EVERY steps inside the timed window
-        # (the bake cost is part of the reported rate). A/B knob until the
-        # quality gates pass.
-        probe_grid_res=int(os.environ.get("BENCH_PROBE_GRID", "0")),
-        probe_update_every=int(os.environ.get("BENCH_PROBE_EVERY", "16")),
+        # re-baked every BENCH_PROBE_EVERY steps (bake cost is part of the
+        # reported rate). SHIPPED DEFAULT-ON after both gates passed:
+        # 2500-iter gate 35.58 dB + chamfer better-than-band (r5c), and
+        # the 512²/10k flagship at parity (train 38.23 / test 37.42 vs the
+        # r3 anneal baseline 38.78/36.52) at this exact cadence — the
+        # full-scale validation the occupancy collapse taught us to demand
+        # for sampling-policy changes. +16% rays/s (5063 -> 5851).
+        probe_grid_res=int(os.environ.get("BENCH_PROBE_GRID", "128")),
+        probe_update_every=int(os.environ.get("BENCH_PROBE_EVERY", "64")),
     )
 
 
