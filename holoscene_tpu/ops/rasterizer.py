@@ -256,30 +256,15 @@ def _screen_subdivide(vertices, faces, pose_c2w, intrinsics, img_res,
     return vertices.astype(np.float32), faces, parents, fbary
 
 
-def rasterize_mesh(
-    vertices,
-    faces,
-    pose_c2w,
-    intrinsics,
-    img_res: tuple[int, int],
-    grid_size: int = 6,
-    cull_backfaces: bool = False,
-    ortho_half_extent: float | None = None,
-    auto_subdivide: bool = True,
-):
-    """Rasterize one mesh. Returns dict with:
-       depth [H,W] (BIG_DEPTH where empty), face_id [H,W] int32 (-1 empty),
-       mask [H,W] bool, bary [H,W,3], pix_verts [H,W,3,3] world-space
-       triangle vertices (reference rasterize_mesh_return_pixel_vert_and_bary,
-       utils/general.py:743).
+def _prepare_screen(vertices, faces, pose_c2w, intrinsics, img_res,
+                    grid_size, ortho_half_extent, auto_subdivide):
+    """Shared preamble of the rasterization entry points: screen-size-guard
+    subdivision, power-of-two V/F bucketing (compile reuse), projection.
 
-    auto_subdivide (default on) splits screen-oversized triangles before
-    scattering so coverage is hole-free for ANY input geometry; face_id is
-    remapped to the caller's original face indices.
-    """
+    Returns (vertices, faces, xy, z, parents, fbary); parents/fbary are None
+    when no subdivision happened (face ids already in the caller's frame)."""
     height, width = img_res
     parents = fbary = None
-    orig_vertices, orig_faces = vertices, faces
     if auto_subdivide and any(
         isinstance(a, jax.core.Tracer)
         for a in (vertices, faces, pose_c2w, intrinsics)
@@ -329,6 +314,36 @@ def rasterize_mesh(
         xy, z = orthographic_project(vertices, w2c, ortho_half_extent, height)
     else:
         xy, z = perspective_project(vertices, w2c, jnp.asarray(intrinsics))
+    return vertices, faces, xy, z, parents, fbary
+
+
+def rasterize_mesh(
+    vertices,
+    faces,
+    pose_c2w,
+    intrinsics,
+    img_res: tuple[int, int],
+    grid_size: int = 6,
+    cull_backfaces: bool = False,
+    ortho_half_extent: float | None = None,
+    auto_subdivide: bool = True,
+):
+    """Rasterize one mesh. Returns dict with:
+       depth [H,W] (BIG_DEPTH where empty), face_id [H,W] int32 (-1 empty),
+       mask [H,W] bool, bary [H,W,3], pix_verts [H,W,3,3] world-space
+       triangle vertices (reference rasterize_mesh_return_pixel_vert_and_bary,
+       utils/general.py:743).
+
+    auto_subdivide (default on) splits screen-oversized triangles before
+    scattering so coverage is hole-free for ANY input geometry; face_id is
+    remapped to the caller's original face indices.
+    """
+    height, width = img_res
+    orig_vertices, orig_faces = vertices, faces
+    vertices, faces, xy, z, parents, fbary = _prepare_screen(
+        vertices, faces, pose_c2w, intrinsics, img_res, grid_size,
+        ortho_half_extent, auto_subdivide,
+    )
 
     depth, face_id = _rasterize_core(
         xy, z, faces, height, width, grid_size, cull_backfaces
@@ -398,6 +413,140 @@ def rasterize_mesh_list(
     fid = out["face_id"]
     out["instance_id"] = jnp.where(fid >= 0, face_owner[jnp.maximum(fid, 0)], -1)
     return out
+
+
+@partial(
+    jax.jit,
+    static_argnames=("height", "width", "grid_size", "cull_backfaces",
+                     "n_layers"),
+)
+def _rasterize_core_peeled(xy, z, faces, peel_eps, height: int, width: int,
+                           grid_size: int, cull_backfaces: bool,
+                           n_layers: int):
+    """Depth-peeled rasterization: n_layers (depth [H,W], face_id [H,W])
+    buffers, nearest surface first (reference rasterize_mesh_depth_peeler,
+    utils/general.py:765 — nvdiffrast DepthPeeler, 3 layers).
+
+    TPU-native peeling: re-run the scatter-min depth pass with a per-pixel
+    z floor (the previous layer's depth) and the previous winners' faces
+    excluded. Excluding won FACES (not just depths) matters here because the
+    fragment-grid sampler emits several depths per face per pixel — a pure
+    depth floor would re-surface the same triangle as a fake second layer.
+    `peel_eps` additionally skips near-coplanar neighbor triangles of an
+    already-peeled surface (tessellation of one physical surface), which
+    nvdiffrast's exact per-pixel interpolation never sees as distinct.
+    """
+    pad_face = faces[:, 0] < 0
+    faces = jnp.maximum(faces, 0)
+    f_xy = xy[faces]
+    f_z = z[faces]
+    valid = jnp.all(f_z > 1e-6, axis=-1) & ~pad_face
+    if cull_backfaces:
+        e1 = f_xy[:, 1] - f_xy[:, 0]
+        e2 = f_xy[:, 2] - f_xy[:, 0]
+        area2 = e1[:, 0] * e2[:, 1] - e1[:, 1] * e2[:, 0]
+        valid = valid & (area2 < 0)
+
+    bary = jnp.asarray(_fragment_grid(grid_size))
+    frag_xy = jnp.einsum("gk,fkd->fgd", bary, f_xy)
+    frag_z = jnp.einsum("gk,fk->fg", bary, f_z)
+    px = jnp.floor(frag_xy[..., 0]).astype(jnp.int32)
+    py = jnp.floor(frag_xy[..., 1]).astype(jnp.int32)
+    inside = (px >= 0) & (px < width) & (py >= 0) & (py < height)
+    inside = (inside & valid[:, None]).reshape(-1)
+    pix_flat = jnp.where(inside, (py * width + px).reshape(-1), 0)
+    fz_flat = jnp.where(inside, frag_z.reshape(-1), BIG_DEPTH)
+    fid_flat = jnp.broadcast_to(
+        jnp.arange(faces.shape[0], dtype=jnp.int32)[:, None], frag_z.shape
+    ).reshape(-1)
+
+    n_pix = height * width
+    floor = jnp.full((n_pix,), -BIG_DEPTH, dtype=jnp.float32)
+    peeled = jnp.zeros_like(fz_flat, dtype=bool)  # fragment's face already won
+    depths, face_ids = [], []
+    for _ in range(n_layers):
+        live = inside & ~peeled & (fz_flat > floor[pix_flat] + peel_eps)
+        fz_k = jnp.where(live, fz_flat, BIG_DEPTH)
+        depth = jnp.full((n_pix,), BIG_DEPTH, dtype=jnp.float32)
+        depth = depth.at[pix_flat].min(fz_k, mode="drop")
+        winner = (fz_k <= depth[pix_flat] * (1.0 + 1e-6)) & live
+        face_id = jnp.full((n_pix,), -1, dtype=jnp.int32)
+        face_id = face_id.at[jnp.where(winner, pix_flat, n_pix)].set(
+            fid_flat, mode="drop"
+        )
+        depths.append(depth.reshape(height, width))
+        face_ids.append(face_id.reshape(height, width))
+        floor = depth
+        peeled = peeled | (fid_flat == face_id.reshape(-1)[pix_flat])
+    return jnp.stack(depths), jnp.stack(face_ids)
+
+
+def rasterize_mesh_peeled(
+    vertices,
+    faces,
+    pose_c2w,
+    intrinsics,
+    img_res: tuple[int, int],
+    n_layers: int = 3,
+    grid_size: int = 6,
+    cull_backfaces: bool = False,
+    ortho_half_extent: float | None = None,
+    auto_subdivide: bool = True,
+    peel_eps: float = 1e-3,
+):
+    """Depth-peeled rasterization of one mesh: a list of n_layers dicts
+    {depth, face_id, mask}, nearest surface first (reference
+    rasterize_mesh_depth_peeler, utils/general.py:765, backing the
+    second-surface occlusion queries at :2255/:2712). Layer 0 matches
+    rasterize_mesh's front surface; layer k>0 is the k-th surface behind it
+    (empty pixels: mask False, depth BIG_DEPTH, face_id -1)."""
+    height, width = img_res
+    vertices, faces, xy, z, parents, _ = _prepare_screen(
+        vertices, faces, pose_c2w, intrinsics, img_res, grid_size,
+        ortho_half_extent, auto_subdivide,
+    )
+    depths, face_ids = _rasterize_core_peeled(
+        xy, z, faces, jnp.float32(peel_eps), height, width, grid_size,
+        cull_backfaces, n_layers,
+    )
+    if parents is not None:
+        pmap = jnp.asarray(parents, dtype=jnp.int32)
+        face_ids = jnp.where(face_ids >= 0, pmap[jnp.maximum(face_ids, 0)], -1)
+    return [
+        {"depth": depths[k], "face_id": face_ids[k], "mask": face_ids[k] >= 0}
+        for k in range(n_layers)
+    ]
+
+
+def rasterize_mesh_list_peeled(
+    meshes,
+    pose_c2w,
+    intrinsics,
+    img_res: tuple[int, int],
+    n_layers: int = 3,
+    **kwargs,
+):
+    """Depth-peeled multi-mesh rasterization: per-layer instance-id maps for
+    occlusion tests against the SCENE's second surfaces (reference peels the
+    concatenated mesh list the same way)."""
+    verts_list, faces_list, owner = [], [], []
+    off = 0
+    for i, (v, f) in enumerate(meshes):
+        verts_list.append(np.asarray(v, dtype=np.float32))
+        faces_list.append(np.asarray(f, dtype=np.int64) + off)
+        owner.append(np.full(len(f), i, dtype=np.int32))
+        off += len(v)
+    face_owner = jnp.asarray(np.concatenate(owner))
+    layers = rasterize_mesh_peeled(
+        np.concatenate(verts_list), np.concatenate(faces_list),
+        pose_c2w, intrinsics, img_res, n_layers=n_layers, **kwargs,
+    )
+    for lay in layers:
+        fid = lay["face_id"]
+        lay["instance_id"] = jnp.where(
+            fid >= 0, face_owner[jnp.maximum(fid, 0)], -1
+        )
+    return layers
 
 
 def subdivide_mesh(vertices: np.ndarray, faces: np.ndarray,

@@ -74,6 +74,12 @@ def mark(stage, t0, extra=None):
     print(f"== chain {stage}: {json.dumps(timeline[stage])}", flush=True)
     with open(os.path.join(runner1.plots_dir, "chain_timeline.json"), "w") as f:
         json.dump(timeline, f, indent=1)
+    # mirror incrementally so a wall-clock-bounded session still commits a
+    # partial per-stage record (the r5e chain's timeline died with /tmp)
+    _out = os.environ.get("CHAIN_OUT", "")
+    if _out:
+        with open(_out, "w") as f:
+            json.dump(timeline, f, indent=1)
 
 
 t0 = time.time()

@@ -186,3 +186,65 @@ def test_subdivided_bary_consistent_with_parent_faces():
     # pix_verts must be the parent triangles' corners
     pv = np.asarray(out["pix_verts"])[mask]
     np.testing.assert_allclose(pv, verts[faces[fid]], atol=1e-6)
+
+
+def test_depth_peel_sphere_second_surface():
+    # a sphere seen from outside: layer 0 = front surface (d - r), layer 1 =
+    # BACK surface (d + r), layer 2 empty at the center (reference
+    # rasterize_mesh_depth_peeler semantics, utils/general.py:765)
+    from holoscene_tpu.ops.rasterizer import rasterize_mesh_peeled
+
+    verts, faces = _sphere()
+    pose, intr, res = _camera()
+    layers = rasterize_mesh_peeled(verts, faces, pose, intr, res, n_layers=3,
+                                   peel_eps=0.05)
+    d0 = np.asarray(layers[0]["depth"])
+    d1 = np.asarray(layers[1]["depth"])
+    assert np.asarray(layers[0]["mask"])[32, 32]
+    assert np.asarray(layers[1]["mask"])[32, 32]
+    assert d0[32, 32] == pytest.approx(1.5, abs=0.03)
+    assert d1[32, 32] == pytest.approx(2.5, abs=0.05)
+    assert not np.asarray(layers[2]["mask"])[32, 32]
+    # layer 0 must agree with the single-surface rasterizer's front depth
+    # (peeled depth is fragment-sampled, not pixel-center-interpolated, so
+    # the agreement is to within one fragment-grid cell of surface slope)
+    front = np.asarray(rasterize_mesh(verts, faces, pose, intr, res)["depth"])
+    m = np.asarray(layers[0]["mask"]) & (front < BIG_DEPTH * 0.5)
+    np.testing.assert_allclose(d0[m], front[m], atol=0.05)
+
+
+def test_depth_peel_single_plane_no_fake_second_layer():
+    # one flat quad: fragment-grid depth jitter across its two triangles must
+    # NOT resurface it as a second layer (the peel_eps + won-face exclusion)
+    from holoscene_tpu.ops.rasterizer import rasterize_mesh_peeled
+
+    verts = np.array([[-0.6, -0.6, 0.0], [0.6, -0.6, 0.0],
+                      [0.6, 0.6, 0.0], [-0.6, 0.6, 0.0]])
+    faces = np.array([[0, 1, 2], [0, 2, 3]])
+    pose, intr, res = _camera()
+    layers = rasterize_mesh_peeled(verts, faces, pose, intr, res, n_layers=2,
+                                   peel_eps=1e-3)
+    assert np.asarray(layers[0]["mask"])[32, 32]
+    assert np.asarray(layers[1]["mask"]).sum() == 0
+
+
+def test_depth_peel_list_instance_ids():
+    # two spheres in line: the occluded back sphere appears in DEEPER layers
+    # with its own instance id (the scene-level occlusion query the reference
+    # runs at utils/general.py:2255/2712)
+    from holoscene_tpu.ops.rasterizer import rasterize_mesh_list_peeled
+
+    v1, f1 = _sphere(r=0.4)
+    v2, f2 = _sphere(r=0.3)
+    v2 = v2 + np.array([0.0, 0.0, 1.2])
+    pose, intr, res = _camera()
+    layers = rasterize_mesh_list_peeled([(v1, f1), (v2, f2)], pose, intr, res,
+                                        n_layers=3, peel_eps=0.05)
+    inst0 = np.asarray(layers[0]["instance_id"])
+    assert inst0[32, 32] == 0 and (inst0 == 1).sum() == 0
+    # back sphere front surface sits at z=1.2+2-0.3=2.9, behind the front
+    # sphere's BACK surface (2.4) -> it first appears in layer 2
+    inst2 = np.asarray(layers[2]["instance_id"])
+    assert inst2[32, 32] == 1
+    d2 = np.asarray(layers[2]["depth"])
+    assert d2[32, 32] == pytest.approx(2.9, abs=0.05)
