@@ -549,6 +549,78 @@ def rasterize_mesh_list_peeled(
     return layers
 
 
+def _orbit_pose_c2w(theta_deg: float, radius: float) -> np.ndarray:
+    """Equatorial orbit camera (z-up world) looking at the origin, in this
+    module's OpenCV convention (x right, y down, z forward)."""
+    t = np.deg2rad(theta_deg)
+    pos = np.array([radius * np.cos(t), radius * np.sin(t), 0.0])
+    fwd = -pos / np.linalg.norm(pos)
+    up_w = np.array([0.0, 0.0, 1.0])
+    right = np.cross(fwd, up_w)
+    right /= np.linalg.norm(right)
+    down = np.cross(fwd, right)
+    c2w = np.eye(4, dtype=np.float32)
+    c2w[:3, 0], c2w[:3, 1], c2w[:3, 2], c2w[:3, 3] = right, down, fwd, pos
+    return c2w
+
+
+def visible_faces_multiview(
+    vertices,
+    faces,
+    face_visible: np.ndarray | None = None,
+    n_thetas: int = 30,
+    n_layers: int = 3,
+    img_res: tuple[int, int] = (256, 256),
+    radius: float = 1.0,
+    ortho_half_extent: float = 1.0,
+    peel_eps: float = 1e-3,
+) -> np.ndarray:
+    """Multiview visibility mask over faces (reference vis_prune,
+    utils/general.py:1549-1613): orthographic cameras orbit the equator
+    (30 azimuths, phi=90 in the reference), each view is depth-peeled
+    n_layers deep, and a face survives if it appears in ANY peel layer at a
+    pixel whose FRONT surface is confirmed visible. `face_visible` seeds the
+    front-surface confirmation (the reference's vis_colors>0 face paint);
+    None treats every front surface as confirmed. Faces deeper than
+    n_layers from every viewpoint are reported invisible."""
+    n_faces = len(faces)
+    keep = np.zeros(n_faces, dtype=bool)
+    if face_visible is not None:
+        face_visible = np.asarray(face_visible, dtype=bool)
+        keep |= face_visible
+    for theta in np.linspace(0.0, 360.0, num=n_thetas, endpoint=False):
+        pose = _orbit_pose_c2w(theta, radius)
+        layers = rasterize_mesh_peeled(
+            vertices, faces, pose, None, img_res, n_layers=n_layers,
+            ortho_half_extent=ortho_half_extent, peel_eps=peel_eps,
+        )
+        fid0 = np.asarray(layers[0]["face_id"])
+        alpha = fid0 >= 0
+        if face_visible is not None:
+            alpha &= face_visible[np.maximum(fid0, 0)]
+        for lay in layers:
+            fid = np.asarray(lay["face_id"])
+            hit = fid[alpha & (fid >= 0)]
+            keep[hit] = True
+    return keep
+
+
+def prune_invisible_faces(vertices, faces, keep_faces: np.ndarray):
+    """Compact a mesh to the faces marked by visible_faces_multiview
+    (reference vis_prune tail, utils/general.py:1614-1648). Returns
+    (vertices_new, faces_new, vert_map, keep_faces) where vert_map indexes
+    surviving vertices in the ORIGINAL array (reindex vertex attributes
+    with it; reindex face attributes with keep_faces)."""
+    vertices = np.asarray(vertices)
+    faces = np.asarray(faces)
+    keep_faces = np.asarray(keep_faces, dtype=bool)
+    vert_map = np.sort(np.unique(faces[keep_faces].reshape(-1)))
+    remap = -np.ones(len(vertices), dtype=np.int64)
+    remap[vert_map] = np.arange(len(vert_map))
+    faces_new = remap[faces[keep_faces]]
+    return vertices[vert_map], faces_new, vert_map, keep_faces
+
+
 def subdivide_mesh(vertices: np.ndarray, faces: np.ndarray,
                    max_edge: float) -> tuple[np.ndarray, np.ndarray]:
     """Host-side midpoint subdivision until every edge <= max_edge.

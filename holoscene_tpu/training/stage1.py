@@ -328,6 +328,17 @@ class Stage1Runner:
         if self.model_cfg.use_occupancy:
             from holoscene_tpu.ops.occupancy import init_occ_grid
 
+            # EXPERIMENTAL KNOB, deliberately loud: the restriction passed
+            # the 2500-iter gate but COLLAPSED the 512²/10k flagship (eval
+            # PSNR 24.60 vs 36.91 — PERF.md "FAILED and reverted"), and the
+            # duty-cycled full-interval pass that ships as mitigation has
+            # only been validated at gate scale. Until a flagship-scale
+            # occ+mitigation row lands in PERF.md, treat quality under this
+            # knob as unproven beyond 256².
+            print("WARNING: model.use_occupancy is an experimental "
+                  "sampling-policy knob; its duty-cycle mitigation is "
+                  "validated at <=256^2 gate scale only (see PERF.md "
+                  "occupancy flagship-collapse post-mortem)", flush=True)
             self.occ = init_occ_grid(self.model_cfg.occupancy)
         # baked probe grid (model.probe_grid_res conf): sampler placement
         # proxy re-baked every probe_update_every steps; like the occupancy

@@ -248,3 +248,35 @@ def test_depth_peel_list_instance_ids():
     assert inst2[32, 32] == 1
     d2 = np.asarray(layers[2]["depth"])
     assert d2[32, 32] == pytest.approx(2.9, abs=0.05)
+
+
+def test_visible_faces_multiview_prunes_deep_interior():
+    # nested spheres: from any orbit view the 4th surface inward sits past a
+    # 3-layer peel, so the innermost sphere is pruned and the outer three
+    # survive (reference vis_prune keeps any face within the 3 peel layers)
+    from holoscene_tpu.ops.rasterizer import (
+        prune_invisible_faces,
+        visible_faces_multiview,
+    )
+
+    shells = [_sphere(r=r, res=24) for r in (0.5, 0.35, 0.1)]
+    verts = np.concatenate([v for v, _ in shells])
+    offs = np.cumsum([0] + [len(v) for v, _ in shells[:-1]])
+    faces = np.concatenate([f + o for (_, f), o in zip(shells, offs)])
+    owner = np.concatenate(
+        [np.full(len(f), i) for i, (_, f) in enumerate(shells)]
+    )
+    keep = visible_faces_multiview(
+        verts, faces, n_thetas=8, n_layers=2, img_res=(96, 96),
+        ortho_half_extent=0.7, peel_eps=0.02,
+    )
+    # with only 2 peel layers, the innermost sphere (its front surface is
+    # layer 2 at center pixels) must vanish; outer shell kept except the
+    # polar caps an equatorial-only orbit sees at grazing angles (the
+    # reference's vis_prune orbit has the same phi=90 blind spot)
+    assert keep[owner == 0].mean() > 0.8
+    assert keep[owner == 2].sum() == 0
+    v2, f2, vmap, fkeep = prune_invisible_faces(verts, faces, keep)
+    assert len(f2) == keep.sum() and f2.min() >= 0 and f2.max() < len(v2)
+    # surviving geometry reproduces the kept faces exactly
+    np.testing.assert_allclose(v2[f2], verts[faces[keep]])
