@@ -64,11 +64,21 @@ def test_stage4_end_to_end(scene, tmp_path):
     usdz = [p for p in paths if p.endswith(".usdz")][0]
     back = read_gaussians_usdz(usdz)
     assert back["positions"].shape[1] == 3
-    from holoscene_tpu.models.gom import read_gaussian_ply
+    from holoscene_tpu.models.gom import compose_for_export, read_gaussian_ply
 
     g = read_gaussian_ply(paths[0])
     lo, hi = runner.instance_ranges[0]
     assert len(g["means"]) == hi - lo
+    # export round-trip FIDELITY (reference eval_gs_load_train/test reloads
+    # the export and recomputes metrics, holoscene_train_gaussian.py:739):
+    # the PLY must reproduce the trainer's composed gaussians to fp32
+    ref = compose_for_export(runner.params, runner.static, runner.cfg)
+    back = read_gaussian_ply(paths[-2])  # gauss_scene.ply
+    for k in ("means", "quats", "log_scales", "opacity_logits",
+              "features_dc", "features_rest"):
+        np.testing.assert_allclose(
+            np.asarray(back[k], np.float32).reshape(ref[k].shape),
+            ref[k], rtol=1e-5, atol=1e-6, err_msg=k)
 
 
 def test_stage4_main_step_updates_params(scene, tmp_path):
