@@ -67,6 +67,9 @@ timeline["stage1"] = {
     "eval_wall_s": round(time.time() - t0, 1),
 }
 print(f"== chain stage1: {json.dumps(timeline['stage1'])}", flush=True)
+if os.environ.get("CHAIN_OUT", ""):
+    with open(os.environ["CHAIN_OUT"], "w") as f:
+        json.dump(timeline, f, indent=1)
 
 
 def mark(stage, t0, extra=None):
